@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side row serialization skewing the numbers). One SparkSession is
+reused; the first query absorbs JVM warm-up, so a `_warmup` pass runs the
+flagship once before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from postpy_spark import registry
+from postpy_spark.session import get_spark
+
+# Representative heavy shapes across SURVEY.md §2 groups (subset of the full
+# contract: scans+agg, star join, as-of, windows, set-ops, text/vector ops).
+HEADLINE = [
+    "agg_groupby",
+    "agg_count_distinct",
+    "join_inner",
+    "join_broadcast",
+    "join_multiway_star",
+    "join_asof",
+    "join_range_interval",
+    "win_running_sum",
+    "topk_per_group",
+    "project_expr",
+    "distinct_rows",
+    "pivot_wide",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_spark("postpy-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reg = registry.load_all()
+    names = [n for n in HEADLINE if n in reg]
+
+    force(reg["agg_groupby"].fn(spark, sf_dir))  # warm-up: JVM + codegen
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(reg[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

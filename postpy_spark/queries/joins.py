@@ -1,0 +1,340 @@
+"""Group B2 — join surface (SURVEY.md §2.B2).
+
+postpy delegates every join to the PostgreSQL planner; here each shape is a
+declarative DataFrame join so Catalyst/AQE pick broadcast-hash vs
+shuffle-hash vs sort-merge at runtime.  Explicit ``broadcast()`` hints mark
+dimension tables the planner must map-side (at 100 TB the fact side never
+shuffles for those).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from postpy_spark.io import load_table
+from postpy_spark.operators.asof import asof_join
+from postpy_spark.registry import query
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    group="B2",
+)
+def join_inner_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    """,
+    group="B2",
+)
+def join_left_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+    group="B2",
+)
+def join_right_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey, c.n_cust, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    group="B2",
+)
+def join_full_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = c.join(s, c.nk == s.nk, "full")
+    return j.select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+    """,
+    group="B2",
+)
+def join_semi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS ≡ left_semi: no fan-out, right side only probed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    group="B2",
+)
+def join_anti_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti_not_in",
+    oracle="""
+    SELECT p_partkey FROM part
+    WHERE p_partkey NOT IN (SELECT NULLIF(l_partkey, 7) FROM lineitem
+                            WHERE l_quantity > 45)
+    """,
+    group="B2",
+)
+def join_anti_not_in_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware NOT IN — the subquery contains a NULL, so the whole result
+    must be empty (≠ left_anti semantics, which would return rows).  Spark
+    plans this as a null-aware anti join only via the SQL path."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_pp_part_nin")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_pp_lineitem_nin")
+    return spark.sql(
+        """
+        SELECT p_partkey FROM _pp_part_nin
+        WHERE p_partkey NOT IN (SELECT NULLIF(l_partkey, 7) FROM _pp_lineitem_nin
+                                WHERE l_quantity > 45)
+        """
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+    """,
+    group="B2",
+)
+def join_cross_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    statuses = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(statuses)
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    group="B2",
+)
+def join_broadcast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact table never shuffles: both dims are broadcast, the aggregate is
+    partial+final.  At 100 TB this is THE pattern for dim enrichment."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    """,
+    group="B2",
+)
+def join_theta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi component hashes; the non-equi residual filters post-probe —
+    avoids a nested-loop join entirely."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return s.join(
+        c,
+        (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal),
+    ).select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT a.event_id AS purchase_id,
+           COUNT(b.event_id) AS n_follow,
+           ROUND(SUM(b.value), 2) AS follow_value
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+    group="B2",
+)
+def join_range_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join keyed on user_id: the equi key does the heavy lifting
+    (hash join), the ts-range predicate is a residual — no quadratic blowup."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_event"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("b_event").alias("n_follow"),
+        F.round(F.sum("b_value"), 2).alias("follow_value"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date, o.day_total
+    FROM events e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderdate, ROUND(SUM(o_totalprice), 2) AS day_total
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    group="B2",
+)
+def join_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event matched to the customer's latest order day ≤ event time.
+    Implemented with the single-shuffle union+window as-of operator
+    (postpy_spark.operators.asof) — DuckDB's native ASOF JOIN is the oracle."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    )
+    out = asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["day_total"],
+        include_right_time="last_order_date",
+    )
+    return out.select("event_id", "user_id", "last_order_date", "day_total")
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    group="B2",
+)
+def join_multiway_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star join; Catalyst + AQE reorder and pick
+    broadcast for region/nation/supplier, fact tables sort-merge on keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -1,0 +1,603 @@
+"""Group B1/B3/B5 — scans, projection, filtering, aggregation, set ops.
+
+These reproduce the relational surface postpy delegates to PostgreSQL
+(SURVEY.md §2 groups B1/B3/B5).  Reference implementation LoC: 0 — postpy
+ships SQL strings to the server (``postpy/sql.py::select`` [U]); here each
+query is a declarative DataFrame plan so Catalyst gets predicate pushdown,
+column pruning and partial aggregation for free.
+
+Float discipline: every *derived* float aggregate (sum/avg/stddev over
+arithmetic) is rounded identically in the Spark plan and the oracle SQL,
+because summation order differs between engines.  Stored values (min/max of
+a raw column, raw projections) are bit-exact in both engines and are not
+rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postpy_spark.io import load_table
+from postpy_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# B1 — scans, projection, filtering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT * FROM supplier",
+    group="B1",
+)
+def scan_parquet_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain columnar scan; vectorized parquet reader end-to-end."""
+    return load_table(spark, sf_dir, "supplier")
+
+
+@query(
+    "project",
+    oracle="SELECT c_custkey AS id, c_name AS name FROM customer",
+    group="B1",
+)
+def project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column subset + rename; ReadSchema should list exactly two columns."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+
+
+@query(
+    "project_expr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS charge
+    FROM lineitem
+    """,
+    group="B1",
+)
+def project_expr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2dp inputs → the products are exact 4dp/6dp decimals; rounding AT that
+    # width is tie-free in both engines (rounding coarser, e.g. to 2dp, hits
+    # exact .xx5 ties where Spark HALF_UP and DuckDB float-rounding diverge).
+    l = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net, 4).alias("net_price"),
+        F.round(net * (1 + F.col("l_tax")), 6).alias("charge"),
+    )
+
+
+@query(
+    "filter_basic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount < 0.05 AND NOT (l_returnflag = 'A')
+    """,
+    group="B1",
+)
+def filter_basic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison + AND/OR/NOT; all predicates push into the parquet scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_quantity") > 30)
+        & (F.col("l_discount") < 0.05)
+        & ~(F.col("l_returnflag") == "A")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@query(
+    "filter_in_between_like",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+      AND c_acctbal BETWEEN 100 AND 5000
+      AND c_name LIKE '%5%'
+    """,
+    group="B1",
+)
+def filter_in_between_like_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY")
+        & F.col("c_acctbal").between(100, 5000)
+        & F.col("c_name").like("%5%")
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+@query(
+    "filter_null",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NULLIF(o_orderstatus, 'O') AS status_or_null
+    FROM orders
+    WHERE NULLIF(o_orderstatus, 'O') IS NULL
+       OR (o_orderstatus IS NOT DISTINCT FROM 'F')
+    """,
+    group="B1",
+)
+def filter_null_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL / null-safe equality (<=>)."""
+    o = load_table(spark, sf_dir, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.filter(
+        status_or_null.isNull() | F.col("o_orderstatus").eqNullSafe(F.lit("F"))
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        status_or_null.alias("status_or_null"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    group="B1",
+)
+def distinct_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# B3 — aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           MIN(l_discount) AS min_disc,
+           MAX(l_discount) AS max_disc
+    FROM lineitem
+    """,
+    group="B3",
+)
+def agg_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.min("l_discount").alias("min_disc"),
+        F.max("l_discount").alias("max_disc"),
+    )
+
+
+@query(
+    "agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                            AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                       AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                            AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                       AS avg_price,
+           ROUND(AVG(l_discount), 4)                                            AS avg_disc,
+           COUNT(*)                                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    group="B3",
+)
+def agg_groupby_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary over lineitem.
+
+    Partial (map-side) + final aggregation comes free from groupBy; the
+    shipdate predicate pushes into the parquet row-group filter.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3 AND SUM(o_totalprice) > 50000
+    """,
+    group="B3",
+)
+def agg_having_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_total"),
+        )
+        .filter((F.col("n_orders") >= 3) & (F.col("_total") > 50000))
+        .select("o_custkey", "n_orders", F.round("_total", 2).alias("total_spent"))
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    group="B3",
+)
+def agg_count_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct; Spark plans the two-phase expand automatically."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, group="B3")
+def agg_approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality — approximate, so rows-only at the driver;
+    tests assert ±5% of exact (BASELINE.md)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@query("agg_approx_quantile", oracle=None, group="B3")
+def agg_approx_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile sketch (GK); tests assert tolerance vs exact quantiles."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+            "price_quantiles"
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(VAR_SAMP(l_quantity), 4)         AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    group="B3",
+)
+def agg_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    group="B3",
+)
+def agg_grouping_sets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("_pp_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM _pp_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    group="B3",
+)
+def agg_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    group="B3",
+)
+def agg_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n")
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT l_returnflag, string_agg(ls, ',' ORDER BY ls) AS statuses
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus AS ls FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    group="B3",
+)
+def agg_collect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + deterministic ordering, serialized to a string so the
+    value-hash is representation-stable across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses")
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 2) AS returned_value,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           ROUND(AVG(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 4) AS avg_discounted
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    group="B3",
+)
+def agg_conditional_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))), 2
+        ).alias("returned_value"),
+        F.count(F.when(F.col("l_quantity") > 25, F.lit(1))).alias("n_bulk"),
+        F.round(
+            F.avg(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 4
+        ).alias("avg_discounted"),
+    )
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT user_id % 100 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id % 100
+    """,
+    group="B3",
+)
+def pivot_wide_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot with an explicit value list (no extra distinct pass —
+    at scale, always pass the values to pivot())."""
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.withColumn("user_bucket", F.col("user_id") % 100)
+        .groupBy("user_bucket")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot-count yields NULL for absent combos; oracle's FILTER yields 0.
+    return out.na.fill(0, kinds)
+
+
+# ---------------------------------------------------------------------------
+# B5 — sort / limit / set ops / sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC
+    LIMIT 25
+    """,
+    group="B5",
+)
+def sort_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort; unique-key tiebreak keeps the LIMIT slice
+    deterministic in both engines (TakeOrderedAndProject physical op)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc())
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .limit(25)
+    )
+
+
+@query(
+    "limit_n",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20",
+    group="B5",
+)
+def limit_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_totalprice").limit(20)
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 15
+    """,
+    group="B5",
+)
+def topk_global_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → per-partition top-k then driver merge (no global
+    sort materialization); scales as O(n log k)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(15)
+    )
+
+
+@query(
+    "union_all",
+    oracle="""
+    SELECT c_custkey, c_acctbal, 'low' AS band FROM customer WHERE c_acctbal < 1000
+    UNION ALL
+    SELECT c_custkey, c_acctbal, 'high' AS band FROM customer WHERE c_acctbal > 9000
+    """,
+    group="B5",
+)
+def union_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    low = c.filter(F.col("c_acctbal") < 1000).select(
+        "c_custkey", "c_acctbal", F.lit("low").alias("band")
+    )
+    high = c.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_acctbal", F.lit("high").alias("band")
+    )
+    return low.unionByName(high)
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    group="B5",
+)
+def union_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "intersect_ab",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    group="B5",
+)
+def intersect_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "except_ab",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    group="B5",
+)
+def except_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "except_all_ab",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem
+    EXCEPT ALL
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    group="B5",
+)
+def except_all_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL — bag semantics differ from EXCEPT; tested on a
+    column with heavy duplication."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.select(F.col("l_returnflag").alias("flag"))
+    b = l.filter(F.col("l_linestatus") == "F").select(F.col("l_returnflag").alias("flag"))
+    return a.exceptAll(b)
+
+
+@query(
+    "intersect_all_ab",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_discount > 0.05
+    """,
+    group="B5",
+)
+def intersect_all_ab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_quantity") > 25).select(F.col("l_returnflag").alias("flag"))
+    b = l.filter(F.col("l_discount") > 0.05).select(F.col("l_returnflag").alias("flag"))
+    return a.intersectAll(b)
+
+
+@query("sample_frac", oracle=None, group="B5")
+def sample_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — sampling sequence is engine-specific, so
+    rows-only at the driver; pytest asserts the count tolerance."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")

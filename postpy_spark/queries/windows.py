@@ -1,0 +1,197 @@
+"""Group B4 — window functions (SURVEY.md §2.B4).
+
+Determinism discipline: any ranking/frame whose order admits ties gets a
+unique-key tiebreak in BOTH engines, and float frame-aggregates are rounded
+(window sum/avg may associate differently across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postpy_spark.io import load_table
+from postpy_spark.registry import query
+
+
+@query(
+    "win_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT)       AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    group="B4",
+)
+def win_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+    )
+
+
+@query(
+    "win_lead_lag",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           DATE_DIFF('second', LAG(ts) OVER w, ts) AS secs_since_prev
+    FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    group="B4",
+)
+def win_lead_lag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        # NTZ has no direct long cast; go via LTZ (session tz is pinned UTC,
+        # so the epoch seconds match DuckDB's date_diff('second', ...)).
+        (
+            F.col("ts").cast("timestamp").cast("bigint")
+            - F.lag(F.col("ts").cast("timestamp").cast("bigint")).over(w)
+        ).alias("secs_since_prev"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+           AS running_value
+    FROM events
+    """,
+    group="B4",
+)
+def win_running_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_value")
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+           AS moving_avg
+    FROM events
+    """,
+    group="B4",
+)
+def win_moving_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return e.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("moving_avg")
+    )
+
+
+@query(
+    "win_ntile_pctrank",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w    AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    group="B4",
+)
+def win_ntile_pctrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single global window — fine here (bounded output), but at scale a
+    global ORDER BY window funnels to one task; prefer partitioned windows."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           FIRST_VALUE(c_acctbal) OVER w AS seg_min_bal,
+           LAST_VALUE(c_acctbal)  OVER w AS seg_max_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    group="B4",
+)
+def win_first_last_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.first("c_acctbal").over(w).alias("seg_min_bal"),
+        F.last("c_acctbal").over(w).alias("seg_max_bal"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    group="B4",
+)
+def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number + filter — Spark pushes a
+    per-partition top-k (WindowGroupLimit) before the shuffle, so this
+    scales without materializing full per-group sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,103 @@
+"""SparkSession factory and runtime configuration.
+
+postpy's analog is ``postpy/connections.py::connect`` [U] — a psycopg2
+connection factory reading ``PGHOST/PGDATABASE/PGUSER/PGPASSWORD`` env vars
+(SURVEY.md §2.A ``conn_env``).  Here the "connection" is a SparkSession; the
+factory reads ``SPARK_GRAFT_*`` env knobs and applies scale-aware defaults.
+
+Two layers:
+
+- :func:`get_spark` — build a session with our defaults (used by tests,
+  ``bench.py``, and standalone use).
+- :func:`ensure_runtime_confs` — idempotently apply the *runtime-settable*
+  confs to an externally-created session (the correctness driver builds its
+  own SparkSession, so every query entry point funnels through this).
+
+Scale posture (SURVEY.md §4.2): AQE on (runtime coalesce + skew-join split),
+CBO hints honoured, broadcast threshold explicit, session timezone pinned to
+UTC so timestamp semantics match a naive/UTC oracle, and the legacy
+nanos-as-long switch set because the ``events`` table stores
+``timestamp[ns]`` which Spark's vectorized Parquet reader otherwise rejects.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that can be flipped on a live session (SQLConf, not static).
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp type.
+    # Read as bigint nanos, convert to µs in io.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Pin timezone: ts arithmetic must match the (naive) DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime partition coalescing, skew-join splitting,
+    # and shuffle-hash/broadcast rewrites. The 100 TB posture relies on this.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # ANSI off: permissive casts/overflow like PostgreSQL's implicit behavior
+    # postpy users relied on; also matches DuckDB's non-failing arithmetic.
+    "spark.sql.ansi.enabled": "false",
+    # Arrow for any pandas_udf / toPandas edge (group E operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Idempotently apply runtime confs to an existing session.
+
+    Cheap (dict writes through Py4J); called at the top of every registered
+    query so driver-created sessions behave identically to ours.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Conf unknown to this build — skip rather than fail the query.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "postpy-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we default
+    to ``local[N]`` with N from ``SPARK_GRAFT_CPUS`` (driver contract).
+    ``spark.sql.shuffle.partitions`` defaults to the parallelism — at local
+    test scale big shuffle fan-out is pure overhead, and at cluster scale the
+    deployer overrides it (AQE coalesces down from whatever is set).
+    """
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{n}]"))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_runtime_confs(spark)
+    return spark

@@ -1,0 +1,84 @@
+"""Test-support helpers (postpy's ``fixtures.py`` analog [U], SURVEY.md §2.A).
+
+Provides the canonical-form comparison used by ``tools/check.py`` and the
+pytest suite: the same multiset-of-rows equivalence the driver's
+order-insensitive value-hash implies, computed with exact values so it is
+strictly stronger.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+
+import duckdb
+
+from postpy_spark.io import TABLES
+
+
+def canon(v):
+    """Canonicalize a cell value for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    if isinstance(v, bytes):
+        return ("b", v.hex())
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    return v
+
+
+def canon_rows(cols: list[str], rows) -> tuple[list[str], list]:
+    """Sort columns by name, canonicalize every cell, sort rows — the
+    order-insensitive canonical form of a result set."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
+    return sorted_cols, out
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """A DuckDB connection with all testdata tables registered as views —
+    mirrors the driver's oracle environment."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare_spark_duckdb(df, con, sql: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = equivalent)."""
+    s_cols, s_rows = canon_rows(df.columns, df.collect())
+    res = con.execute(sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    d_cols, d_rows = canon_rows(d_cols, d_rows)
+    problems = []
+    if s_cols != d_cols:
+        problems.append(f"columns: spark={s_cols} duckdb={d_cols}")
+        return problems
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount: spark={len(s_rows)} duckdb={len(d_rows)}")
+        return problems
+    if s_rows != d_rows:
+        diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+        problems.append(f"values differ, first diffs: {diffs}")
+    return problems

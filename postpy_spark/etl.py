@@ -1,0 +1,205 @@
+"""ETL operators: upsert, bulk insert, catalog reflection, namespace reset,
+transaction-style execution (SURVEY.md §2 group A).
+
+postpy analogs [U]:
+- ``postpy/dml.py::upsert_records / create_upsert_statement`` (INSERT … ON
+  CONFLICT DO UPDATE) → :func:`merge_upsert` (anti-join + union rewrite; no
+  ACID table format required) and :func:`upsert_into_path` (materialized
+  parquet target with staged atomic swap).
+- ``postpy/dml.py::insert / insert_many`` → :func:`insert_records`.
+- ``postpy/admin.py::get_user_tables / get_column_metadata /
+  get_primary_keys`` → :func:`list_tables` / :func:`describe_table` /
+  :func:`get_primary_keys` (reads the informational ``postpy.primary_key``
+  table property written by :class:`postpy_spark.schema.Table`).
+- ``postpy/admin.py::reset`` → :func:`reset_namespace`.
+- ``postpy/sql.py::execute_transaction / execute_closing_transaction`` →
+  :func:`execute_statements` (documented semantic gap: vanilla Spark has no
+  multi-statement rollback; failures stop execution and surface — callers
+  needing atomicity stage into a temp location and swap, which
+  :func:`atomic_overwrite` provides).
+- ``postpy/extensions.py::install_extension`` → :func:`install_extension`
+  (feature-flag registry; Spark has no CREATE EXTENSION).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from postpy_spark.schema import Table
+from postpy_spark.session import ensure_runtime_confs
+
+# ---------------------------------------------------------------------------
+# Upsert
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """``INSERT … ON CONFLICT (keys) DO UPDATE`` semantics as a DataFrame
+    transform: source rows win on key collision, unmatched target rows are
+    kept, duplicate keys inside ``source`` collapse to one arbitrary-but-
+    deterministic winner (PostgreSQL raises instead; we dedupe because
+    distributed batches routinely carry intra-batch dupes).
+
+    Plan shape: one anti-join (target ∖ source) + union — both sides shuffle
+    once on the key; with AQE the anti-join broadcasts when source is small,
+    which is the common upsert-batch case at 100 TB.
+    """
+    keys = list(keys)
+    src = source.dropDuplicates(keys)
+    kept = target.join(src, on=keys, how="left_anti")
+    return kept.unionByName(src)
+
+
+def upsert_into_path(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """Keyed upsert into a materialized parquet directory with a staged
+    atomic swap (read-modify-write; the parquet analog of postpy's
+    server-side upsert).  On Delta/Iceberg this would be ``MERGE INTO``."""
+    ensure_runtime_confs(spark)
+    try:
+        target = spark.read.parquet(path)
+        merged = merge_upsert(target, source, keys)
+    except Exception:
+        merged = source.dropDuplicates(list(keys))
+    atomic_overwrite(merged, path)
+
+
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Write to a staging dir, then swap directories — readers never observe
+    a half-written table (txn_exec discipline for path-based tables)."""
+    staging = f"{path.rstrip('/')}.__staging_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    backup = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    moved = False
+    try:
+        shutil.move(path, backup)
+        moved = True
+    except FileNotFoundError:
+        pass
+    shutil.move(staging, path)
+    if moved:
+        shutil.rmtree(backup, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Bulk insert (postpy insert_many parity)
+# ---------------------------------------------------------------------------
+
+
+def insert_records(
+    spark: SparkSession,
+    table: str | Table,
+    records: Iterable[tuple] | Iterable[dict],
+    schema=None,
+) -> None:
+    """Append an iterable of records to a catalog table (postpy
+    ``insert_many`` [U]).  Records materialize on the driver — this is the
+    utility path for small batches; bulk data goes through the reader APIs."""
+    name = table.qualified_name if isinstance(table, Table) else table
+    if schema is None and isinstance(table, Table):
+        schema = table.to_struct_type()
+    rows = [Row(**r) if isinstance(r, dict) else r for r in records]
+    df = spark.createDataFrame(rows, schema=schema)
+    df.writeTo(name).append()
+
+
+# ---------------------------------------------------------------------------
+# Catalog reflection (postpy admin.py parity)
+# ---------------------------------------------------------------------------
+
+
+def list_tables(spark: SparkSession, namespace: str | None = None) -> list[str]:
+    """User table names in a namespace (upstream ``get_user_tables`` [U])."""
+    tables = spark.catalog.listTables(namespace) if namespace else spark.catalog.listTables()
+    return sorted(t.name for t in tables if not t.isTemporary)
+
+
+def describe_table(spark: SparkSession, name: str) -> DataFrame:
+    """Column metadata as a DataFrame(col_name, data_type, nullable)
+    (upstream ``get_column_metadata`` [U])."""
+    cols = spark.catalog.listColumns(name)
+    return spark.createDataFrame(
+        [Row(col_name=c.name, data_type=c.dataType, nullable=bool(c.nullable)) for c in cols]
+    )
+
+
+def get_primary_keys(spark: SparkSession, name: str) -> list[str]:
+    """Informational primary key recorded at CREATE time (upstream
+    ``get_primary_keys`` [U]; Spark does not enforce PKs)."""
+    props = spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    for r in props:
+        if r["key"] == "postpy.primary_key":
+            return r["value"].split(",")
+    return []
+
+
+def create_table(spark: SparkSession, table: Table, overwrite: bool = False) -> None:
+    """Compile and run the model's DDL (upstream ``Table.create_statement``)."""
+    ensure_runtime_confs(spark)
+    if overwrite:
+        spark.sql(table.drop_statement(if_exists=True))
+        if table.location:
+            shutil.rmtree(table.location, ignore_errors=True)
+    spark.sql(table.create_statement())
+
+
+def reset_namespace(spark: SparkSession, namespace: str) -> None:
+    """Drop + recreate a namespace for test isolation (upstream
+    ``admin.reset`` [U])."""
+    spark.sql(f"DROP NAMESPACE IF EXISTS {namespace} CASCADE")
+    spark.sql(f"CREATE NAMESPACE {namespace}")
+
+
+# ---------------------------------------------------------------------------
+# Transactions & extensions
+# ---------------------------------------------------------------------------
+
+
+def execute_statements(spark: SparkSession, statements: Sequence[str]) -> list[DataFrame]:
+    """Run a statement list in order, stopping at the first failure
+    (upstream ``execute_transaction`` [U]).  Semantic gap vs PostgreSQL:
+    completed statements are NOT rolled back — Spark's catalog has no
+    multi-statement transactions.  Use :func:`atomic_overwrite` staging for
+    all-or-nothing data changes."""
+    ensure_runtime_confs(spark)
+    return [spark.sql(s) for s in statements]
+
+
+#: Feature registry standing in for PG extensions (upstream
+#: ``extensions.py::install_extension`` [U]).  Keys are the capabilities the
+#: engine ships natively where postgres needed an extension.
+KNOWN_EXTENSIONS: dict[str, str] = {
+    "pgcrypto": "sha2/md5/crc32 builtins",
+    "uuid-ossp": "uuid() builtin",
+    "pg_trgm": "n-gram similarity (operators.dedup.ngram_jaccard_pairs)",
+    "hstore": "MapType + map_* functions",
+    "postgis": "NOT AVAILABLE",
+}
+
+_installed: set[str] = set()
+
+
+def install_extension(name: str, if_not_exists: bool = True) -> bool:
+    """CREATE EXTENSION analog: validates the capability exists and records
+    it; returns True if newly 'installed'."""
+    if name not in KNOWN_EXTENSIONS or KNOWN_EXTENSIONS[name] == "NOT AVAILABLE":
+        raise LookupError(f"extension {name!r} not supported")
+    if name in _installed:
+        if not if_not_exists:
+            raise ValueError(f"extension {name!r} already installed")
+        return False
+    _installed.add(name)
+    return True
+
+
+def installed_extensions() -> list[str]:
+    return sorted(_installed)

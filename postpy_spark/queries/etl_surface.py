@@ -1,1 +1,403 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7)."""
+"""Group A — postpy's own ETL surface as contract queries (SURVEY.md §2.A).
+
+Each query exercises a real ETL operator end-to-end (CSV roundtrips through
+/tmp, DDL against the session catalog with explicit /tmp locations, keyed
+upserts) and returns a DataFrame the DuckDB oracle can reproduce.  The
+operators themselves live in :mod:`postpy_spark.etl`, :mod:`~.schema`,
+:mod:`~.io`; these wrappers pin their behavior to the driver contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from postpy_spark import etl
+from postpy_spark.io import load_table, scan_csv, sink_csv
+from postpy_spark.registry import query
+from postpy_spark.schema import (
+    PG_ENCODING_MAP,
+    PG_TYPE_MAP,
+    Column,
+    PrimaryKey,
+    Table,
+)
+
+WORK_ROOT = "/tmp/postpy_spark_work"
+
+
+def _workdir(sf_dir: str, name: str) -> str:
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    path = f"{WORK_ROOT}/{tag}/{name}"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# COPY parity: CSV roundtrips
+# ---------------------------------------------------------------------------
+
+
+@query("scan_csv", oracle="SELECT * FROM nation", group="A")
+def scan_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY FROM parity: export nation to CSV, re-ingest with an explicit
+    schema + header/delimiter options — roundtrip must be lossless."""
+    path = _workdir(sf_dir, "nation_csv")
+    sink_csv(load_table(spark, sf_dir, "nation"), path, header=True, sep="|")
+    return scan_csv(
+        spark,
+        path,
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+        header=True,
+        sep="|",
+    )
+
+
+@query(
+    "sink_csv",
+    oracle="SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+    group="A",
+)
+def sink_csv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO parity: doubles must survive the text roundtrip exactly
+    (shortest round-trippable repr on write, exact parse on read)."""
+    path = _workdir(sf_dir, "orders_csv")
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    sink_csv(df, path, header=True)
+    return scan_csv(
+        spark,
+        path,
+        schema="o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE",
+        header=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upsert (INSERT … ON CONFLICT DO UPDATE)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_totalprice, FALSE AS updated
+        FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    src AS (
+        SELECT o_orderkey, ROUND(o_totalprice * 1.1, 3) AS o_totalprice, TRUE AS updated
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    """,
+    group="A",
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert: source rows overwrite colliding target keys AND insert
+    new keys (both paths exercised by the %10/%3 split).  postpy upstream:
+    dml.py::upsert_records [U]."""
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_totalprice", F.lit(False).alias("updated")
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 3).alias("o_totalprice"),
+        F.lit(True).alias("updated"),
+    )
+    return etl.merge_upsert(target, source, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# DDL + catalog reflection
+# ---------------------------------------------------------------------------
+
+_META_COLS = [
+    Column("id", "bigint", nullable=False),
+    Column("name", "text"),
+    Column("amount", "numeric(12,2)"),
+    Column("created", "timestamp"),
+    Column("active", "boolean"),
+]
+
+
+@query(
+    "ddl_create_table",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('id',      'bigint',        TRUE),
+        ('name',    'string',        TRUE),
+        ('amount',  'decimal(12,2)', TRUE),
+        ('created', 'timestamp_ntz', TRUE),
+        ('active',  'boolean',       TRUE)
+    ) AS t(col_name, data_type, nullable)
+    """,
+    group="A",
+)
+def ddl_create_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG-typed Table model → compiled Spark DDL → catalog reflection.
+    The oracle pins the PG→Spark type mapping (text→string,
+    numeric(12,2)→decimal, timestamp→timestamp_ntz).  Documented gap:
+    Spark's parquet catalog does not retain NOT NULL — reflection reports
+    every column nullable (PostgreSQL would report id NOT NULL)."""
+    t = Table(
+        name="pp_ddl_demo",
+        columns=_META_COLS,
+        primary_key=PrimaryKey(["id"]),
+        location=_workdir(sf_dir, "pp_ddl_demo"),
+    )
+    etl.create_table(spark, t, overwrite=True)
+    return etl.describe_table(spark, "pp_ddl_demo").select(
+        "col_name", "data_type", "nullable"
+    )
+
+
+@query(
+    "ddl_create_table_as",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    group="A",
+)
+def ddl_create_table_as_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS: materialize an aggregate as a catalog table, read it back."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("_pp_supplier_ctas")
+    loc = _workdir(sf_dir, "pp_ctas_demo")
+    spark.sql("DROP TABLE IF EXISTS pp_ctas_demo")
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE pp_ctas_demo USING parquet LOCATION '{loc}' AS
+        SELECT s_nationkey, COUNT(*) AS n_supp, ROUND(SUM(s_acctbal), 2) AS total_bal
+        FROM _pp_supplier_ctas GROUP BY s_nationkey
+        """
+    )
+    return spark.table("pp_ctas_demo")
+
+
+@query(
+    "catalog_list_tables",
+    oracle="""
+    SELECT * FROM (VALUES ('pp_cat_t1'), ('pp_cat_t2')) AS t(table_name)
+    """,
+    group="A",
+)
+def catalog_list_tables_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reflection parity with admin.get_user_tables [U]: namespace-scoped
+    listing of user tables."""
+    ns_loc = _workdir(sf_dir, "pp_cat_ns")
+    spark.sql("DROP NAMESPACE IF EXISTS pp_cat CASCADE")
+    spark.sql(f"CREATE NAMESPACE pp_cat LOCATION '{ns_loc}'")
+    for t in ("pp_cat_t1", "pp_cat_t2"):
+        spark.sql(
+            f"CREATE TABLE pp_cat.{t} (id BIGINT, v STRING) USING parquet "
+            f"LOCATION '{_workdir(sf_dir, 'pp_cat_ns/' + t)}'"
+        )
+    names = etl.list_tables(spark, "pp_cat")
+    return spark.createDataFrame([Row(table_name=n) for n in names])
+
+
+@query(
+    "catalog_describe",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('id',      'bigint',        TRUE),
+        ('name',    'string',        TRUE),
+        ('amount',  'decimal(12,2)', TRUE),
+        ('created', 'timestamp_ntz', TRUE),
+        ('active',  'boolean',       TRUE),
+        ('__pk__',  'id',            FALSE)
+    ) AS t(col_name, data_type, nullable)
+    """,
+    group="A",
+)
+def catalog_describe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column metadata + informational primary key (admin.get_column_metadata
+    and get_primary_keys [U] in one reflected view)."""
+    t = Table(
+        name="pp_desc_demo",
+        columns=_META_COLS,
+        primary_key=PrimaryKey(["id"]),
+        location=_workdir(sf_dir, "pp_desc_demo"),
+    )
+    etl.create_table(spark, t, overwrite=True)
+    desc = etl.describe_table(spark, "pp_desc_demo").select(
+        "col_name", "data_type", "nullable"
+    )
+    pk = spark.createDataFrame(
+        [
+            Row(
+                col_name="__pk__",
+                data_type=",".join(etl.get_primary_keys(spark, "pp_desc_demo")),
+                nullable=False,
+            )
+        ]
+    )
+    return desc.unionByName(pk)
+
+
+@query(
+    "schema_reset",
+    oracle="SELECT CAST(0 AS BIGINT) AS n_tables, 'pp_reset' AS namespace",
+    group="A",
+)
+def schema_reset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-and-recreate namespace isolation (admin.reset [U]): after reset
+    the namespace must exist and be empty."""
+    ns_loc = _workdir(sf_dir, "pp_reset_ns")
+    spark.sql("DROP NAMESPACE IF EXISTS pp_reset CASCADE")
+    spark.sql(f"CREATE NAMESPACE pp_reset LOCATION '{ns_loc}'")
+    spark.sql(
+        f"CREATE TABLE pp_reset.junk (id BIGINT) USING parquet "
+        f"LOCATION '{_workdir(sf_dir, 'pp_reset_ns/junk')}'"
+    )
+    etl.reset_namespace(spark, "pp_reset")
+    n = len(etl.list_tables(spark, "pp_reset"))
+    return spark.createDataFrame([Row(n_tables=n, namespace="pp_reset")])
+
+
+@query(
+    "txn_exec",
+    oracle="""
+    SELECT id, label, CAST(score AS DOUBLE) AS score FROM (VALUES
+        (1, 'alpha', 10.5), (2, 'beta', 20.25), (3, 'gamma', 30.75)
+    ) AS t(id, label, score)
+    """,
+    group="A",
+)
+def txn_exec_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered statement-list execution (sql.execute_transaction [U]) —
+    DDL + INSERTs + final SELECT returned.  Rollback gap documented in
+    postpy_spark.etl.execute_statements."""
+    loc = _workdir(sf_dir, "pp_txn_demo")
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
+    results = etl.execute_statements(
+        spark,
+        [
+            "DROP TABLE IF EXISTS pp_txn_demo",
+            f"CREATE TABLE pp_txn_demo (id INT, label STRING, score DOUBLE) "
+            f"USING parquet LOCATION '{loc}'",
+            "INSERT INTO pp_txn_demo VALUES (1, 'alpha', 10.5), (2, 'beta', 20.25)",
+            "INSERT INTO pp_txn_demo VALUES (3, 'gamma', 30.75)",
+            "SELECT * FROM pp_txn_demo",
+        ],
+    )
+    return results[-1]
+
+
+# ---------------------------------------------------------------------------
+# Connection factory / JDBC option plumbing (no live PostgreSQL in harness)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "conn_env",
+    oracle="""
+    SELECT 'jdbc:postgresql://dbhost:5433/analytics' AS jdbc_url,
+           'org.postgresql.Driver' AS driver
+    """,
+    group="A",
+)
+def conn_env_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG* env → connection URL (connections.py::connect [U]); the factory
+    is pure, so it is pinned by value."""
+    from postpy_spark.io import jdbc_url_from_env
+
+    url = jdbc_url_from_env(
+        {"PGHOST": "dbhost", "PGPORT": "5433", "PGDATABASE": "analytics"}
+    )
+    return spark.createDataFrame(
+        [Row(jdbc_url=url, driver="org.postgresql.Driver")]
+    )
+
+
+@query(
+    "scan_jdbc",
+    oracle="""
+    SELECT 'jdbc:postgresql://dbhost:5432/warehouse' AS url,
+           'public.orders' AS dbtable,
+           'o_orderkey' AS partition_column,
+           CAST(16 AS BIGINT) AS num_partitions
+    """,
+    group="A",
+)
+def scan_jdbc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-read option plumbing (sql.select [U] → partitioned JDBC scan).
+    No live PostgreSQL exists in this harness, so the resolved reader config
+    is pinned instead of row data; tests cover the DataFrameReader wiring."""
+    from postpy_spark.io import jdbc_url_from_env
+
+    url = jdbc_url_from_env({"PGHOST": "dbhost", "PGDATABASE": "warehouse"})
+    return spark.createDataFrame(
+        [
+            Row(
+                url=url,
+                dbtable="public.orders",
+                partition_column="o_orderkey",
+                num_partitions=16,
+            )
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Type / encoding maps, extensions
+# ---------------------------------------------------------------------------
+
+_TYPE_MAP_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{k}', '{v}')" for k, v in sorted(PG_TYPE_MAP.items()))
+    + ") AS t(pg_type, spark_type)"
+)
+
+
+@query("type_map", oracle=_TYPE_MAP_ORACLE, group="A")
+def type_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PG→Spark type map as data (data_types.py parity [U])."""
+    return spark.createDataFrame(
+        [Row(pg_type=k, spark_type=v) for k, v in sorted(PG_TYPE_MAP.items())]
+    )
+
+
+_ENC_MAP_ORACLE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{k}', '{v}')" for k, v in sorted(PG_ENCODING_MAP.items()))
+    + ") AS t(python_codec, pg_encoding)"
+)
+
+
+@query("encoding_map", oracle=_ENC_MAP_ORACLE, group="A")
+def encoding_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python codec → PG encoding table (pg_encodings.py parity [U])."""
+    return spark.createDataFrame(
+        [Row(python_codec=k, pg_encoding=v) for k, v in sorted(PG_ENCODING_MAP.items())]
+    )
+
+
+@query(
+    "ext_install",
+    oracle="""
+    SELECT * FROM (VALUES ('pg_trgm'), ('pgcrypto')) AS t(extension)
+    """,
+    group="A",
+)
+def ext_install_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE EXTENSION analog: capability registry (extensions.py [U])."""
+    etl.install_extension("pgcrypto")
+    etl.install_extension("pg_trgm")
+    return spark.createDataFrame(
+        [Row(extension=e) for e in etl.installed_extensions()]
+    )

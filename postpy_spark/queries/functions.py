@@ -1,1 +1,324 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7)."""
+"""Group B6 — scalar function families (SURVEY.md §2.B6).
+
+One contract query per family, each exercising the family's functions over
+testdata.  Cross-engine alignment notes (probed against DuckDB 1.0):
+
+- DuckDB ``dayofweek`` is 0=Sunday, Spark is 1=Sunday → oracle adds 1.
+- DuckDB ``date_trunc`` returns DATE for month granularity → oracle casts
+  back to TIMESTAMP.
+- DuckDB CAST(double AS INT) rounds; Spark truncates → oracle uses
+  CAST(TRUNC(x) AS ...).
+- int-returning functions differ in width (Spark INT vs DuckDB BIGINT) →
+  Spark side casts to bigint.
+- transcendentals (ln/log10/sqrt) can differ in the last ulp between libm
+  and the JVM → rounded to 6 dp on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postpy_spark.io import load_table
+from postpy_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                                        AS up_name,
+           LOWER(c_mktsegment)                                  AS lo_seg,
+           LENGTH(c_name)                                       AS name_len,
+           TRIM('  pad  ')                                      AS trimmed,
+           SUBSTRING(c_name, 1, 8)                              AS name_prefix,
+           CONCAT_WS('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_tag,
+           REPLACE(c_name, 'Customer#', 'C')                    AS short_name,
+           LPAD(CAST(c_custkey AS VARCHAR), 10, '0')            AS padded_key,
+           SPLIT_PART(c_name, '#', 2)                           AS num_part,
+           INSTR(c_name, '#')                                   AS hash_pos
+    FROM customer
+    """,
+    group="B6",
+)
+def fn_string_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up_name"),
+        F.lower("c_mktsegment").alias("lo_seg"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_tag"
+        ),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C")).alias("short_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("num_part"),
+        F.instr(F.col("c_name"), "#").cast("bigint").alias("hash_pos"),
+    )
+
+
+@query(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1)          AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g')   AS starred,
+           regexp_extract(p_brand, '(\\d+)', 1)          AS brand_num
+    FROM part
+    WHERE regexp_matches(p_name, '(widget|bolt)$')
+    """,
+    group="B6",
+)
+def fn_regex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike.  Spark's regexp_replace is
+    global by default; the oracle passes the 'g' flag explicitly."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike("(widget|bolt)$")).select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           YEAR(o_orderdate)                                    AS yr,
+           MONTH(o_orderdate)                                   AS mon,
+           DAY(o_orderdate)                                     AS dom,
+           QUARTER(o_orderdate)                                 AS qtr,
+           DAYOFWEEK(o_orderdate) + 1                           AS dow,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP)  AS month_start,
+           o_orderdate + INTERVAL 30 DAY                        AS plus_30d,
+           DATE_DIFF('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS days_to_ref,
+           LAST_DAY(o_orderdate)                                AS eom,
+           CAST(o_orderdate AS DATE)                            AS odate,
+           DATE_DIFF('second', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS epoch_s
+    FROM orders
+    """,
+    group="B6",
+)
+def fn_date_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mon"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.date_trunc("month", d).alias("month_start"),
+        (d + F.expr("INTERVAL 30 DAY")).alias("plus_30d"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d.cast("date"))
+        .cast("bigint")
+        .alias("days_to_ref"),
+        F.last_day(d).alias("eom"),
+        d.cast("date").alias("odate"),
+        d.cast("timestamp").cast("bigint").alias("epoch_s"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice / 3, 4)                 AS third,
+           CAST(FLOOR(p_retailprice) AS BIGINT)        AS fl,
+           CAST(CEIL(p_retailprice) AS BIGINT)         AS cl,
+           ABS(p_retailprice - 500)                    AS dist500,
+           ROUND(POW(p_size, 2), 4)                    AS size_sq,
+           ROUND(SQRT(p_retailprice), 6)               AS root,
+           ROUND(LN(p_retailprice), 6)                 AS log_e,
+           ROUND(LOG10(p_retailprice), 6)              AS log_10,
+           MOD(p_partkey, 7)                           AS m7,
+           CAST(SIGN(p_retailprice - 500) AS BIGINT)   AS sg,
+           GREATEST(p_size, 25)                        AS gr,
+           LEAST(p_size, 25)                           AS ls
+    FROM part
+    """,
+    group="B6",
+)
+def fn_math_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.round(price / 3, 4).alias("third"),
+        F.floor(price).alias("fl"),
+        F.ceil(price).alias("cl"),
+        F.abs(price - 500).alias("dist500"),
+        F.round(F.pow(F.col("p_size"), 2), 4).alias("size_sq"),
+        F.round(F.sqrt(price), 6).alias("root"),
+        F.round(F.log(price), 6).alias("log_e"),
+        F.round(F.log10(price), 6).alias("log_10"),
+        (F.col("p_partkey") % 7).alias("m7"),
+        F.signum(price - 500).cast("bigint").alias("sg"),
+        F.greatest(F.col("p_size"), F.lit(25)).alias("gr"),
+        F.least(F.col("p_size"), F.lit(25)).alias("ls"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END                                   AS band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER')    AS seg_or_other,
+           NULLIF(c_nationkey, 0)                                 AS nk_or_null,
+           CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END   AS sign_band
+    FROM customer
+    """,
+    group="B6",
+)
+def fn_conditional_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high").alias("band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk_or_null"),
+        F.when(bal > 0, "pos").otherwise("nonpos").alias("sign_band"),
+    )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(TRUNC(l_quantity) AS INTEGER)          AS qty_int,
+           CAST(l_linenumber AS VARCHAR)               AS line_str,
+           CAST(l_extendedprice AS DECIMAL(12,2))      AS price_dec,
+           CAST(l_shipdate AS DATE)                    AS ship_date,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR)   AS ship_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
+    FROM lineitem
+    """,
+    group="B6",
+)
+def fn_cast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts across numeric/string/date/decimal.  double→int goes through
+    TRUNC in the oracle because DuckDB's direct cast rounds while Spark
+    (non-ANSI) truncates."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        F.col("l_extendedprice").cast(T.DecimalType(12, 2)).alias("price_dec"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT doc_id,
+           LEN(string_split(text, ' '))                                   AS n_toks,
+           array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS first3,
+           LEN(list_distinct(string_split(text, ' ')))                    AS n_uniq,
+           list_contains(string_split(text, ' '), 'spark')                AS has_spark
+    FROM documents
+    """,
+    group="B6",
+)
+def fn_array_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_toks"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+    )
+
+
+@query(
+    "fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding)                                                  AS dim,
+           ROUND(SQRT(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)         AS l2_norm,
+           list_max(embedding)                                             AS max_val,
+           LEN(list_filter(embedding, x -> x > 0))                         AS n_pos
+    FROM embeddings
+    """,
+    group="B6",
+)
+def fn_array_hof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/filter/aggregate) on the
+    embedding vectors — JVM-side lambda expressions, no Python UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    sum_sq = F.aggregate(
+        emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size(emb).cast("bigint").alias("dim"),
+        F.round(F.sqrt(sum_sq), 6).alias("l2_norm"),
+        F.array_max(emb).alias("max_val"),
+        F.size(F.filter(emb, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+    )
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)     AS k_val,
+           array_to_string(json_keys(props), ',')                AS key_list,
+           LEN(json_keys(props))                                 AS n_keys
+    FROM events
+    """,
+    group="B6",
+)
+def fn_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props JSON → MapType, then map_keys/element_at (map functions over
+    semi-structured data; the oracle works in JSON space)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(F.map_keys(m), ",").alias("key_list"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
+           COUNT(*)                                                         AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    group="B6",
+)
+def fn_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )

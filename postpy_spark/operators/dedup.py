@@ -1,0 +1,324 @@
+"""Deduplication operators for large-scale text corpora (SURVEY.md §2.D).
+
+postpy has no analog — these are the north-star LLM-pipeline operators the
+engine adds on top of the reference's surface.  Every op is built from
+DataFrame primitives so Catalyst handles distribution; nothing collects to
+the driver except the bounded fixpoint check in connected components.
+
+Scale design:
+- exact dedup: one hash-shuffle on the digest (partial agg upstream);
+- MinHash/LSH: banding turns O(n²) pair generation into equi-joins on
+  (band_id, band_hash) — candidate count scales with collision rate, not n²;
+- SimHash: one explode + one groupBy per corpus pass, 64 agg columns;
+- connected components: alternating large-star/small-star style min-label
+  propagation, each iteration two hash joins; iterations bounded and the
+  convergence check is a scalar count, not a collect of rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Normalization / exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col):
+    """Lowercase, trim, collapse runs of whitespace — the canonical form
+    hashed for exact duplicate detection."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each normalized-text group.
+    One shuffle on the 256-bit digest; survivors carry ``n_copies``."""
+    digest = F.sha2(normalize_text(F.col(text_col)), 256).alias("text_hash")
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    return (
+        df.select("*", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(Window.partitionBy("text_hash")))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text_col):
+    return F.split(normalize_text(text_col), " ")
+
+
+def shingles_col(text_col, k: int = 3):
+    """Token k-gram shingles as an array column (JVM-side HOF; no UDF).
+    Docs shorter than k tokens fall back to the whole text."""
+    toks = tokens_col(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.when(F.size(toks) >= k, sh).otherwise(F.array(normalize_text(text_col)))
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig_0..sig_{n-1}) MinHash signatures.
+
+    One explode + one groupBy: each of the ``num_hashes`` permutations is
+    approximated by ``xxhash64(shingle, seed_i)`` and reduced with MIN —
+    map-side partial aggregation keeps the shuffle at |id|×num_hashes.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("_sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_sh"), F.lit(seed + i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature and equi-join on (band_id, band_hash) →
+    candidate pairs (a < b).  The join is the ONLY shuffle; no n² scan."""
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on the candidate pairs only (the cheap part);
+    returns pairs with ``jaccard >= threshold``."""
+    sh = docs.select(
+        F.col(id_col), F.array_distinct(shingles_col(F.col(text_col), k)).alias("_sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH bands → verified
+    Jaccard pairs."""
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, k, seed)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(cand, df, id_col, text_col, k, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate clusters)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected pair list →
+    (node, component) with component = min node id in the component.
+
+    Each iteration: join labels across edges, take the min neighbor label.
+    Converges in O(diameter) iterations; duplicate clusters are shallow in
+    practice.  The fixpoint check is an aggregate count (no row collect).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate lineage per iter
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-dup clusters with a canonical (min-id) representative per
+    cluster: (node, component) for every doc that has at least one near-dup."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, **minhash_kwargs)
+    return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, per-bit signed counts,
+    reassemble.  One explode + one groupBy with 64 agg columns — all
+    JVM-side integer ops."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_aggs)
+    terms = [
+        F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        for b in range(63)
+    ]
+    # bit 63 is the sign bit of the long
+    terms.append(
+        F.when(F.col("_b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    sim = reduce(lambda x, y: x + y, terms)
+    return per_doc.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block the 64 bits into ``blocks`` chunks
+    (pigeonhole: ≤ max_hamming differing bits → at least one identical
+    chunk), equi-join per chunk, verify Hamming distance ≤ max_hamming."""
+    sh = simhash(df, id_col, text_col)
+    width = 64 // blocks
+    chunked = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (SURVEY.md §2.D).
+
+Brute-force cosine top-k as the exact baseline, and a random-hyperplane
+LSH-bucketed approximate path for scale.  All vector math is JVM-side
+higher-order functions (``zip_with`` + ``aggregate``) — no Python UDF in
+any hot path.
+
+Scale design: brute force is a broadcast-nested-loop against a SMALL query
+set (queries broadcast, corpus streamed — linear in corpus size); the LSH
+path buckets the corpus once (one narrow pass), joins query buckets to
+corpus buckets (equi-join), and reranks only the collisions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def dot_expr(a, b):
+    """Σ aᵢ·bᵢ in double precision (element-wise zip, sequential fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact all-pairs cosine (i < j).  O(n²) — small-n verification tool
+    and the oracle for recall tests; never the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN: broadcast the query set across the corpus, one window
+    for the per-query top-k.  Linear in |corpus|, parallel over partitions."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = c.join(broadcast(q), F.col("query_id") != F.col("cand_id")).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim)).tolist()
+
+
+def lsh_signature_col(vec_col, planes: list[list[float]], bands: int):
+    """Array of ``bands`` band-bucket hashes from sign-of-projection bits."""
+    n_bits = len(planes)
+    width = n_bits // bands
+    bits = [
+        F.when(dot_expr(vec_col, F.array(*[F.lit(w) for w in plane])) >= 0, 1).otherwise(0)
+        for plane in planes
+    ]
+    band_vals = []
+    for b in range(bands):
+        v = F.lit(0)
+        for r in range(width):
+            v = v * 2 + bits[b * width + r]
+        band_vals.append(v)
+    return F.array(*band_vals)
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN: sign-of-projection signatures → per-band bucket
+    equi-join → exact cosine rerank of collisions only.
+
+    More bands ⇒ higher recall, more candidates.  With 8 bands of 2 bits
+    the candidate set is a small corpus fraction while recall vs brute
+    force stays ≥0.9 on clustered data (asserted in tests).
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+    sig = lambda df, a, b: df.select(  # noqa: E731
+        F.col(id_col).alias(a),
+        F.col(vec_col).alias(b),
+        F.posexplode(lsh_signature_col(F.col(vec_col), planes, bands)).alias(
+            "band_id", "band_val"
+        ),
+    )
+    q = sig(queries, "query_id", "qv")
+    c = sig(corpus, "cand_id", "cv")
+    cand = c.alias("c").join(
+        broadcast(q.alias("q")),
+        (F.col("q.band_id") == F.col("c.band_id"))
+        & (F.col("q.band_val") == F.col("c.band_val"))
+        & (F.col("query_id") != F.col("cand_id")),
+    )
+    scored = cand.select(
+        "query_id", "cand_id", F.col("q.qv").alias("qv"), F.col("c.cv").alias("cv")
+    ).dropDuplicates(["query_id", "cand_id"]).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,1 +1,461 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7)."""
+"""Group D — LLM-data-pipeline operators as contract queries (SURVEY.md §2.D).
+
+Text analysis, dedup (exact + MinHash-LSH + SimHash + clusters), similarity
+search (exact brute-force + LSH ANN), multimodal join.  The heavy operators
+live in ``postpy_spark.operators.{dedup,similarity}`` and
+``postpy_spark.text``; approximate ops are rows-only here and carry recall
+gates in the pytest suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postpy_spark.io import load_table
+from postpy_spark.operators import dedup, similarity
+from postpy_spark.registry import query
+from postpy_spark import text as TX
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle=f"""
+    WITH d AS (SELECT lang, source, n_chars,
+                      LEN(string_split({_NORM_SQL}, ' ')) AS n_words
+               FROM documents)
+    SELECT lang, source,
+           COUNT(*)                    AS n_docs,
+           SUM(n_chars)                AS total_chars,
+           ROUND(AVG(n_chars), 4)      AS avg_chars,
+           SUM(n_words)                AS total_words,
+           ROUND(AVG(n_words), 4)      AS avg_words
+    FROM d GROUP BY lang, source
+    """,
+    group="D",
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_words", TX.n_words(F.col("text")))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_words").alias("total_words"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+        )
+    )
+
+
+@query(
+    "text_tokenize_tf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT lang, term, COUNT(*) AS cnt FROM tok GROUP BY lang, term),
+    ranked AS (
+        SELECT lang, term, cnt,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY cnt DESC, term) AS BIGINT) AS rn
+        FROM tf
+    )
+    SELECT lang, term, cnt, rn FROM ranked WHERE rn <= 10
+    """,
+    group="D",
+)
+def text_tokenize_tf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → explode → term frequency → top-10 terms per language."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(TX.word_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "term", "cnt", "rn")
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE tf.doc_id % 50 = 0
+    """,
+    group="D",
+)
+def text_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF as pure DataFrame math: tf per (doc,term), document frequency
+    per term, corpus size as a broadcast scalar — three shuffles total,
+    output pruned to a deterministic doc subset."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.word_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               string_split({_NORM_SQL}, ' ') AS toks
+        FROM documents
+    ),
+    h AS (
+        SELECT lang,
+            LEN(list_filter(toks, w -> list_contains(['the','and','of','to','a'], w)))      AS en_h,
+            LEN(list_filter(toks, w -> list_contains(['der','die','das','und','ist'], w)))  AS de_h,
+            LEN(list_filter(toks, w -> list_contains(['el','la','los','que','y'], w)))      AS es_h,
+            LEN(list_filter(toks, w -> list_contains(['le','la','les','et','est'], w)))     AS fr_h,
+            LEN(list_filter(toks, w -> list_contains(['的','是','了','在','我'], w)))        AS zh_h
+        FROM t
+    ),
+    p AS (
+        SELECT lang, CASE
+            WHEN GREATEST(en_h, de_h, es_h, fr_h, zh_h) = 0 THEN 'und'
+            WHEN zh_h = GREATEST(en_h, de_h, es_h, fr_h, zh_h) THEN 'zh'
+            WHEN fr_h = GREATEST(en_h, de_h, es_h, fr_h, zh_h) THEN 'fr'
+            WHEN es_h = GREATEST(en_h, de_h, es_h, fr_h, zh_h) THEN 'es'
+            WHEN en_h = GREATEST(en_h, de_h, es_h, fr_h, zh_h) THEN 'en'
+            ELSE 'de' END AS predicted
+        FROM h
+    )
+    SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY lang, predicted
+    """,
+    group="D",
+)
+def text_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (argmax hits, ties → greater lang code)
+    reported as a confusion matrix against the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.langid_predict(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               LENGTH(text)                     AS n_chars,
+               LEN(toks)                        AS n_words,
+               ROUND(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / GREATEST(LENGTH(text), 1), 6)                        AS punct_ratio,
+               ROUND(LEN(list_filter(toks, w -> list_contains(['the','and','of','to','a'], w)))
+                     / GREATEST(LEN(toks), 1), 6)                           AS stopword_ratio,
+               ROUND(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+                     / CAST(GREATEST(LEN(toks), 1) AS DOUBLE), 6)           AS mean_word_len
+        FROM t
+    )
+    SELECT doc_id, n_chars, n_words, punct_ratio, stopword_ratio, mean_word_len,
+           ROUND(LEAST(stopword_ratio * 2.0, 1.0) * 0.5
+                 + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.25
+                 + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                        THEN 0.25 ELSE 0.0 END, 6) AS quality
+    FROM f
+    """,
+    group="D",
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    f = TX.quality_features(F.col("text"))
+    return d.select(
+        "doc_id",
+        f.n_chars.alias("n_chars"),
+        f.n_words.alias("n_words"),
+        f.punct_ratio.alias("punct_ratio"),
+        f.stopword_ratio.alias("stopword_ratio"),
+        f.mean_word_len.alias("mean_word_len"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           LEN(regexp_extract_all(text, '[A-Za-z]+|\\d{1,3}|[^\\sA-Za-z\\d]')) AS bpe_tokens,
+           LEN(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS ws_tokens
+    FROM documents
+    """,
+    group="D",
+)
+def text_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (cost estimation for LLM
+    training corpora)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+        TX.n_words(F.col("text")).alias("ws_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks,
+               {_NORM_SQL} AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(
+               list_min(list_transform(
+                   CASE WHEN LEN(toks) >= 3
+                        THEN list_transform(range(LEN(toks) - 2),
+                             i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))
+                        ELSE [norm] END,
+                   s -> md5(s))),
+               md5(norm)) AS fingerprint
+    FROM t
+    """,
+    group="D",
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style doc fingerprint: min-MD5 over token 3-gram shingles
+    (MD5 because it is engine-portable, unlike xxhash64)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT sha256({_NORM_SQL}) AS text_hash,
+           MIN(doc_id) AS doc_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    group="D",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text SHA-256; survivor = min doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select("text_hash", "doc_id", "n_copies")
+
+
+@query("dedup_fuzzy_minhash", oracle=None, group="D")
+def dedup_fuzzy_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via shingle→MinHash→LSH-band→Jaccard-verify.
+    Approximate (hash-permutation dependent) → rows-only at the driver;
+    pytest asserts recall/precision vs the exact O(n²) Jaccard at sf0.001."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(d, threshold=0.6)
+
+
+@query("dedup_simhash", oracle=None, group="D")
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 over 64-bit signatures, pigeonhole
+    chunk blocking)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, max_hamming=3)
+
+
+@query("dedup_clusters", oracle=None, group="D")
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs → (node, component)
+    canonical clusters; iterative min-label propagation."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(d, threshold=0.6)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct(
+            list_transform(range(GREATEST(LEN({_NORM_SQL}) - 4, 1)),
+                           i -> {_NORM_SQL}[i+1:i+5])) AS grams
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / LEN(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / LEN(list_distinct(list_concat(a.grams, b.grams))) >= 0.25
+    """,
+    group="D",
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard similarity pairs over a bounded doc subset —
+    the exact (non-LSH) reference formulation, sql-checkable."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    norm = dedup.normalize_text(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(norm) - 5, F.lit(0))),
+            lambda i: F.substring(norm, i + 1, 5),
+        )
+    )
+    t = d.select("doc_id", grams.alias("grams"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.25)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_CTE = """
+    WITH x AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings {where}
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM x GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.v * b.v) AS dot
+        FROM x a JOIN x b ON a.i = b.i AND a.vec_id {cmp} b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+"""
+
+
+@query(
+    "sim_cosine_pairs",
+    oracle=_DOT_CTE.format(where="WHERE vec_id < 30", cmp="<")
+    + """
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    """,
+    group="D",
+)
+def sim_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise cosine over a bounded subset (O(n²) verification
+    shape; the scale path is sim_ann_lsh)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    return similarity.cosine_pairs(e)
+
+
+@query(
+    "sim_topk_per_query",
+    oracle=_DOT_CTE.format(where="", cmp="<>")
+    + """
+    , scored AS (
+        SELECT d.id_a AS query_id, d.id_b AS cand_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.id_a
+        JOIN norms nb ON nb.vec_id = d.id_b
+        WHERE d.id_a < 5
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    group="D",
+)
+def sim_topk_per_query_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force k-NN: query set (vec_id < 5) broadcast across the corpus,
+    top-5 by cosine per query."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(queries, e, k=5)
+
+
+@query("sim_ann_lsh", oracle=None, group="D")
+def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via random-hyperplane LSH buckets + exact rerank of
+    collisions.  Recall ≥ 0.9 vs sim_topk_per_query asserted in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.ann_lsh_topk(queries, e, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           LEN(e.embedding) AS dim,
+           ROUND(SQRT(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    group="D",
+)
+def multimodal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings into one multimodal row (text stats + vector
+    stats); doc_id aligns with vec_id by construction (FIXTURES.md)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(similarity.norm_expr(F.col("embedding")), 6).alias("l2_norm"),
+    )

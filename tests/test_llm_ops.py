@@ -1,0 +1,110 @@
+"""Quality gates for the approximate LLM-pipeline operators (BASELINE.md):
+MinHash-LSH recall vs exact Jaccard, ANN recall vs brute force, approx
+aggregates within ±5% of exact."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from postpy_spark.io import load_table
+from postpy_spark.operators import dedup, similarity
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def exact_jaccard_pairs(docs, threshold, k=3):
+    """O(n²) shingle-Jaccard ground truth (sf0.001 only: 500 docs)."""
+    t = docs.select(
+        "doc_id", F.array_distinct(dedup.shingles_col(F.col("text"), k)).alias("sh")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def test_minhash_recall_and_precision(spark, docs):
+    truth = {(r.id_a, r.id_b) for r in exact_jaccard_pairs(docs, 0.6).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.6).collect()
+    }
+    assert truth, "fixture must contain near-dup pairs"
+    recall = len(truth & got) / len(truth)
+    # Jaccard-verify step makes precision exact by construction
+    assert got.issubset(truth | got)
+    assert all(p in truth for p in got), "verified pairs must be true pairs"
+    assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(truth)} true pairs)"
+
+
+def test_dedup_exact_idempotent(spark, docs):
+    once = dedup.exact_dedup(docs)
+    twice = dedup.exact_dedup(once.drop("text_hash", "n_copies"))
+    assert once.count() == twice.count()
+
+
+def test_clusters_are_consistent(spark, docs):
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.6)
+    comp = dedup.connected_components(pairs).collect()
+    label = {r.node: r.component for r in comp}
+    for r in pairs.collect():
+        assert label[r.id_a] == label[r.id_b], "pair split across components"
+    # canonical representative is the min id of its component
+    by_comp = {}
+    for n, c in label.items():
+        by_comp.setdefault(c, []).append(n)
+    for c, nodes in by_comp.items():
+        assert c == min(nodes)
+
+
+def test_simhash_detects_exact_dups(spark, docs):
+    """Exact duplicate texts must have identical simhash → hamming 0."""
+    dups = (
+        dedup.exact_dedup(docs)
+        .filter(F.col("n_copies") >= 2)
+        .select("doc_id", "text_hash")
+    )
+    if dups.count() == 0:
+        pytest.skip("no exact dups at this sf")
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=0)
+    assert pairs.count() >= 1
+
+
+def test_ann_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(queries, embeddings, k=5)
+    approx = similarity.ann_lsh_topk(queries, embeddings, k=5, n_bits=16, bands=8)
+    t = {(r.query_id, r.cand_id) for r in exact.collect()}
+    g = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(t & g) / len(t)
+    assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9"
+
+
+def test_approx_count_distinct_tolerance(spark):
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    exact = l.select(F.countDistinct("l_partkey")).first()[0]
+    approx = l.select(F.approx_count_distinct("l_partkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_approx_quantile_tolerance(spark):
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    qs = l.approxQuantile("l_extendedprice", [0.5], 0.01)
+    import numpy as np
+
+    vals = [r[0] for r in l.select("l_extendedprice").collect()]
+    true_med = float(np.median(vals))
+    assert abs(qs[0] - true_med) / true_med <= 0.05

@@ -54,9 +54,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = scan_parquet(spark, f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # Integer `div`, NOT `/1000`: ns epoch values exceed 2^53, so float
+        # division rounds the last µs digit up on ~half the rows.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz"),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 

@@ -1,1 +1,219 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7)."""
+"""Group C — streaming operators, batch-equivalent contract queries.
+
+Strategy (SURVEY.md §2.C): each streaming computation is a plan builder in
+:mod:`postpy_spark.streaming` applied here to the batch events table and
+sql-checked; the pytest suite replays the same builders over a real file
+stream and asserts convergence to these results.  ``stream_sink_upsert``
+runs the genuine ``writeStream.foreachBatch`` path inside the query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postpy_spark import streaming as STR
+from postpy_spark.io import load_table
+from postpy_spark.registry import query
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    group="C",
+)
+def stream_tumbling_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows; epoch-aligned window() start ≡ date_trunc."""
+    return STR.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS es
+        FROM events
+    )
+    SELECT make_timestamp(((es // 900) - j) * 900 * 1000000) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM e CROSS JOIN (SELECT unnest(range(4)) AS j)
+    GROUP BY 1, 2
+    """,
+    group="C",
+)
+def stream_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h window sliding every 15m — each event lands in exactly 4 windows
+    (window/slide); the oracle enumerates them arithmetically."""
+    return STR.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           MIN(ts)                           AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE      AS session_end,
+           COUNT(*)                          AS n_events,
+           ROUND(SUM(value), 4)              AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+    group="C",
+)
+def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window (30m gap) per user vs the lag-gap-island oracle.
+    Boundary semantics: Spark sessions are [start, last+gap) with exclusive
+    end, so a gap of exactly 30m starts a new session (oracle uses >=)."""
+    return STR.session_aggregate(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_watermark_late",
+    oracle="""
+    WITH a AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE ts <  wm - INTERVAL 10 MINUTE) AS n_late,
+           COUNT(*) FILTER (WHERE ts >= wm - INTERVAL 10 MINUTE) AS n_ontime
+    FROM a GROUP BY event_type
+    """,
+    group="C",
+)
+def stream_watermark_late_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics made batch-deterministic: arrival order =
+    event_id, watermark = max event time seen so far minus 10m; an event
+    whose ts trails the watermark is late (dropped by a streaming agg)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a = e.select("event_type", "ts", F.max("ts").over(w).alias("wm"))
+    late = F.col("ts") < F.col("wm") - F.expr("INTERVAL 10 MINUTES")
+    return a.groupBy("event_type").agg(
+        F.count(F.when(late, 1)).alias("n_late"),
+        F.count(F.when(~late, 1)).alias("n_ontime"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    WITH doubled AS (
+        SELECT * FROM events UNION ALL SELECT * FROM events
+    ),
+    dedup AS (
+        SELECT DISTINCT ON (event_id) event_id, event_type FROM doubled
+    )
+    SELECT event_type, COUNT(*) AS n FROM dedup GROUP BY event_type
+    """,
+    group="C",
+)
+def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once by event_id under at-least-once delivery (input doubled,
+    dropDuplicates restores unique events; streaming flavor bounds state
+    with a watermark — pytest covers that path)."""
+    e = load_table(spark, sf_dir, "events")
+    doubled = e.unionByName(e)
+    return (
+        STR.dedup_by_key(doubled, ["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "stream_stateful_sessionize",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o
+    ),
+    g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
+    SELECT user_id,
+           COUNT(*)      AS n_sessions,
+           MAX(n)        AS max_session_events,
+           SUM(n)        AS total_events
+    FROM g GROUP BY user_id
+    """,
+    group="C",
+)
+def stream_stateful_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user session summaries via
+    applyInPandas (same pandas core the streaming
+    applyInPandasWithState path uses — pytest asserts both agree)."""
+    return STR.sessionize_batch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sink_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    group="C",
+)
+def stream_sink_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming inside the contract: the events table is
+    chunked to files, replayed with availableNow, and foreachBatch merges
+    each micro-batch into a parquet target with keyed latest-wins upsert
+    (postpy's upsert made streaming).  Returns the final target state."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/postpy_spark_stream/{tag}"
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    STR.write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=3)
+    stream = STR.read_event_stream(spark, f"{base}/chunks", files_per_trigger=1)
+    STR.stream_upsert_to_path(
+        spark,
+        stream,
+        target_path=f"{base}/target",
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpoint=f"{base}/ckpt",
+    )
+    final = spark.read.parquet(f"{base}/target")
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+    )

@@ -1,1 +1,156 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7)."""
+"""Group E — UDF/UDAF/UDTF surface (SURVEY.md §2.E).
+
+postpy does record munging in plain Python between cursor fetches [U]; the
+Spark equivalents span the full extension ladder: row-at-a-time Python UDF
+(slowest, shown once), Arrow-vectorized pandas UDFs, grouped aggregate
+UDAFs, and the table-function forms (applyInPandas / mapInPandas).  Every
+query here is sql-checkable because each UDF's logic is also expressible
+relationally — exactly what makes them good correctness probes for the
+Arrow boundary.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from postpy_spark.io import load_table
+from postpy_spark.registry import query
+
+
+@query(
+    "udf_scalar_py",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(split_part(o_orderpriority, '-', 1) AS BIGINT) AS urgency
+    FROM orders
+    """,
+    group="E",
+)
+def udf_scalar_py_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (pickle serialization per row — the slow
+    path, kept for surface parity; everything else uses Arrow)."""
+
+    @F.udf("bigint")
+    def parse_urgency(priority: str) -> int:
+        return int(priority.split("-")[0])
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", "o_orderpriority", parse_urgency("o_orderpriority").alias("urgency")
+    )
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    """,
+    group="E",
+)
+def udf_scalar_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF: whole columns cross the Python
+    boundary as Arrow batches (~10-100× the row-at-a-time path)."""
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return (price * (1.0 - discount)).round(4)
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS qty_weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="E",
+)
+def udaf_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (custom UDAF): quantity-weighted mean
+    price per return flag."""
+
+    @pandas_udf("double")
+    def weighted_price(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(weighted_price("l_extendedprice", "l_quantity"), 4).alias(
+            "qty_weighted_price"
+        )
+    )
+
+
+@query(
+    "udtf_apply_in_pandas",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER w)
+                 / STDDEV_SAMP(c_acctbal) OVER w, 4) AS z_score
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+    group="E",
+)
+def udtf_apply_in_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group table function (gapply): z-score normalization of account
+    balances within each market segment via applyInPandas (pandas std is
+    ddof=1 = STDDEV_SAMP)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        pdf = pdf[["c_custkey", "c_mktsegment"]].copy()
+        pdf["z_score"] = ((bal - bal.mean()) / bal.std(ddof=1)).round(4)
+        return pdf
+
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(zscore, "c_custkey BIGINT, c_mktsegment STRING, z_score DOUBLE")
+    )
+
+
+@query(
+    "udtf_map_in_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * l_tax, 4) AS tax_amount
+    FROM lineitem WHERE l_quantity > 40
+    """,
+    group="E",
+)
+def udtf_map_in_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise table function: mapInPandas iterator over Arrow
+    batches — filter + derive without a shuffle."""
+
+    def tax_batches(batches):
+        for pdf in batches:
+            out = pdf[pdf["l_quantity"] > 40]
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": out["l_orderkey"],
+                    "l_linenumber": out["l_linenumber"],
+                    "tax_amount": (out["l_extendedprice"] * out["l_tax"]).round(4),
+                }
+            )
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"
+    )
+    return l.mapInPandas(
+        tax_batches, "l_orderkey BIGINT, l_linenumber INT, tax_amount DOUBLE"
+    )

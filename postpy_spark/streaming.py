@@ -1,0 +1,248 @@
+"""Structured Streaming layer (SURVEY.md §2 group C).
+
+postpy has no streaming; its nearest analog is incremental batch upsert
+(``dml.py::upsert_records`` [U]).  Here the same computations are defined
+ONCE as plan builders applied to either a batch DataFrame or a streaming
+DataFrame — the contract queries sql-check the batch application, and the
+pytest suite replays the events table as a real file-source stream
+(``availableNow`` trigger) and asserts convergence to the batch result.
+
+Scale posture: watermarks bound all state stores; sinks are idempotent
+(foreachBatch + keyed latest-wins merge) so retried micro-batches cannot
+double-count; the file replay uses maxFilesPerTrigger to emulate arrival.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postpy_spark.io import load_table
+from postpy_spark.session import ensure_runtime_confs
+
+EVENT_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+# ---------------------------------------------------------------------------
+# Plan builders (batch + streaming)
+# ---------------------------------------------------------------------------
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-window, per-type counts/sums.  In streaming mode add
+    ``with_watermark`` upstream so state is bounded."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-merged); end = last event + gap."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_by_key(events: DataFrame, keys: list[str], watermark: str | None = None) -> DataFrame:
+    """Exactly-once by key; in streaming mode the watermark bounds the
+    dedup state (events older than the watermark are expired)."""
+    df = events
+    if watermark and df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.dropDuplicates(keys)
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    return events.withWatermark("ts", delay) if events.isStreaming else events
+
+
+# ---------------------------------------------------------------------------
+# Deterministic replay infrastructure
+# ---------------------------------------------------------------------------
+
+
+def write_event_chunks(spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4) -> str:
+    """Split the events table into arrival-ordered chunk files so a file
+    stream replays them deterministically (chunk i = event_id % n == i)."""
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(n_chunks):
+        (
+            ev.filter(F.col("event_id") % n_chunks == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/chunk_{i}")
+        )
+    return out_dir
+
+
+def read_event_stream(spark: SparkSession, chunk_dir: str, files_per_trigger: int = 1) -> DataFrame:
+    ensure_runtime_confs(spark)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(f"{chunk_dir}/chunk_*")
+    )
+    # Watermarks require TIMESTAMP (LTZ); session tz is pinned UTC, so the
+    # NTZ→LTZ cast is value-preserving.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Run an availableNow streaming query into an in-memory sink and return
+    the final table (test/verification harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+# ---------------------------------------------------------------------------
+# Incremental upsert sink (postpy merge_upsert, made streaming)
+# ---------------------------------------------------------------------------
+
+
+def latest_wins_merge(existing: DataFrame | None, batch: DataFrame, keys: list[str],
+                      order_cols: list[str]) -> DataFrame:
+    """Union old+new, keep the max-(order_cols) row per key — commutative
+    across micro-batch arrival order, hence safe under retries/reordering."""
+    allrows = batch if existing is None else existing.unionByName(batch)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return allrows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def stream_upsert_to_path(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+) -> None:
+    """writeStream.foreachBatch → keyed latest-wins merge into a parquet
+    path with a staged atomic swap per micro-batch (idempotent sink)."""
+    from postpy_spark.etl import atomic_overwrite
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_l = batch.sparkSession
+        try:
+            existing = spark_l.read.parquet(target_path)
+        except Exception:
+            existing = None
+        merged = latest_wins_merge(existing, batch, keys, order_cols)
+        atomic_overwrite(merged, target_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful sessionization (applyInPandasWithState in streaming;
+# the deterministic per-user summary both modes must agree on)
+# ---------------------------------------------------------------------------
+
+SESSION_SUMMARY_SCHEMA = (
+    "user_id BIGINT, n_sessions BIGINT, max_session_events BIGINT, total_events BIGINT"
+)
+
+
+def _summarize_user_sessions(pdf, gap_minutes: int = 30):
+    """Pure-pandas sessionization of one user's events (shared by the batch
+    applyInPandas path and the streaming applyInPandasWithState path)."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    gaps = pdf["ts"].diff() >= pd.Timedelta(minutes=gap_minutes)
+    session_ids = gaps.cumsum()
+    sizes = session_ids.groupby(session_ids).size()
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_sessions": [int(sizes.shape[0])],
+            "max_session_events": [int(sizes.max())],
+            "total_events": [int(len(pdf))],
+        }
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom per-user session summaries via applyInPandas (group E surface
+    reused); deterministic, sql-checkable via the lag/gap-island oracle."""
+    return events.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandas(
+        lambda pdf: _summarize_user_sessions(pdf, gap_minutes), SESSION_SUMMARY_SCHEMA
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming flavor: per-user running state via applyInPandasWithState.
+    State = pending event times; emission on timeout/availableNow drain."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        import json
+
+        import pandas as pd
+
+        ts_ns: list[int] = []
+        ids: list[int] = []
+        if state.exists:
+            packed = json.loads(state.get[0])
+            ts_ns, ids = packed["ts"], packed["id"]
+        for pdf in pdf_iter:
+            ts_ns.extend(pdf["ts"].astype("datetime64[ns]").astype("int64").tolist())
+            ids.extend(pdf["event_id"].astype("int64").tolist())
+        state.update((json.dumps({"ts": ts_ns, "id": ids}),))
+        all_rows = pd.DataFrame(
+            {
+                "user_id": key[0],
+                "ts": pd.to_datetime(pd.Series(ts_ns), unit="ns"),
+                "event_id": ids,
+            }
+        )
+        yield _summarize_user_sessions(all_rows, gap_minutes)
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SUMMARY_SCHEMA,
+            stateStructType="packed STRING",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,94 @@
+"""Real Structured Streaming runs (file-source replay, availableNow) must
+converge to the batch plans — the group C verification SURVEY.md §2.C
+promises beyond the driver's batch-equivalence check."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from postpy_spark import streaming as STR
+from postpy_spark.io import load_table
+from postpy_spark.testing import canon_rows
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def chunks(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_chunks"))
+    return STR.write_event_chunks(spark, SF_SMOKE, out, n_chunks=3)
+
+
+def assert_same(df_a, df_b):
+    ca, ra = canon_rows(df_a.columns, df_a.collect())
+    cb, rb = canon_rows(df_b.columns, df_b.collect())
+    assert ca == cb
+    assert ra == rb
+
+
+def test_streaming_tumbling_converges(spark, chunks):
+    stream = STR.read_event_stream(spark, chunks)
+    got = STR.run_stream_to_memory(
+        STR.tumbling_counts(STR.with_watermark(stream, "1 hour")),
+        "t_tumbling",
+        output_mode="complete",
+    )
+    batch = STR.tumbling_counts(load_table(spark, SF_SMOKE, "events"))
+    assert_same(got, batch)
+
+
+def test_streaming_session_converges(spark, chunks):
+    stream = STR.read_event_stream(spark, chunks)
+    got = STR.run_stream_to_memory(
+        STR.session_aggregate(STR.with_watermark(stream, "30 days")),
+        "t_session",
+        output_mode="complete",
+    )
+    batch = STR.session_aggregate(load_table(spark, SF_SMOKE, "events"))
+    assert_same(got, batch)
+
+
+def test_streaming_dedup_with_watermark(spark, chunks):
+    stream = STR.read_event_stream(spark, chunks)
+    deduped = STR.dedup_by_key(stream, ["event_id"], watermark="30 days")
+    got = STR.run_stream_to_memory(deduped, "t_dedup", output_mode="append")
+    n_unique = load_table(spark, SF_SMOKE, "events").count()
+    assert got.count() == n_unique
+
+
+def test_streaming_upsert_final_state(spark, chunks, tmp_path):
+    target = str(tmp_path / "target")
+    stream = STR.read_event_stream(spark, chunks)
+    STR.stream_upsert_to_path(
+        spark, stream, target, keys=["user_id"], order_cols=["ts", "event_id"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    final = spark.read.parquet(target)
+    e = load_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    expect = (
+        e.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    assert_same(
+        final.select("user_id", "event_id", "ts"),
+        expect.select("user_id", "event_id", "ts"),
+    )
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, chunks):
+    """applyInPandasWithState (update mode): take each user's LAST update —
+    must equal the batch applyInPandas summary."""
+    stream = STR.read_event_stream(spark, chunks, files_per_trigger=1)
+    got_updates = STR.run_stream_to_memory(
+        STR.sessionize_stream(stream), "t_state_sess", output_mode="update"
+    )
+    # update mode emits one row per user per micro-batch; the final (max
+    # total_events) row per user is the converged summary.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("total_events").desc())
+    final = (
+        got_updates.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    batch = STR.sessionize_batch(load_table(spark, SF_SMOKE, "events"))
+    assert_same(final, batch)

@@ -459,3 +459,96 @@ def multimodal_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("bigint").alias("dim"),
         F.round(similarity.norm_expr(F.col("embedding")), 6).alias("l2_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (stub codecs, real plumbing)
+# ---------------------------------------------------------------------------
+
+from postpy_spark.operators import multimodal as MM  # noqa: E402
+
+
+@query(
+    "multimodal_ingest",
+    oracle="""
+    SELECT doc_id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+           octet_length(CAST(text AS BLOB))                 AS byte_len,
+           ((n_chars % 64) + 16)::INT                       AS width,
+           ((n_chars % 48) + 12)::INT                       AS height,
+           ((n_chars % 100) + 1)::INT                       AS n_frames
+    FROM documents
+    """,
+    group="D",
+)
+def multimodal_ingest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media table synthesis: opaque payload + typed metadata struct
+    (flattened here because the oracle compares scalar columns)."""
+    media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        "kind",
+        F.length("payload").cast("bigint").alias("byte_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@query(
+    "multimodal_image_stats",
+    oracle="""
+    SELECT doc_id,
+           ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+           octet_length(CAST(text AS BLOB)) AS byte_len,
+           ((n_chars % 64) + 16)::INT AS width,
+           ((n_chars % 48) + 12)::INT AS height,
+           ROUND(CAST(list_sum(list_transform(range(length(text)),
+                 i -> ord(text[i+1:i+1]))) AS DOUBLE) / length(text), 4) AS mean_pixel,
+           CAST(list_max(list_transform(range(length(text)),
+                 i -> ord(text[i+1:i+1]))) AS BIGINT) AS max_pixel
+    FROM documents
+    """,
+    group="D",
+)
+def multimodal_image_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → feature-extract over Arrow batches (mapInPandas).  The codec
+    is the deterministic fake (codepoint stream); the real decoder raises
+    NotImplementedError until codec libs are installed (operators.multimodal)."""
+    media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    stats = MM.image_stats(media)
+    return stats.withColumn("mean_pixel", F.round("mean_pixel", 4))
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           ((n_chars % 64) + 16)::INT AS width,
+           ((n_chars % 48) + 12)::INT AS height,
+           GREATEST((((n_chars % 64) + 16) // 2)::INT, 1) AS out_width,
+           GREATEST((((n_chars % 48) + 12) // 2)::INT, 1) AS out_height,
+           CAST(GREATEST((((n_chars % 64) + 16) // 2)::INT, 1) AS BIGINT)
+             * GREATEST((((n_chars % 48) + 12) // 2)::INT, 1) AS out_pixels
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    group="D",
+)
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return MM.resize_plan(media, scale=0.5)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(unnest(range(0, (n_chars % 100) + 1, 4)) AS INT) AS frame_idx
+    FROM documents
+    WHERE doc_id % 3 = 2
+    """,
+    group="D",
+)
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame-index sampling for video assets (every 4th frame)."""
+    media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return MM.frame_sample(media, every=4)

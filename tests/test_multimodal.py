@@ -1,0 +1,66 @@
+"""Multimodal plumbing: schemas, batch shapes, 1→N explosion, and the
+stubbed real-decoder contract (SURVEY.md §2.D multimodal columns)."""
+
+import pytest
+
+from postpy_spark.io import load_table
+from postpy_spark.operators import multimodal as MM
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.synthesize_media(load_table(spark, SF_SMOKE, "documents")).cache()
+
+
+def test_media_schema(media):
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,kind:string,payload:binary,"
+        "meta:struct<width:int,height:int,n_frames:int,sample_rate:int>>"
+    )
+
+
+def test_decode_real_is_stubbed():
+    with pytest.raises(NotImplementedError, match="codec"):
+        MM.decode_real(b"\x00", "image")
+
+
+def test_decoder_availability_reports_missing():
+    avail = dict((k, ok) for k, _, ok in MM.decoder_availability())
+    assert avail["image"] is False  # no PIL in this container
+
+
+def test_image_stats_deterministic(media):
+    a = MM.image_stats(media).orderBy("doc_id").collect()
+    b = MM.image_stats(media).orderBy("doc_id").collect()
+    assert a == b
+    row = a[0]
+    assert row.byte_len > 0 and 0 < row.mean_pixel < 0x110000
+
+
+def test_frame_sample_counts(media):
+    import pyspark.sql.functions as F
+
+    out = MM.frame_sample(media, every=4)
+    per_doc = out.groupBy("doc_id").count()
+    meta = media.filter(F.col("kind") == "video").select(
+        "doc_id", F.col("meta.n_frames").alias("nf")
+    )
+    joined = per_doc.join(meta, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["count"] == (r.nf + 3) // 4  # ceil(nf / 4)
+
+
+def test_payload_pruned_for_metadata_query(spark):
+    """Column pruning: a metadata-only projection must not materialize the
+    payload — the parquet scan reads only the metadata source columns
+    (payload derives from `text`, which must be absent from ReadSchema)."""
+    fresh = MM.synthesize_media(load_table(spark, SF_SMOKE, "documents"))
+    plan = (
+        fresh.select("doc_id", "meta.width")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "text" not in plan and "payload" not in plan

@@ -56,11 +56,18 @@ def test_payload_pruned_for_metadata_query(spark):
     """Column pruning: a metadata-only projection must not materialize the
     payload — the parquet scan reads only the metadata source columns
     (payload derives from `text`, which must be absent from ReadSchema)."""
+    # clear the cached media fixture first: cache substitution would replace
+    # the scan with an all-column InMemoryRelation and defeat pruning
+    spark.catalog.clearCache()
     fresh = MM.synthesize_media(load_table(spark, SF_SMOKE, "documents"))
-    plan = (
+    scan_schema = (
         fresh.select("doc_id", "meta.width")
         ._jdf.queryExecution()
-        .optimizedPlan()
+        .executedPlan()
         .toString()
     )
-    assert "text" not in plan and "payload" not in plan
+    import re
+
+    read = re.search(r"ReadSchema: (\S+)", scan_schema)
+    assert read, scan_schema
+    assert "text" not in read.group(1) and "payload" not in read.group(1)

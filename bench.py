@@ -38,6 +38,13 @@ HEADLINE = [
     "project_expr",
     "distinct_rows",
     "pivot_wide",
+    "stream_session",
+    "dedup_exact",
+    "dedup_fuzzy_minhash",
+    "text_tfidf",
+    "sim_topk_per_query",
+    "udf_scalar_pandas",
+    "multimodal_image_stats",
 ]
 
 
@@ -55,7 +62,11 @@ def main() -> None:
     reg = registry.load_all()
     names = [n for n in HEADLINE if n in reg]
 
-    force(reg["agg_groupby"].fn(spark, sf_dir))  # warm-up: JVM + codegen
+    # Untimed warm-up pass: JVM startup, whole-stage-codegen compilation and
+    # Python worker pool spin-up are one-time costs a long-lived cluster
+    # amortizes; the timed pass below reports steady-state throughput.
+    for name in names:
+        force(reg[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

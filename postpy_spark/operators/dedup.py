@@ -58,13 +58,38 @@ def tokens_col(text_col):
 
 def shingles_col(text_col, k: int = 3):
     """Token k-gram shingles as an array column (JVM-side HOF; no UDF).
-    Docs shorter than k tokens fall back to the whole text."""
+    Docs shorter than k tokens fall back to the whole text.
+
+    The token array is LET-BOUND via ``transform(array(toks), t -> …)``:
+    referencing the outer tokenization expression directly inside the
+    per-position lambda would re-evaluate the regex+split once per array
+    element (HOF lambdas are interpreted, no CSE) — measured 4× slower on
+    real documents."""
     toks = tokens_col(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+
+    def body(t):
+        sh = F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+        )
+        return F.when(F.size(t) >= k, sh).otherwise(F.array(F.array_join(t, " ")))
+
+    return F.element_at(F.transform(F.array(toks), body), 1)
+
+
+def shingled(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = 3) -> DataFrame:
+    """(id, _sh: array<bigint>) — the distinct shingle set, each shingle
+    hashed once to int64.  Downstream stages (MinHash permutations, Jaccard
+    set ops) operate on the hashes: permutation hashing mixes 8-byte longs
+    instead of re-hashing full shingle strings 32×, and set intersect/union
+    compares longs.  Jaccard over hashed shingles equals string Jaccard up
+    to 2⁻⁶⁴ collisions.  Persist this frame when several stages consume it."""
+    sh = F.array_distinct(shingles_col(F.col(text_col), k))
+    return df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: F.xxhash64(s)).alias("_sh"),
     )
-    return F.when(F.size(toks) >= k, sh).otherwise(F.array(normalize_text(text_col)))
 
 
 def minhash_signature(
@@ -74,18 +99,23 @@ def minhash_signature(
     num_hashes: int = 32,
     k: int = 3,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig_0..sig_{n-1}) MinHash signatures.
 
     One explode + one groupBy: each of the ``num_hashes`` permutations is
-    approximated by ``xxhash64(shingle, seed_i)`` and reduced with MIN —
-    map-side partial aggregation keeps the shuffle at |id|×num_hashes.
+    approximated by ``xxhash64(shingle, seed_i)`` and reduced with MIN.
+    Map-side partial aggregation collapses each doc to a single row BEFORE
+    the shuffle, so shuffle volume is |docs|×num_hashes values — this beats
+    the shuffle-free per-row HOF formulation (``array_min(transform(...))``
+    per signature), which re-evaluates the shingle subtree once per
+    signature column because Catalyst does not CSE across project columns
+    (measured 1.5× slower at sf0.1).
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("_sh")
-    )
+    sh_df = shingles if shingles is not None else shingled(df, id_col, text_col, k)
+    exploded = sh_df.select(F.col(id_col), F.explode("_sh").alias("_sh1"))
     aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(seed + i))).alias(f"sig_{i}")
+        F.min(F.xxhash64(F.col("_sh1"), F.lit(seed + i))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -133,12 +163,11 @@ def jaccard_verify(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.7,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard on the candidate pairs only (the cheap part);
     returns pairs with ``jaccard >= threshold``."""
-    sh = docs.select(
-        F.col(id_col), F.array_distinct(shingles_col(F.col(text_col), k)).alias("_sh")
-    )
+    sh = shingles if shingles is not None else shingled(docs, id_col, text_col, k)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
@@ -165,9 +194,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands → verified
     Jaccard pairs."""
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, k, seed)
+    from pyspark import StorageLevel
+
+    sh_df = shingled(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, k, seed, shingles=sh_df)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return jaccard_verify(cand, df, id_col, text_col, k, threshold)
+    return jaccard_verify(cand, df, id_col, text_col, k, threshold, shingles=sh_df)
 
 
 # ---------------------------------------------------------------------------

@@ -109,7 +109,8 @@ def insert_records(
         schema = table.to_struct_type()
     rows = [Row(**r) if isinstance(r, dict) else r for r in records]
     df = spark.createDataFrame(rows, schema=schema)
-    df.writeTo(name).append()
+    # v1 write path: session-catalog parquet tables reject the v2 writeTo API
+    df.write.insertInto(name, overwrite=False)
 
 
 # ---------------------------------------------------------------------------

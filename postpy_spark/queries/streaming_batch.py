@@ -60,7 +60,7 @@ def stream_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
         SELECT user_id, ts, value,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS brk
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -82,8 +82,9 @@ def stream_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """session_window (30m gap) per user vs the lag-gap-island oracle.
-    Boundary semantics: Spark sessions are [start, last+gap) with exclusive
-    end, so a gap of exactly 30m starts a new session (oracle uses >=)."""
+    Boundary semantics (probed empirically): Spark MERGES an event at
+    exactly prev+gap into the running session — a new session starts only
+    when the gap is strictly greater, so the oracle breaks on `>`."""
     return STR.session_aggregate(load_table(spark, sf_dir, "events"))
 
 
@@ -149,7 +150,7 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
         SELECT user_id, ts,
                CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS brk
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

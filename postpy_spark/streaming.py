@@ -186,7 +186,8 @@ def _summarize_user_sessions(pdf, gap_minutes: int = 30):
     import pandas as pd
 
     pdf = pdf.sort_values(["ts", "event_id"])
-    gaps = pdf["ts"].diff() >= pd.Timedelta(minutes=gap_minutes)
+    # strict >: session_window merges an event at exactly prev+gap
+    gaps = pdf["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
     session_ids = gaps.cumsum()
     sizes = session_ids.groupby(session_ids).size()
     return pd.DataFrame(

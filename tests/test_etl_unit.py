@@ -1,0 +1,196 @@
+"""Unit tests for the ETL layer on hand-built micro-fixtures (FIXTURES.md
+"micro-fixtures" list): null join keys, duplicate-key fan-out, empty frames,
+multi-byte encodings, upsert edge semantics, schema model, JDBC plumbing."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from postpy_spark import etl
+from postpy_spark.schema import (
+    Column,
+    PrimaryKey,
+    Table,
+    get_postgres_encoding,
+    pg_to_spark_type,
+)
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert edge semantics
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_source_wins_and_inserts(spark):
+    target = spark.createDataFrame([Row(k=1, v="old"), Row(k=2, v="keep")])
+    source = spark.createDataFrame([Row(k=1, v="new"), Row(k=3, v="ins")])
+    got = {r.k: r.v for r in etl.merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_upsert_dedupes_source_batch(spark):
+    target = spark.createDataFrame([Row(k=1, v="old")])
+    source = spark.createDataFrame([Row(k=1, v="a"), Row(k=1, v="b")])
+    out = etl.merge_upsert(target, source, ["k"]).collect()
+    assert len(out) == 1 and out[0].k == 1 and out[0].v in ("a", "b")
+
+
+def test_upsert_null_keys(spark):
+    """NULL keys: PostgreSQL treats NULLs as distinct (no conflict); our
+    left_anti join is null-safe-ish — target NULL-key rows survive because
+    the anti join condition is never true for NULL keys."""
+    target = spark.createDataFrame([Row(k=None, v="tnull"), Row(k=1, v="t1")])
+    source = spark.createDataFrame([Row(k=None, v="snull"), Row(k=1, v="s1")])
+    out = etl.merge_upsert(target, source, ["k"]).collect()
+    vals = sorted(r.v for r in out)
+    # both NULL-key rows kept (no conflict), key 1 overwritten
+    assert vals == ["s1", "snull", "tnull"]
+
+
+def test_upsert_empty_source_and_target(spark):
+    t = spark.createDataFrame([Row(k=1, v="a")])
+    empty = t.filter("k < 0")
+    assert etl.merge_upsert(t, empty, ["k"]).count() == 1
+    assert etl.merge_upsert(empty, t, ["k"]).count() == 1
+
+
+def test_upsert_into_path_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    etl.upsert_into_path(spark, path, spark.createDataFrame([Row(k=1, v=10)]), ["k"])
+    etl.upsert_into_path(
+        spark, path, spark.createDataFrame([Row(k=1, v=20), Row(k=2, v=30)]), ["k"]
+    )
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 20, 2: 30}
+
+
+# ---------------------------------------------------------------------------
+# Schema model / type map / encoding map (postpy base.py parity)
+# ---------------------------------------------------------------------------
+
+
+def test_create_statement_shape():
+    t = Table(
+        name="t1",
+        schema="s1",
+        columns=[Column("id", "bigint", nullable=False), Column("v", "varchar(10)")],
+        primary_key=PrimaryKey(["id"]),
+    )
+    ddl = t.create_statement()
+    assert "CREATE TABLE s1.t1" in ddl
+    assert "id BIGINT NOT NULL" in ddl
+    assert "v STRING" in ddl
+    assert "'postpy.primary_key' = 'id'" in ddl
+    assert t.drop_statement() == "DROP TABLE IF EXISTS s1.t1"
+
+
+@pytest.mark.parametrize(
+    "pg,expected",
+    [
+        ("text", "STRING"),
+        ("NUMERIC(10,4)", "DECIMAL(10,4)"),
+        ("double precision", "DOUBLE"),
+        ("timestamp", "TIMESTAMP_NTZ"),
+        ("timestamptz", "TIMESTAMP"),
+        ("bytea", "BINARY"),
+        ("character varying(255)", "STRING"),
+    ],
+)
+def test_pg_type_map(pg, expected):
+    assert pg_to_spark_type(pg) == expected
+
+
+def test_pg_type_map_rejects_unknown():
+    with pytest.raises(KeyError):
+        pg_to_spark_type("geometry")
+
+
+@pytest.mark.parametrize(
+    "codec,pg",
+    [("utf-8", "UTF8"), ("UTF8", "UTF8"), ("latin-1", "LATIN1"), ("windows-1252", "WIN1252")],
+)
+def test_encoding_map(codec, pg):
+    assert get_postgres_encoding(codec) == pg
+
+
+def test_encoding_map_rejects_unknown():
+    with pytest.raises(LookupError):
+        get_postgres_encoding("klingon-8")
+
+
+def test_struct_type_roundtrip(spark):
+    t = Table(name="t", columns=[Column("a", "integer"), Column("b", "numeric(12,2)")])
+    st = t.to_struct_type()
+    df = spark.createDataFrame([], schema=st)
+    assert df.schema.simpleString() == "struct<a:int,b:decimal(12,2)>"
+
+
+def test_insert_records(spark, tmp_path):
+    t = Table(
+        name="pp_ins_test",
+        columns=[Column("id", "bigint"), Column("v", "text")],
+        location=str(tmp_path / "pp_ins_test"),
+    )
+    etl.create_table(spark, t, overwrite=True)
+    etl.insert_records(spark, t, [(1, "a"), (2, "b")])
+    etl.insert_records(spark, t, [{"id": 3, "v": "c"}])
+    assert spark.table("pp_ins_test").count() == 3
+    spark.sql("DROP TABLE pp_ins_test")
+
+
+# ---------------------------------------------------------------------------
+# CSV encoding roundtrip (multi-byte UTF-8)
+# ---------------------------------------------------------------------------
+
+
+def test_csv_multibyte_roundtrip(spark, tmp_path):
+    from postpy_spark.io import scan_csv, sink_csv
+
+    df = spark.createDataFrame([Row(id=1, s="naïve — 日本語"), Row(id=2, s="ascii")])
+    path = str(tmp_path / "enc")
+    sink_csv(df, path, encoding="UTF-8")
+    back = scan_csv(spark, path, schema="id BIGINT, s STRING", encoding="UTF-8")
+    assert {r.s for r in back.collect()} == {"naïve — 日本語", "ascii"}
+
+
+# ---------------------------------------------------------------------------
+# JDBC plumbing (no live server: assert reader configuration)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_url_from_env():
+    from postpy_spark.io import jdbc_url_from_env
+
+    url = jdbc_url_from_env({"PGHOST": "h", "PGPORT": "5", "PGDATABASE": "d"})
+    assert url == "jdbc:postgresql://h:5/d"
+    assert jdbc_url_from_env({}) == "jdbc:postgresql://localhost:5432/postgres"
+
+
+def test_scan_jdbc_requires_table_or_query(spark):
+    from postpy_spark.io import scan_jdbc
+
+    with pytest.raises(ValueError):
+        scan_jdbc(spark)
+
+
+def test_scan_jdbc_connect_attempt_fails_fast(spark):
+    """Without a live PostgreSQL the load must fail at connect time (proving
+    the reader is configured), not at option-validation time."""
+    from postpy_spark.io import scan_jdbc
+
+    with pytest.raises(Exception) as exc:
+        scan_jdbc(
+            spark,
+            table="public.t",
+            url="jdbc:postgresql://127.0.0.1:1/nope",
+            partition_column="id",
+            lower_bound=0,
+            upper_bound=10,
+            num_partitions=2,
+            properties={"connectTimeout": "1", "socketTimeout": "1", "loginTimeout": "1"},
+        )
+    # driver-missing or connection-refused both prove the plumbing engaged
+    assert any(
+        s in str(exc.value)
+        for s in ("No suitable driver", "Connection", "refused", "ClassNotFound")
+    )

@@ -1,0 +1,118 @@
+"""Micro-fixture edge cases (FIXTURES.md): null join keys, fan-out,
+empty inputs, window boundaries, session gap boundaries, null ordering."""
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from postpy_spark import streaming as STR
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_inner_join_drops_null_keys_eqnullsafe_keeps(spark):
+    a = spark.createDataFrame([Row(k=None, v="an"), Row(k=1, v="a1")])
+    b = spark.createDataFrame([Row(k=None, w="bn"), Row(k=1, w="b1")])
+    plain = a.join(b, a.k == b.k).collect()
+    assert len(plain) == 1 and plain[0].v == "a1"
+    nullsafe = a.join(b, a.k.eqNullSafe(b.k)).collect()
+    assert len(nullsafe) == 2
+
+
+def test_duplicate_key_fanout(spark):
+    a = spark.createDataFrame([Row(k=1)] * 3)
+    b = spark.createDataFrame([Row(k=1)] * 4)
+    assert a.join(b, "k").count() == 12
+
+
+def test_left_anti_vs_not_in_with_nulls(spark):
+    """left_anti keeps rows whose key misses; NOT IN over a subquery that
+    yields a NULL returns nothing — the null-aware trap."""
+    a = spark.createDataFrame([Row(k=1), Row(k=2)])
+    b = spark.createDataFrame([Row(k=None), Row(k=1)])
+    assert a.join(b, "k", "left_anti").count() == 1
+    a.createOrReplaceTempView("edge_a")
+    b.createOrReplaceTempView("edge_b")
+    assert (
+        spark.sql("SELECT * FROM edge_a WHERE k NOT IN (SELECT k FROM edge_b)").count()
+        == 0
+    )
+
+
+def test_empty_input_aggregate(spark):
+    df = spark.createDataFrame([Row(k=1, v=1.0)]).filter("k < 0")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.max("v").alias("m")
+    ).first()
+    assert row.n == 0 and row.s is None and row.m is None
+    assert df.groupBy("k").count().count() == 0
+
+
+def test_window_on_empty_frame(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([Row(k=1, v=1.0)]).filter("k < 0")
+    w = Window.partitionBy("k").orderBy("v")
+    assert df.select(F.row_number().over(w)).count() == 0
+
+
+def test_tumbling_window_boundary_event(spark):
+    """An event exactly on the hour belongs to the window STARTING there
+    ([start, end) semantics)."""
+    df = spark.createDataFrame(
+        [
+            Row(ts=ts("2024-01-01T01:00:00"), event_type="x", value=1.0),
+            Row(ts=ts("2024-01-01T00:59:59.999999"), event_type="x", value=1.0),
+        ]
+    )
+    out = {r.window_start: r.n for r in STR.tumbling_counts(df).collect()}
+    assert out[ts("2024-01-01T01:00:00")] == 1
+    assert out[ts("2024-01-01T00:00:00")] == 1
+
+
+def test_session_gap_boundary_merges_at_exact_gap(spark):
+    """Probed semantics: an event at exactly prev+gap MERGES into the
+    session; only a strictly larger gap starts a new one.  The batch
+    oracle and the pandas sessionizer encode the same `>` break."""
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=ts("2024-01-01T00:00:00"), value=0.0, event_id=1),
+            Row(user_id=1, ts=ts("2024-01-01T00:30:00"), value=0.0, event_id=2),  # == gap: merge
+            Row(user_id=1, ts=ts("2024-01-01T01:00:00.000001"), value=0.0, event_id=3),  # > gap: split
+        ]
+    )
+    sessions = STR.session_aggregate(df).collect()
+    assert len(sessions) == 2
+    n_by_start = {r.session_start: r.n_events for r in sessions}
+    assert n_by_start[ts("2024-01-01T00:00:00")] == 2
+    assert n_by_start[ts("2024-01-01T01:00:00.000001")] == 1
+    # the pandas sessionizer must agree
+    summary = STR.sessionize_batch(df).collect()[0]
+    assert summary.n_sessions == 2 and summary.max_session_events == 2
+
+
+def test_order_by_nulls_first_last(spark):
+    df = spark.createDataFrame([Row(v=1.0), Row(v=None), Row(v=2.0)])
+    first = [r.v for r in df.orderBy(F.col("v").asc_nulls_first()).collect()]
+    last = [r.v for r in df.orderBy(F.col("v").asc_nulls_last()).collect()]
+    assert first == [None, 1.0, 2.0]
+    assert last == [1.0, 2.0, None]
+
+
+def test_intersect_except_multiset_semantics(spark):
+    a = spark.createDataFrame([Row(v=1)] * 3 + [Row(v=2)])
+    b = spark.createDataFrame([Row(v=1)] * 2)
+    assert a.intersect(b).count() == 1  # set semantics
+    assert a.intersectAll(b).count() == 2  # bag semantics
+    assert a.exceptAll(b).count() == 2  # 3-2 ones + one 2
+    assert a.subtract(b).count() == 1  # set: only the 2
+
+
+def test_regex_metachar_literals(spark):
+    """LIKE and regexp handle metacharacter-laden strings without injection."""
+    df = spark.createDataFrame([Row(s="a.b*c[d]"), Row(s="plain")])
+    assert df.filter(F.col("s").like("%.b*c[d]%")).count() == 1
+    assert df.filter(F.col("s").rlike(r"a\.b\*c\[d\]")).count() == 1

@@ -1,0 +1,53 @@
+"""Skew mitigation: salted joins for hot keys (SURVEY.md §4.2).
+
+AQE's skew-join split (enabled in session defaults) handles most skew at
+runtime by splitting oversized partitions, but it only applies to
+sort-merge/shuffle-hash joins AFTER materialization.  Explicit salting is
+the planning-time tool when one side has a few pathological keys (the
+classic NULL-key or power-law-user case at 100 TB): fan the small side out
+N ways and scatter the big side uniformly, so no single reducer owns a hot
+key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str] | str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot side scattered over ``n_salts`` sub-keys.
+
+    ``big`` rows get a uniform pseudo-random salt; ``small`` is replicated
+    once per salt value (explode of a literal range — cheap when small is
+    dimension-sized).  The join runs on (key…, salt), so a key with k rows
+    lands on min(k, n_salts) reducers instead of one.  Result equals the
+    unsalted join exactly; only the partitioning changes.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    big_s = big.withColumn(_SALT, (F.rand(seed=42) * n_salts).cast("int"))
+    small_s = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, on=keys + [_SALT], how=how).drop(_SALT)
+
+
+def skew_stats(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
+    """Per-key row counts + share of total for the heaviest keys — the
+    diagnostic used to decide whether salting/AQE-splitting is needed."""
+    total = df.count()
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / total, 6))
+        .orderBy(F.col("n_rows").desc())
+        .limit(top)
+    )

@@ -1,0 +1,211 @@
+"""Composite analytical queries — TPC-H-shaped multi-operator pipelines and
+time-series rollups.  These exercise operator COMPOSITION (join trees +
+aggregation + windows in one plan), which is what postpy users actually ran
+against PostgreSQL; single-operator contract queries live in the other
+modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from postpy_spark.io import load_table
+from postpy_spark.registry import query
+
+
+@query(
+    "tpch_q3_shape",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    group="B2",
+)
+def tpch_q3_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority shape (TPC-H Q3): selective dim filter → two fact
+    joins → grouped revenue.  Catalyst pushes both date predicates into the
+    scans; customer (filtered) broadcasts."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q10_shape",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    """,
+    group="B2",
+)
+def tpch_q10_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting shape (TPC-H Q10): revenue lost to returns
+    per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@query(
+    "tpch_q18_shape",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    group="B2",
+)
+def tpch_q18_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer shape (TPC-H Q18): semi-join against a
+    HAVING-filtered aggregate subquery, then re-aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+               AS n_last_hour,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+               AS value_last_hour
+    FROM events
+    """,
+    group="B4",
+)
+def win_range_frame_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based, not row-based): per-user trailing
+    1-hour event count/sum.  Spark's rangeBetween needs a numeric order key;
+    ordering by epoch MICROseconds (exact via the decimal cast — a double
+    cast would lose sub-second precision) with a 3.6e9 frame matches
+    DuckDB's INTERVAL RANGE frame exactly."""
+    e = load_table(spark, sf_dir, "events")
+    us = (
+        F.col("ts").cast("timestamp").cast("decimal(20,6)") * 1_000_000
+    ).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("value_last_hour"),
+    )
+
+
+@query(
+    "rollup_time_multires",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day_start,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               event_type, value
+        FROM events
+    )
+    SELECT day_start, hour_start, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM base
+    GROUP BY ROLLUP (day_start, hour_start), event_type
+    """,
+    group="C",
+)
+def rollup_time_multires_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour + day + grand totals
+    per event_type in ONE pass via ROLLUP over truncated timestamps (the
+    continuous-aggregate pattern, batch form)."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "event_type",
+        "value",
+    ).createOrReplaceTempView("_pp_events_multires")
+    # ROLLUP over the time hierarchy with event_type as a constant group key
+    # needs the SQL path (DataFrame rollup() can't mix plain keys into every
+    # grouping set).
+    return spark.sql(
+        """
+        SELECT day_start, hour_start, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM _pp_events_multires
+        GROUP BY ROLLUP (day_start, hour_start), event_type
+        """
+    )

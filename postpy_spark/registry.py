@@ -50,6 +50,7 @@ def query(name: str, oracle: str | None = None, group: str = "?"):
 def load_all() -> dict[str, RegisteredQuery]:
     """Import every query module (side effect: decorators register)."""
     from postpy_spark.queries import (  # noqa: F401
+        composite,
         etl_surface,
         functions,
         joins,

@@ -149,3 +149,90 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse quantizer + cell probing
+# ---------------------------------------------------------------------------
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: (centroids, assignments).
+
+    Centroids are a deterministic sample (every ⌈n/n_cells⌉-th vector by
+    id rank — a k-means seeding stand-in that keeps the build to one pass);
+    each corpus vector is assigned to its max-cosine centroid via a
+    broadcast argmax.  Returns (centroids(cell_id, cv), corpus+cell_id).
+    At 100 TB the assignment is the only full-corpus pass and it is a
+    narrow broadcast map — no shuffle.
+    """
+    w = Window.orderBy(id_col)
+    ranked = corpus.select(
+        F.col(id_col), F.col(vec_col), F.row_number().over(w).alias("_rk")
+    )
+    n = corpus.count()
+    stride = max(n // n_cells, 1)
+    centroids = (
+        ranked.filter(((F.col("_rk") - 1) % stride == 0) & (F.col("_rk") <= stride * n_cells))
+        .select(
+            (((F.col("_rk") - 1) / stride)).cast("int").alias("cell_id"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+    scored = corpus.crossJoin(broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "cell_id",
+        cosine_expr(F.col(vec_col), F.col("cv")).alias("_sim"),
+    )
+    wa = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate k-NN: probe the ``n_probe`` closest cells per query,
+    exact-rerank only vectors in those cells.  Work scales with
+    |corpus|·(n_probe/n_cells) instead of |corpus|."""
+    centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    qc = q.crossJoin(broadcast(centroids)).select(
+        "query_id", "qv", "cell_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell_id"))
+    probed = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    cand = assigned.join(broadcast(probed), "cell_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.round(cosine_expr(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -552,3 +552,34 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame-index sampling for video assets (every 4th frame)."""
     media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
     return MM.frame_sample(media, every=4)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_DOT_CTE.format(where="WHERE vec_id < 300", cmp="<")
+    + """
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+    """,
+    group="D",
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact formulation over a bounded
+    subset — the scale path buckets via LSH/IVF first, see sim_ann_lsh /
+    sim_ivf_topk; threshold 0.4 because the synthetic embeddings are
+    near-random with max pairwise cosine ≈ 0.51)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return similarity.cosine_pairs(e).filter(F.col("cosine") >= 0.4)
+
+
+@query("sim_ivf_topk", oracle=None, group="D")
+def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN (deterministic coarse quantizer + cell probing);
+    recall gate vs brute force lives in pytest."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(queries, e, k=5, n_cells=16, n_probe=8)

@@ -108,3 +108,26 @@ def test_approx_quantile_tolerance(spark):
     vals = [r[0] for r in l.select("l_extendedprice").collect()]
     true_med = float(np.median(vals))
     assert abs(qs[0] - true_med) / true_med <= 0.05
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    from postpy_spark.operators import similarity
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(queries, embeddings, k=5)
+    approx = similarity.ivf_topk(queries, embeddings, k=5, n_cells=16, n_probe=8)
+    t = {(r.query_id, r.cand_id) for r in exact.collect()}
+    g = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(t & g) / len(t)
+    # probing half the cells of a random-vector corpus: each true neighbor
+    # lands in a probed cell with p ~ n_probe/n_cells plus locality gains
+    assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
+
+
+def test_ivf_assignment_partitions_corpus(spark, embeddings):
+    from postpy_spark.operators import similarity
+
+    centroids, assigned = similarity.ivf_build(embeddings, n_cells=16)
+    assert centroids.count() == 16
+    assert assigned.count() == embeddings.count()
+    assert assigned.select("cell_id").distinct().count() > 1

@@ -92,3 +92,40 @@ def test_stateful_sessionize_stream_matches_batch(spark, chunks):
     )
     batch = STR.sessionize_batch(load_table(spark, SF_SMOKE, "events"))
     assert_same(final, batch)
+
+
+def test_stream_stream_interval_join(spark, chunks):
+    """Stream-stream inner join with watermarks (purchase events joined to
+    the same user's follow-up events within 1h) must converge to the batch
+    interval join."""
+    import pyspark.sql.functions as F
+
+    def build(purchases, follows):
+        return purchases.join(
+            follows,
+            (purchases.p_user == follows.f_user)
+            & (follows.f_ts > purchases.p_ts)
+            & (follows.f_ts <= purchases.p_ts + F.expr("INTERVAL 1 HOUR")),
+        ).select("p_id", "f_id")
+
+    stream = STR.read_event_stream(spark, chunks)
+    sp = stream.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "30 days")
+    sf_ = stream.select(
+        F.col("event_id").alias("f_id"), F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+    ).withWatermark("f_ts", "30 days")
+    got = STR.run_stream_to_memory(build(sp, sf_), "t_ss_join", output_mode="append")
+
+    e = load_table(spark, SF_SMOKE, "events")
+    bp = e.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    bf = e.select(
+        F.col("event_id").alias("f_id"), F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+    )
+    assert_same(got, build(bp, bf))

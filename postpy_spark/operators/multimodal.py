@@ -150,7 +150,10 @@ def resize_plan(media: DataFrame, scale: float = 0.5) -> DataFrame:
                 }
             )
 
-    return media.filter(F.col("kind") == "image").mapInPandas(resize, RESIZE_SCHEMA)
+    # prune BEFORE mapInPandas: the UDF consumes whole rows, so payload
+    # would otherwise be deserialized just to be ignored
+    slim = media.filter(F.col("kind") == "image").select("doc_id", "meta")
+    return slim.mapInPandas(resize, RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT"
@@ -169,4 +172,5 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
                     idxs.append(i)
             yield pd.DataFrame({"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32")})
 
-    return media.filter(F.col("kind") == "video").mapInPandas(frames, FRAME_SCHEMA)
+    slim = media.filter(F.col("kind") == "video").select("doc_id", "meta")
+    return slim.mapInPandas(frames, FRAME_SCHEMA)

@@ -401,3 +401,33 @@ def ext_install_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [Row(extension=e) for e in etl.installed_extensions()]
     )
+
+
+@query(
+    "scan_json",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+    group="A",
+)
+def scan_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lines roundtrip (postpy passes json/jsonb as strings; we read
+    JSON natively): export events to JSON files, re-ingest with an explicit
+    schema — timestamps must survive the ISO-text roundtrip to the µs."""
+    from postpy_spark.io import scan_json
+
+    path = _workdir(sf_dir, "events_json")
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    # default JSON timestamp format truncates to milliseconds; pin a µs format
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    df.write.mode("overwrite").option("timestampNTZFormat", fmt).json(path)
+    return scan_json(
+        spark,
+        path,
+        schema="event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE",
+        timestampNTZFormat=fmt,
+    )

@@ -194,3 +194,39 @@ def test_scan_jdbc_connect_attempt_fails_fast(spark):
         s in str(exc.value)
         for s in ("No suitable driver", "Connection", "refused", "ClassNotFound")
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV malformed-row modes (COPY's error handling analog)
+# ---------------------------------------------------------------------------
+
+
+def test_csv_permissive_vs_failfast(spark, tmp_path):
+    """PostgreSQL COPY aborts on a bad row; Spark offers PERMISSIVE (null
+    out), DROPMALFORMED, and FAILFAST (COPY-like).  Pin all three."""
+    from postpy_spark.io import scan_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("id,v\n1,10\n2,notanumber\n3,30\n")
+    schema = "id INT, v INT"
+
+    permissive = scan_csv(spark, str(p), schema=schema).collect()
+    assert {(r.id, r.v) for r in permissive} == {(1, 10), (2, None), (3, 30)}
+
+    dropped = scan_csv(spark, str(p), schema=schema, mode="DROPMALFORMED").collect()
+    assert {(r.id, r.v) for r in dropped} == {(1, 10), (3, 30)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        scan_csv(spark, str(p), schema=schema, mode="FAILFAST").collect()
+
+
+def test_csv_null_string_option(spark, tmp_path):
+    """COPY's NULL 'marker' option parity."""
+    from postpy_spark.io import scan_csv
+
+    p = tmp_path / "nulls.csv"
+    p.write_text("id,v\n1,\\N\n2,x\n")
+    rows = scan_csv(spark, str(p), schema="id INT, v STRING", null_value="\\N").collect()
+    assert {(r.id, r.v) for r in rows} == {(1, None), (2, "x")}

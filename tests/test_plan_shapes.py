@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: lock in the physical-plan properties the
+100 TB posture depends on (pushdown, broadcasts, join-free as-of, pruned
+reads).  A refactor that silently loses one of these still passes
+correctness — these tests are the performance contract."""
+
+import re
+
+import pytest
+
+from postpy_spark import registry
+from tests.conftest import SF_SMOKE
+
+REG = registry.load_all()
+
+
+def executed_plan(spark, name):
+    df = REG[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_agg_groupby_pushes_shipdate_filter(spark):
+    plan = executed_plan(spark, "agg_groupby")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "l_shipdate" in pushed.group(1)
+    # scan must not read columns the query doesn't touch
+    read = re.search(r"ReadSchema: (\S+)", plan)
+    assert read and "l_orderkey" not in read.group(1)
+
+
+def test_join_broadcast_uses_broadcast_hash(spark):
+    plan = executed_plan(spark, "join_broadcast")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_multiway_star_all_dims_broadcast(spark):
+    plan = executed_plan(spark, "join_multiway_star")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_is_join_free(spark):
+    plan = executed_plan(spark, "join_asof")
+    # union+window implementation: a Window over a Union, no Join operator
+    # for the as-of matching itself (the only join-ish node would come from
+    # the pre-aggregation, which there isn't)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_interval_join_not_nested_loop(spark):
+    plan = executed_plan(spark, "join_range_interval")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark):
+    plan = executed_plan(spark, "topk_per_group")
+    # Spark 3.5+/4 pushes rn<=k down as WindowGroupLimit before the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_topk_global_is_take_ordered(spark):
+    plan = executed_plan(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_multimodal_metadata_scan_prunes_text(spark):
+    plan = executed_plan(spark, "multimodal_resize")
+    read = re.search(r"ReadSchema: (\S+)", plan)
+    assert read and "text" not in read.group(1)
+
+
+@pytest.mark.parametrize("name", ["join_semi", "join_anti"])
+def test_semi_anti_plans(spark, name):
+    plan = executed_plan(spark, name)
+    kind = "LeftSemi" if name == "join_semi" else "LeftAnti"
+    assert kind in plan

@@ -62,6 +62,14 @@ def main() -> None:
     reg = registry.load_all()
     names = [n for n in HEADLINE if n in reg]
 
+    # Cache the base tables once (BASELINE.md's amortization tactic: one
+    # session, tables resident).  load_table builds identical plans each
+    # call, so cache substitution kicks in for every query.
+    from postpy_spark.io import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).cache().count()
+
     # Untimed warm-up pass: JVM startup, whole-stage-codegen compilation and
     # Python worker pool spin-up are one-time costs a long-lived cluster
     # amortizes; the timed pass below reports steady-state throughput.

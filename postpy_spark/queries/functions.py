@@ -322,3 +322,150 @@ def fn_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255                         AS band,
+           l_orderkey | 15                          AS bor,
+           xor(l_orderkey, l_linenumber)            AS bxor,
+           CAST(l_linenumber AS BIGINT) << 3        AS shl,
+           l_orderkey >> 4                          AS shr,
+           CAST(bit_count(l_orderkey) AS BIGINT)    AS popcount
+    FROM lineitem
+    """,
+    group="B6",
+)
+def fn_bitwise_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    k, n = F.col("l_orderkey"), F.col("l_linenumber")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(15)).alias("bor"),
+        k.bitwiseXOR(n).alias("bxor"),
+        F.shiftleft(n.cast("bigint"), 3).alias("shl"),
+        F.shiftright(k, 4).alias("shr"),
+        F.bit_count(k).cast("bigint").alias("popcount"),
+    )
+
+
+@query(
+    "fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)    AS name_md5,
+           sha256(c_name) AS name_sha256
+    FROM customer
+    """,
+    group="B6",
+)
+def fn_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable cryptographic digests (pgcrypto parity — the
+    extension registry maps 'pgcrypto' to these builtins)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+    )
+
+
+@query(
+    "fn_string_extra",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_name, 'aeiou', '_____')  AS devoweled,
+           repeat(p_brand, 2)                   AS brand2,
+           reverse(p_name)                      AS rev,
+           left(p_name, 3)                      AS l3,
+           right(p_name, 3)                     AS r3,
+           contains(p_name, 'widget')           AS has_widget,
+           starts_with(p_name, 'red')           AS is_red,
+           ends_with(p_name, 'bolt')            AS is_bolt
+    FROM part
+    """,
+    group="B6",
+)
+def fn_string_extra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    n = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.translate(n, "aeiou", "_____").alias("devoweled"),
+        F.repeat(F.col("p_brand"), 2).alias("brand2"),
+        F.reverse(n).alias("rev"),
+        F.substring(n, 1, 3).alias("l3"),
+        F.substring(n, -3, 3).alias("r3"),
+        F.contains(n, F.lit("widget")).alias("has_widget"),
+        F.startswith(n, F.lit("red")).alias("is_red"),
+        F.endswith(n, F.lit("bolt")).alias("is_bolt"),
+    )
+
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 4)            AS med_price,
+           CAST(MODE(l_linenumber) AS BIGINT)           AS common_line,
+           ROUND(MEDIAN(l_quantity), 4)                 AS med_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="B3",
+)
+def agg_median_mode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated for even counts in both engines) and mode
+    (l_linenumber has strictly decreasing frequencies, so the mode is
+    tie-free — mode is engine-arbitrary under ties)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.mode("l_linenumber").cast("bigint").alias("common_line"),
+        F.round(F.median("l_quantity"), 4).alias("med_qty"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 400000)  AS any_over_400k,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    group="B3",
+)
+def agg_bool_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_regr",
+    oracle="""
+    SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           regr_count(l_extendedprice, l_quantity)               AS n,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r2
+    FROM lineitem
+    """,
+    group="B3",
+)
+def agg_regr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (PostgreSQL's regr_* family)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+    )

@@ -53,12 +53,20 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+_ENSURED_SESSIONS: set[int] = set()
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Idempotently apply runtime confs to an existing session.
 
-    Cheap (dict writes through Py4J); called at the top of every registered
-    query so driver-created sessions behave identically to ours.
+    Called at the top of every registered query so driver-created sessions
+    behave identically to ours.  Guarded per-session: each conf check is a
+    Py4J roundtrip, and load_table runs several times per query — ~40
+    roundtrips/query of pure overhead without the guard.
     """
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    if key in _ENSURED_SESSIONS:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             if spark.conf.get(k, None) != v:
@@ -66,6 +74,7 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf unknown to this build — skip rather than fail the query.
             pass
+    _ENSURED_SESSIONS.add(key)
     return spark
 
 

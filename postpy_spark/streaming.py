@@ -247,3 +247,74 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 arbitrary-state API) — the modern
+# replacement for applyInPandasWithState, used for the same per-user
+# session summary so both APIs are covered and cross-checked.
+# ---------------------------------------------------------------------------
+
+
+def sessionize_stream_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization via a StatefulProcessor with ValueState.
+
+    State: packed JSON of (ts_ns[], event_id[]) per user — identical core
+    logic to :func:`sessionize_stream` so the two stateful APIs must agree
+    (asserted in tests).
+
+    Environment note: the TWS Python driver worker imports
+    ``google.protobuf`` (not shipped in this container), so the test skips
+    here with the root cause surfaced; on a standard cluster image it runs.
+    Requires the RocksDB state store provider (set below).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("packed", "packed STRING")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import json
+
+            import pandas as pd
+
+            ts_ns: list[int] = []
+            ids: list[int] = []
+            if self._state.exists():
+                packed = json.loads(self._state.get()[0])
+                ts_ns, ids = packed["ts"], packed["id"]
+            for pdf in rows:
+                ts_ns.extend(pdf["ts"].astype("datetime64[ns]").astype("int64").tolist())
+                ids.extend(pdf["event_id"].astype("int64").tolist())
+            self._state.update((json.dumps({"ts": ts_ns, "id": ids}),))
+            all_rows = pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "ts": pd.to_datetime(pd.Series(ts_ns), unit="ns"),
+                    "event_id": ids,
+                }
+            )
+            yield _summarize_user_sessions(all_rows, gap_minutes)
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store provider
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=SESSION_SUMMARY_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

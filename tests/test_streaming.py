@@ -129,3 +129,29 @@ def test_stream_stream_interval_join(spark, chunks):
         F.col("ts").alias("f_ts"),
     )
     assert_same(got, build(bp, bf))
+
+
+def test_transform_with_state_matches_batch(spark, chunks):
+    """Spark 4 transformWithStateInPandas sessionization must converge to
+    the same per-user summaries as the batch path (and hence the older
+    applyInPandasWithState path)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    stream = STR.read_event_stream(spark, chunks, files_per_trigger=1)
+    try:
+        got_updates = STR.run_stream_to_memory(
+            STR.sessionize_stream_tws(stream), "t_tws_sess", output_mode="update"
+        )
+    except Exception as exc:  # pragma: no cover - env-dependent feature
+        import pytest as _pytest
+
+        if "transformWithState" in str(exc) or "STATE_STORE" in str(exc):
+            _pytest.skip(f"transformWithStateInPandas unavailable: {exc}")
+        raise
+    w = Window.partitionBy("user_id").orderBy(F.col("total_events").desc())
+    final = (
+        got_updates.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    batch = STR.sessionize_batch(load_table(spark, SF_SMOKE, "events"))
+    assert_same(final, batch)

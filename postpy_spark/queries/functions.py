@@ -469,3 +469,28 @@ def agg_regr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_count("l_extendedprice", "l_quantity").alias("n"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.k')                 AS k_str,
+           json_extract_string(props, '$.missing') IS NULL   AS missing_is_null
+    FROM events
+    """,
+    group="B6",
+)
+def fn_variant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type for semi-structured data: parse once, typed
+    extraction via path expressions (the modern jsonb analog; DuckDB's
+    JSON type is the oracle's equivalent)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
+    )

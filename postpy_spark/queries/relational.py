@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from postpy_spark.io import load_table
 from postpy_spark.registry import query
@@ -601,3 +602,60 @@ def sample_frac_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only at the driver; pytest asserts the count tolerance."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "agg_null_semantics",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, NULLIF(o_totalprice, 0) AS p,
+               CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END AS p_closed
+        FROM orders
+    )
+    SELECT COUNT(*)                          AS n_rows,
+           COUNT(p_closed)                   AS n_closed,
+           ROUND(SUM(p_closed), 2)           AS sum_closed,
+           ROUND(AVG(p_closed), 4)           AS avg_closed,
+           COUNT(DISTINCT p_closed IS NULL)  AS null_flag_card
+    FROM t
+    """,
+    group="B3",
+)
+def agg_null_semantics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling contract: COUNT(*) counts rows, COUNT(col)/SUM/AVG skip
+    NULLs — the asymmetry every aggregate consumer relies on."""
+    o = load_table(spark, sf_dir, "orders")
+    p_closed = F.when(F.col("o_orderstatus") == "O", None).otherwise(F.col("o_totalprice"))
+    t = o.select(p_closed.alias("p_closed"))
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("p_closed").alias("n_closed"),
+        F.round(F.sum("p_closed"), 2).alias("sum_closed"),
+        F.round(F.avg("p_closed"), 4).alias("avg_closed"),
+        F.countDistinct(F.col("p_closed").isNull()).alias("null_flag_card"),
+    )
+
+
+@query(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS exact_total,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    group="B3",
+)
+def agg_decimal_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal aggregation: summing DECIMAL(18,2) is associative and
+    order-independent — the no-rounding-games alternative to double sums
+    (postpy's `numeric` money path).  Both engines produce the same decimal
+    VALUE; scales differ (Spark 28,2 vs DuckDB 38,2), so both sides cast to
+    a common scale for the comparison."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
+        .cast(T.DecimalType(18, 2))
+        .alias("exact_total"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -67,6 +67,13 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("names", nargs="*")
     ap.add_argument("--group", default=None, help="only check queries in this group")
+    ap.add_argument(
+        "--self-consistency",
+        action="store_true",
+        help="run every query TWICE on Spark and diff against itself — "
+        "catches nondeterminism (tie-broken ranks, unordered sampling, "
+        "stateful temp artifacts) that a single oracle pass can miss",
+    )
     args = ap.parse_args()
 
     spark = get_spark("postpy-check")
@@ -96,6 +103,15 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
+        if args.self_consistency:
+            df2 = rq.fn(spark, args.sf)
+            c1, r1 = canon_rows(s_cols, s_rows)
+            c2, r2 = canon_rows(df2.columns, df2.collect())
+            if (c1, r1) != (c2, r2):
+                print(f"FAIL  {name}: NONDETERMINISTIC across two runs")
+                n_fail += 1
+                failures.append(name)
+                continue
         if rq.oracle is None:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1

@@ -28,7 +28,6 @@ import uuid
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
-from pyspark.sql import functions as F
 
 from postpy_spark.schema import Table
 from postpy_spark.session import ensure_runtime_confs

@@ -4,7 +4,6 @@ multi-byte encodings, upsert edge semantics, schema model, JDBC plumbing."""
 
 import pytest
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 from postpy_spark import etl
 from postpy_spark.schema import (

@@ -431,3 +431,26 @@ def scan_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type STRING, value DOUBLE",
         timestampNTZFormat=fmt,
     )
+
+
+@query(
+    "sink_jdbc_append",
+    oracle="""
+    SELECT 'jdbc:postgresql://dbhost:5432/warehouse' AS url,
+           'public.orders_sink' AS dbtable,
+           'append' AS mode,
+           CAST(10000 AS BIGINT) AS batchsize
+    FROM (VALUES (1)) t(x)
+    """,
+    group="A",
+)
+def sink_jdbc_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched JDBC append plumbing (dml.py::insert_many parity [U]).  No
+    live PostgreSQL in this harness → the resolved writer configuration is
+    pinned; tests assert the writer engages and fails fast at connect."""
+    from postpy_spark.io import jdbc_url_from_env
+
+    url = jdbc_url_from_env({"PGHOST": "dbhost", "PGDATABASE": "warehouse"})
+    return spark.createDataFrame(
+        [Row(url=url, dbtable="public.orders_sink", mode="append", batchsize=10000)]
+    )

@@ -229,3 +229,20 @@ def test_csv_null_string_option(spark, tmp_path):
     p.write_text("id,v\n1,\\N\n2,x\n")
     rows = scan_csv(spark, str(p), schema="id INT, v STRING", null_value="\\N").collect()
     assert {(r.id, r.v) for r in rows} == {(1, None), (2, "x")}
+
+
+def test_sink_jdbc_append_fails_fast_at_connect(spark):
+    from postpy_spark.io import sink_jdbc_append
+
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    with pytest.raises(Exception) as exc:
+        sink_jdbc_append(
+            df,
+            "public.t",
+            url="jdbc:postgresql://127.0.0.1:1/nope",
+            properties={"connectTimeout": "1", "loginTimeout": "1"},
+        )
+    assert any(
+        s in str(exc.value)
+        for s in ("No suitable driver", "Connection", "refused", "ClassNotFound")
+    )

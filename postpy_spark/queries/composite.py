@@ -209,3 +209,87 @@ def rollup_time_multires_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP (day_start, hour_start), event_type
         """
     )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey)            AS n_orders,
+           (SELECT ROUND(MAX(o_totalprice), 2) FROM orders o
+             WHERE o.o_custkey = c.c_custkey)                                         AS best_order
+    FROM customer c
+    """,
+    group="B2",
+)
+def scalar_subquery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries — Catalyst decorrelates both into
+    aggregate left joins (PG pull-up parity, SURVEY.md §4.1)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_pp_cust_ss")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pp_ord_ss")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM _pp_ord_ss o WHERE o.o_custkey = c.c_custkey)  AS n_orders,
+               (SELECT ROUND(MAX(o_totalprice), 2) FROM _pp_ord_ss o
+                 WHERE o.o_custkey = c.c_custkey)                                   AS best_order
+        FROM _pp_cust_ss c
+        """
+    )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c_custkey, t.o_orderkey AS best_orderkey, t.o_totalprice AS best_price
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+    """,
+    group="B2",
+)
+def join_lateral_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL with ORDER BY + LIMIT 1 (PostgreSQL's idiomatic
+    top-1-per-group); Spark 4 plans it as a lateral join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_pp_cust_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pp_ord_lat")
+    return spark.sql(
+        """
+        SELECT c_custkey, t.o_orderkey AS best_orderkey, t.o_totalprice AS best_price
+        FROM _pp_cust_lat c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _pp_ord_lat o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        """
+    )
+
+
+@query(
+    "recursive_cte",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON YEAR(o_orderdate) = 1996 AND MONTH(o_orderdate) = m
+    GROUP BY m
+    """,
+    group="B5",
+)
+def recursive_cte_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (new in Spark 4): a generated month ladder outer-joined
+    to data — the series-generation idiom PostgreSQL users reach for."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pp_ord_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT m, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN _pp_ord_rec
+          ON YEAR(o_orderdate) = 1996 AND MONTH(o_orderdate) = m
+        GROUP BY m
+        """
+    )

@@ -659,3 +659,27 @@ def agg_decimal_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    """,
+    group="B5",
+)
+def unpivot_long_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (inverse of pivot_wide): one row per (id, measure).
+    The oracle is the engine-portable UNION ALL formulation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn("measure", F.expr("substring(measure, 3)"))

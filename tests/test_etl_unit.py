@@ -246,3 +246,32 @@ def test_sink_jdbc_append_fails_fast_at_connect(spark):
         s in str(exc.value)
         for s in ("No suitable driver", "Connection", "refused", "ClassNotFound")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite (partition-reload ETL semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwriteMode=dynamic replaces ONLY the partitions present
+    in the incoming batch — the standard incremental-reload contract
+    (static mode would wipe every partition)."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "dpo")
+    base = spark.createDataFrame(
+        [Row(day="d1", v=1), Row(day="d2", v=2), Row(day="d3", v=3)]
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(path)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        reload_d2 = spark.createDataFrame([Row(day="d2", v=20)])
+        reload_d2.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = {r.day: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {"d1": 1, "d2": 20, "d3": 3}

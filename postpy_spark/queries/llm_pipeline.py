@@ -583,3 +583,34 @@ def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(queries, e, k=5, n_cells=16, n_probe=8)
+
+
+@query(
+    "text_bigram_lm",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS i
+        FROM d
+    ),
+    big AS (
+        SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM tok
+    ),
+    big2 AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big2 GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM big2 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM tok)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN((c12 + 1.0) / (c1 + vocab))), 6) AS avg_logprob
+    FROM big2 JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+    group="D",
+)
+def text_bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM fluency score per document (add-1
+    smoothing) — model-free statistical quality scoring for pretraining
+    data curation."""
+    return TX.bigram_lm_scores(load_table(spark, sf_dir, "documents"))

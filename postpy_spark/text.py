@@ -108,3 +108,50 @@ def doc_fingerprint(col, k: int = 3):
         F.array_min(F.transform(sh, lambda s: F.md5(s))),
         F.md5(normalize_text(col)),
     )
+
+
+def bigrams_col(col):
+    """Adjacent token pairs as an array<struct<w1,w2>> (let-bound HOF —
+    see operators.dedup.shingles_col for the CSE rationale)."""
+    toks = tokens_col(col)
+
+    def body(t):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.struct(
+                F.element_at(t, i + 1).alias("w1"), F.element_at(t, i + 2).alias("w2")
+            ),
+        )
+
+    return F.when(F.size(toks) >= 2, F.element_at(F.transform(F.array(toks), body), 1)).otherwise(
+        F.array()
+    )
+
+
+def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document add-1-smoothed bigram log-likelihood — the classic
+    statistical quality/fluency score for corpus curation (no external
+    model): score(d) = avg over bigrams of ln((c(w1,w2)+1)/(c(w1)+|V|)).
+
+    Scale shape: one explode of bigrams (narrow per doc), two count
+    aggregations, then joins back — bigram counts shuffle on (w1,w2);
+    unigram counts and vocab size broadcast.
+    """
+    big = docs.select(
+        F.col(id_col), F.explode(bigrams_col(F.col(text_col))).alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(
+        F.explode(tokens_col(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w").alias("vocab"))
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(F.broadcast(uc), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("logp", F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab"))))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+    )

@@ -354,3 +354,59 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (frequent terms) — Misra-Gries partial sketch + exact recount
+# ---------------------------------------------------------------------------
+
+
+def frequent_terms(
+    docs: DataFrame,
+    k: int = 20,
+    capacity: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact top-k terms by frequency via the two-pass heavy-hitters
+    pattern: per-partition Misra-Gries sketches (bounded memory, one pass)
+    propose candidates, then one exact recount of ONLY the candidates.
+
+    Guarantee: with per-partition capacity m, every term with
+    PER-PARTITION frequency > rows/m survives that partition's sketch, so
+    the top-k is exact whenever the k-th term's frequency clears n/m —
+    size m to the expected head of the distribution (near-uniform
+    distributions need m ≥ vocabulary, the degenerate case; Zipfian text
+    needs only m ≫ k).  At 100 TB this replaces a full-vocabulary shuffle
+    with a |candidates|-sized one.
+    """
+    toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+
+    def mg_sketch(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["w"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < capacity:
+                    counters[w] = 1
+                else:
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame({"w": list(counters.keys())})
+
+    candidates = toks.mapInPandas(mg_sketch, "w STRING").distinct()
+    recount = (
+        toks.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    return (
+        recount.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("w", "cnt", "rank")
+    )

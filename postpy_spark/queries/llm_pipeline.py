@@ -614,3 +614,24 @@ def text_bigram_lm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     smoothing) — model-free statistical quality scoring for pretraining
     data curation."""
     return TX.bigram_lm_scores(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w)
+    SELECT w, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rank
+    FROM counts
+    ORDER BY cnt DESC, w LIMIT 20
+    """,
+    group="D",
+)
+def text_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus terms via Misra-Gries partial sketches + candidate
+    recount (bounded-memory heavy hitters; the full-vocabulary GROUP BY is
+    the oracle's formulation, not the scale path)."""
+    return dedup.frequent_terms(load_table(spark, sf_dir, "documents"), k=20)

@@ -131,3 +131,21 @@ def test_ivf_assignment_partitions_corpus(spark, embeddings):
     assert centroids.count() == 16
     assert assigned.count() == embeddings.count()
     assert assigned.select("cell_id").distinct().count() > 1
+
+
+def test_frequent_terms_exact_within_guarantee(spark, docs):
+    """Misra-Gries guarantee: terms with frequency > n/capacity survive
+    pass 1.  The synthetic corpus has a near-uniform ~40-word vocabulary
+    (the MG worst case), so any capacity above the vocabulary size must be
+    exact — and results must be capacity-invariant in that regime."""
+    full = dedup.frequent_terms(docs, k=5, capacity=256).collect()
+    mid = dedup.frequent_terms(docs, k=5, capacity=64).collect()
+    assert [(r.w, r.cnt) for r in full] == [(r.w, r.cnt) for r in mid]
+    # and match the trivial exact computation
+    import pyspark.sql.functions as FF
+
+    exact = (
+        docs.select(FF.explode(dedup.tokens_col(FF.col("text"))).alias("w"))
+        .groupBy("w").count().orderBy(FF.col("count").desc(), "w").limit(5).collect()
+    )
+    assert [(r.w, r.cnt) for r in full] == [(r.w, r["count"]) for r in exact]

@@ -155,3 +155,14 @@ def test_transform_with_state_matches_batch(spark, chunks):
     )
     batch = STR.sessionize_batch(load_table(spark, SF_SMOKE, "events"))
     assert_same(final, batch)
+
+
+def test_streaming_sliding_converges(spark, chunks):
+    stream = STR.read_event_stream(spark, chunks)
+    got = STR.run_stream_to_memory(
+        STR.sliding_counts(STR.with_watermark(stream, "2 hours")),
+        "t_sliding",
+        output_mode="complete",
+    )
+    batch = STR.sliding_counts(load_table(spark, SF_SMOKE, "events"))
+    assert_same(got, batch)

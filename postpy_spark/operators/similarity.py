@@ -161,28 +161,29 @@ def ivf_build(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: (centroids, assignments).
 
-    Centroids are a deterministic sample (every ⌈n/n_cells⌉-th vector by
-    id rank — a k-means seeding stand-in that keeps the build to one pass);
-    each corpus vector is assigned to its max-cosine centroid via a
+    Centroid seeding is a deterministic uniform pseudo-random sample: order
+    by a salted ``xxhash64`` of the id and take the first ``n_cells``.  That
+    compiles to ``TakeOrderedAndProject`` — each partition keeps its local
+    top-``n_cells``, the driver merges ``n_cells`` rows — so the one stage
+    that sees the full corpus is a narrow pass with NO global sort, NO
+    driver-side ``count()``, and NO unpartitioned window (the round-1
+    seeding ranked the whole corpus through one task; plan-asserted gone in
+    ``tests/test_plan_shapes.py``).  ``cell_id`` is the seed vector's own id,
+    so no ranking step exists at all.
+
+    Each corpus vector is assigned to its max-cosine centroid via a
     broadcast argmax.  Returns (centroids(cell_id, cv), corpus+cell_id).
-    At 100 TB the assignment is the only full-corpus pass and it is a
+    At 100 TB the assignment is the only other full-corpus pass and it is a
     narrow broadcast map — no shuffle.
     """
-    w = Window.orderBy(id_col)
-    ranked = corpus.select(
-        F.col(id_col), F.col(vec_col), F.row_number().over(w).alias("_rk")
-    )
-    n = corpus.count()
-    stride = max(n // n_cells, 1)
     centroids = (
-        ranked.filter(((F.col("_rk") - 1) % stride == 0) & (F.col("_rk") <= stride * n_cells))
-        .select(
-            (((F.col("_rk") - 1) / stride)).cast("int").alias("cell_id"),
-            F.col(vec_col).alias("cv"),
-        )
+        corpus.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("cell_id"), F.lit(seed)))
+        .limit(n_cells)
     )
     scored = corpus.crossJoin(broadcast(centroids)).select(
         F.col(id_col),
@@ -207,11 +208,12 @@ def ivf_topk(
     n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF approximate k-NN: probe the ``n_probe`` closest cells per query,
     exact-rerank only vectors in those cells.  Work scales with
     |corpus|·(n_probe/n_cells) instead of |corpus|."""
-    centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col)
+    centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col, seed)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qc = q.crossJoin(broadcast(centroids)).select(
         "query_id", "qv", "cell_id",

@@ -199,7 +199,7 @@ def fn_conditional_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CAST(TRUNC(l_quantity) AS INTEGER)          AS qty_int,
            CAST(l_linenumber AS VARCHAR)               AS line_str,
-           CAST(l_extendedprice AS DECIMAL(12,2))      AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
            CAST(l_shipdate AS DATE)                    AS ship_date,
            CAST(CAST(l_shipdate AS DATE) AS VARCHAR)   AS ship_str,
            CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip
@@ -210,14 +210,20 @@ def fn_conditional_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_cast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Casts across numeric/string/date/decimal.  double→int goes through
     TRUNC in the oracle because DuckDB's direct cast rounds while Spark
-    (non-ANSI) truncates."""
+    (non-ANSI) truncates.
+
+    ``price_dec`` exercises the DECIMAL(12,2) cast but is surfaced as DOUBLE
+    on BOTH engines: round-1 driver hash-mismatched on the decimal column
+    (``Decimal('123.40')`` textualizes differently across result paths even
+    when values are equal), so the output representation is canonicalized
+    while the cast under test is preserved."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("int").alias("qty_int"),
         F.col("l_linenumber").cast("string").alias("line_str"),
-        F.col("l_extendedprice").cast(T.DecimalType(12, 2)).alias("price_dec"),
+        F.col("l_extendedprice").cast(T.DecimalType(12, 2)).cast("double").alias("price_dec"),
         F.col("l_shipdate").cast("date").alias("ship_date"),
         F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
         F.col("l_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),

@@ -34,6 +34,57 @@ class RegisteredQuery:
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
+#: SURVEY.md §2 contract operators in checklist order (groups A, B1–B6, C, D,
+#: E).  The driver's correctness pass walks ``queries()`` in iteration order
+#: and may truncate under a per-round budget (round 1 stopped after 50 of 130
+#: — most of the contract went unproven while extras were checked first), so
+#: ``load_all`` emits these 93 names first, their variants next, extras last.
+CONTRACT_ORDER: tuple[str, ...] = (
+    # Group A — ETL surface (15)
+    "scan_csv", "sink_csv", "scan_jdbc", "sink_jdbc_append", "merge_upsert",
+    "ddl_create_table", "ddl_create_table_as", "catalog_list_tables",
+    "catalog_describe", "schema_reset", "txn_exec", "conn_env", "type_map",
+    "encoding_map", "ext_install",
+    # B1 — scans/projection/filtering (7)
+    "scan_parquet", "project", "project_expr", "filter_basic",
+    "filter_in_between_like", "filter_null", "distinct_rows",
+    # B2 — joins (12)
+    "join_inner", "join_left", "join_right", "join_full", "join_semi",
+    "join_anti", "join_cross", "join_broadcast", "join_theta",
+    "join_range_interval", "join_asof", "join_multiway_star",
+    # B3 — aggregation (13)
+    "agg_global", "agg_groupby", "agg_having", "agg_count_distinct",
+    "agg_approx_distinct", "agg_approx_quantile", "agg_stats",
+    "agg_grouping_sets", "agg_rollup", "agg_cube", "agg_collect",
+    "agg_conditional", "pivot_wide",
+    # B4 — windows (7)
+    "win_rank", "win_lead_lag", "win_running_sum", "win_moving_avg",
+    "win_ntile_pctrank", "win_first_last", "topk_per_group",
+    # B5 — sort/limit/set ops/sampling (8)
+    "sort_multi", "limit_n", "topk_global", "union_all", "union_distinct",
+    "intersect_ab", "except_ab", "sample_frac",
+    # B6 — scalar function families (9)
+    "fn_string", "fn_regex", "fn_date", "fn_math", "fn_conditional",
+    "fn_cast", "fn_array", "fn_map", "fn_json",
+    # C — streaming (7)
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_sessionize",
+    "stream_sink_upsert",
+    # D — LLM pipeline (10)
+    "text_stats", "text_tokenize_tf", "text_tfidf", "dedup_exact",
+    "dedup_fuzzy_minhash", "dedup_clusters", "sim_cosine_pairs",
+    "sim_topk_per_query", "sim_ann_lsh", "multimodal_join",
+    # E — UDF surface (5)
+    "udf_scalar_py", "udf_scalar_pandas", "udaf_pandas",
+    "udtf_apply_in_pandas", "udtf_map_in_pandas",
+)
+
+#: Contract-op variants counted under their parent op in SURVEY §2 — proven
+#: right after the contract block, before unrelated extras.
+CONTRACT_VARIANTS: tuple[str, ...] = (
+    "join_anti_not_in", "fn_array_hof", "except_all_ab", "intersect_all_ab",
+)
+
 
 def query(name: str, oracle: str | None = None, group: str = "?"):
     """Decorator: register fn as the driver-contract query `name`."""
@@ -61,7 +112,13 @@ def load_all() -> dict[str, RegisteredQuery]:
         windows,
     )
 
-    return dict(_REGISTRY)
+    ordered: dict[str, RegisteredQuery] = {}
+    for name in (*CONTRACT_ORDER, *CONTRACT_VARIANTS):
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, rq in _REGISTRY.items():  # extras keep registration order
+        ordered.setdefault(name, rq)
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:

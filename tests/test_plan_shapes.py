@@ -77,3 +77,17 @@ def test_semi_anti_plans(spark, name):
     plan = executed_plan(spark, name)
     kind = "LeftSemi" if name == "join_semi" else "LeftAnti"
     assert kind in plan
+
+
+def test_ivf_no_global_sort_or_unpartitioned_window(spark):
+    """Round-1 scale defect: ivf_build ranked the whole corpus through one
+    task (Window.orderBy with no partitioning) plus a driver count().  The
+    reseeded build must sample centroids via TakeOrderedAndProject (partial
+    per-partition top-k) and every Window in the plan must be partitioned
+    by query_id / vec_id — never a global window over the corpus."""
+    plan = executed_plan(spark, "sim_ivf_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan  # a global sort would shuffle so
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "query_id#" in line or "vec_id#" in line, line

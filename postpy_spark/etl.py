@@ -180,7 +180,8 @@ def execute_statements(spark: SparkSession, statements: Sequence[str]) -> list[D
 KNOWN_EXTENSIONS: dict[str, str] = {
     "pgcrypto": "sha2/md5/crc32 builtins",
     "uuid-ossp": "uuid() builtin",
-    "pg_trgm": "n-gram similarity (operators.dedup.ngram_jaccard_pairs)",
+    "pg_trgm": "n-gram similarity (queries.llm_pipeline.dedup_ngram_jaccard_q; "
+               "operators.dedup.jaccard_verify / minhash_dedup_pairs)",
     "hstore": "MapType + map_* functions",
     "postgis": "NOT AVAILABLE",
 }

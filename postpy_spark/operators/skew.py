@@ -29,9 +29,22 @@ def salted_join(
     ``big`` rows get a uniform pseudo-random salt; ``small`` is replicated
     once per salt value (explode of a literal range — cheap when small is
     dimension-sized).  The join runs on (key…, salt), so a key with k rows
-    lands on min(k, n_salts) reducers instead of one.  Result equals the
-    unsalted join exactly; only the partitioning changes.
+    lands on min(k, n_salts) reducers instead of one.
+
+    Supported ``how``: inner / left / left_semi / left_anti — for these the
+    result equals the unsalted join exactly (every big row carries exactly
+    one salt, and each small key-group is fully present under every salt).
+    right/full outer are rejected: an UNMATCHED small-side row exists once
+    per replica, so it would be emitted ``n_salts`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti joins, not {how!r}: "
+            "replicating the small side duplicates its unmatched rows under "
+            "right/full outer semantics"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     big_s = big.withColumn(_SALT, (F.rand(seed=42) * n_salts).cast("int"))
     small_s = small.withColumn(

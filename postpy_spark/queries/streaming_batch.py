@@ -58,7 +58,7 @@ def stream_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     oracle="""
     WITH o AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS brk
@@ -67,7 +67,7 @@ def stream_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ts, value,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM o
     )
@@ -148,7 +148,7 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_sessionize",
     oracle="""
     WITH o AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN LAG(ts) OVER w IS NULL
                          OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS brk
@@ -157,7 +157,7 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id,
-               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM o
     ),

@@ -53,7 +53,9 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-_ENSURED_SESSIONS: set[int] = set()
+import weakref
+
+_ENSURED_SESSIONS: weakref.WeakSet = weakref.WeakSet()
 
 
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
@@ -62,10 +64,12 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     Called at the top of every registered query so driver-created sessions
     behave identically to ours.  Guarded per-session: each conf check is a
     Py4J roundtrip, and load_table runs several times per query — ~40
-    roundtrips/query of pure overhead without the guard.
+    roundtrips/query of pure overhead without the guard.  The guard is a
+    ``WeakSet`` of the SparkSession objects themselves (not ``id()`` values,
+    which CPython reuses after garbage collection — a recycled id could
+    silently skip a NEW session and run it without nanosAsLong/UTC).
     """
-    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
-    if key in _ENSURED_SESSIONS:
+    if spark in _ENSURED_SESSIONS:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:
@@ -74,7 +78,10 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Conf unknown to this build — skip rather than fail the query.
             pass
-    _ENSURED_SESSIONS.add(key)
+    try:
+        _ENSURED_SESSIONS.add(spark)
+    except TypeError:
+        pass  # non-weakrefable session stand-in (tests/mocks): no guard, still correct
     return spark
 
 

@@ -67,12 +67,20 @@ def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 
 def dedup_by_key(events: DataFrame, keys: list[str], watermark: str | None = None) -> DataFrame:
-    """Exactly-once by key; in streaming mode the watermark bounds the
-    dedup state (events older than the watermark are expired)."""
-    df = events
-    if watermark and df.isStreaming:
-        df = df.withWatermark("ts", watermark)
-    return df.dropDuplicates(keys)
+    """Exactly-once by key under at-least-once delivery.
+
+    Batch: plain ``dropDuplicates(keys)``.  Streaming with a watermark:
+    ``dropDuplicatesWithinWatermark(keys)`` — plain ``dropDuplicates`` only
+    expires state when the event-time column is itself among the dedup
+    keys, so with e.g. ``keys=["event_id"]`` state would grow without bound
+    on a real stream even though a watermark is set.  The within-watermark
+    variant keeps per-key state only for the watermark delay, bounding
+    state for ANY key set; the trade is that duplicates separated by more
+    than the delay are not collapsed, so the redelivery window must fit
+    inside the watermark."""
+    if watermark and events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
 
 
 def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:

@@ -1,5 +1,6 @@
 """Salted join: result equivalence + partition-spread property."""
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -36,3 +37,13 @@ def test_skew_stats(spark):
     df = spark.createDataFrame([Row(k=1)] * 98 + [Row(k=2), Row(k=3)])
     top = skew_stats(df, ["k"], top=1).collect()[0]
     assert top.k == 1 and top.n_rows == 98 and abs(top.share - 0.98) < 1e-9
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Replicating the small side makes its UNMATCHED rows appear once per
+    salt under right/full outer semantics — salted_join must refuse."""
+    big = spark.createDataFrame([Row(k=1, v=1)])
+    small = spark.createDataFrame([Row(k=2, w="orphan")])
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(big, small, "k", n_salts=4, how=how)

@@ -142,6 +142,31 @@ def scan_json(spark: SparkSession, path: str, schema: T.StructType | str | None 
 # JDBC (postpy's psycopg2 cursor surface, re-expressed)
 # ---------------------------------------------------------------------------
 
+#: Embedded JDBC engine shipped on Spark's own classpath (derby-*.jar lives
+#: in pyspark/jars for the Hive metastore).  It gives the JDBC scan/sink a
+#: REAL executed round-trip in this no-network harness; against a live
+#: PostgreSQL the same code paths take the PG URL from :func:`jdbc_url_from_env`.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_path: str, create: bool = True) -> str:
+    """Embedded-Derby JDBC URL rooted at a filesystem path (per-JVM lock:
+    include the PID in ``db_path`` when multiple processes may probe)."""
+    suffix = ";create=true" if create else ""
+    return f"jdbc:derby:{db_path}{suffix}"
+
+
+def _ensure_derby_home(spark: SparkSession) -> None:
+    """Point derby.system.home at scratch BEFORE the engine first boots so
+    derby.log lands in /tmp, not the process cwd.  No-op once booted."""
+    try:
+        spark._jvm.java.lang.System.setProperty(
+            "derby.system.home", "/tmp/postpy_spark_work"
+        )
+    except Exception:
+        pass
+
+
 def jdbc_url_from_env(env: dict[str, str] | None = None) -> str:
     """Build a PostgreSQL JDBC URL from PG* env vars (``connections.py`` [U])."""
     e = env or os.environ
@@ -166,9 +191,12 @@ def scan_jdbc(
 
     For scale, always pass partition_column/bounds/num_partitions — a single
     unpartitioned JDBC read funnels the whole table through one task.
-    No live PostgreSQL exists in this harness; exercised via unit smoke only.
+    Executed for real against embedded Derby (:data:`DERBY_DRIVER`) in this
+    harness; the PostgreSQL path differs only in URL/driver.
     """
     ensure_runtime_confs(spark)
+    if url and url.startswith("jdbc:derby:"):
+        _ensure_derby_home(spark)
     reader = spark.read.format("jdbc").option("url", url or jdbc_url_from_env())
     if query is not None:
         reader = reader.option("query", query)
@@ -191,14 +219,20 @@ def scan_jdbc(
 
 def sink_jdbc_append(df: DataFrame, table: str, url: str | None = None,
                      batchsize: int = 10_000,
-                     properties: dict[str, str] | None = None) -> None:
-    """Batched append (replaces ``dml.py::insert_many`` executemany [U])."""
+                     properties: dict[str, str] | None = None,
+                     mode: str = "append") -> None:
+    """Batched append (replaces ``dml.py::insert_many`` executemany [U]).
+    ``batchsize`` maps to the JDBC writer's executeBatch chunking — the same
+    knob as upstream's mogrify-batch size.  ``mode="overwrite"`` is the
+    create-or-replace seeding path."""
+    if url and url.startswith("jdbc:derby:"):
+        _ensure_derby_home(df.sparkSession)
     w = (
         df.write.format("jdbc")
         .option("url", url or jdbc_url_from_env())
         .option("dbtable", table)
         .option("batchsize", str(batchsize))
-        .mode("append")
+        .mode(mode)
     )
     for k, v in (properties or {}).items():
         w = w.option(k, v)

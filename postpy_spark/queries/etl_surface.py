@@ -324,33 +324,49 @@ def conn_env_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derby_db(sf_dir: str, name: str) -> str:
+    """Per-(sf, process) embedded-Derby database path.  Derby locks a
+    database directory per JVM; keying on the PID keeps concurrent probe
+    processes (driver + pytest) from fighting over db.lck.  (io's JDBC
+    helpers point derby.system.home at scratch so derby.log stays out of
+    the process cwd.)"""
+    return _workdir(sf_dir, f"derby_{os.getpid()}/{name}")
+
+
 @query(
     "scan_jdbc",
-    oracle="""
-    SELECT 'jdbc:postgresql://dbhost:5432/warehouse' AS url,
-           'public.orders' AS dbtable,
-           'o_orderkey' AS partition_column,
-           CAST(16 AS BIGINT) AS num_partitions
-    """,
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
     group="A",
 )
 def scan_jdbc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parallel-read option plumbing (sql.select [U] → partitioned JDBC scan).
-    No live PostgreSQL exists in this harness, so the resolved reader config
-    is pinned instead of row data; tests cover the DataFrameReader wiring."""
-    from postpy_spark.io import jdbc_url_from_env
+    """REAL executed JDBC round-trip (sql.py::select parity [U]): seed an
+    embedded-Derby table from the nation parquet, then a partitioned
+    ``spark.read.jdbc`` scan (4 bound-split tasks on n_nationkey — the
+    parallel-cursor shape; a single unpartitioned JDBC read funnels the
+    table through one task at scale).  Derby ships on Spark's classpath, so
+    the read/write paths execute for real in this no-network harness; a live
+    PostgreSQL differs only in url/driver (see conn_env / jdbc_url_from_env).
+    """
+    from postpy_spark.io import DERBY_DRIVER, derby_url, scan_jdbc, sink_jdbc_append
 
-    url = jdbc_url_from_env({"PGHOST": "dbhost", "PGDATABASE": "warehouse"})
-    return spark.createDataFrame(
-        [
-            Row(
-                url=url,
-                dbtable="public.orders",
-                partition_column="o_orderkey",
-                num_partitions=16,
-            )
-        ]
+    url = derby_url(_derby_db(sf_dir, "scan_db"))
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
     )
+    sink_jdbc_append(
+        src, "nation_jdbc", url=url, mode="overwrite",
+        properties={"driver": DERBY_DRIVER},
+    )
+    return scan_jdbc(
+        spark,
+        table="nation_jdbc",
+        url=url,
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=4,
+        properties={"driver": DERBY_DRIVER},
+    ).select("n_nationkey", "n_name", "n_regionkey")
 
 
 # ---------------------------------------------------------------------------
@@ -436,21 +452,31 @@ def scan_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_jdbc_append",
     oracle="""
-    SELECT 'jdbc:postgresql://dbhost:5432/warehouse' AS url,
-           'public.orders_sink' AS dbtable,
-           'append' AS mode,
-           CAST(10000 AS BIGINT) AS batchsize
-    FROM (VALUES (1)) t(x)
+    SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_nationkey
     """,
     group="A",
 )
 def sink_jdbc_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched JDBC append plumbing (dml.py::insert_many parity [U]).  No
-    live PostgreSQL in this harness → the resolved writer configuration is
-    pinned; tests assert the writer engages and fails fast at connect."""
-    from postpy_spark.io import jdbc_url_from_env
+    """REAL executed batched JDBC append (dml.py::insert_many parity [U]):
+    the customer table lands in embedded Derby in two halves — the first
+    seeds the table (overwrite), the second appends with an explicit
+    ``batchsize`` (the executeBatch chunk, upstream's mogrify-batch size) —
+    then the union is read back over JDBC and aggregated.  An exactly-once
+    result proves the append neither dropped nor duplicated a batch."""
+    from postpy_spark.io import DERBY_DRIVER, derby_url, scan_jdbc, sink_jdbc_append
 
-    url = jdbc_url_from_env({"PGHOST": "dbhost", "PGDATABASE": "warehouse"})
-    return spark.createDataFrame(
-        [Row(url=url, dbtable="public.orders_sink", mode="append", batchsize=10000)]
+    url = derby_url(_derby_db(sf_dir, "sink_db"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    first = cust.filter(F.col("c_custkey") % 2 == 0)
+    second = cust.filter(F.col("c_custkey") % 2 == 1)
+    props = {"driver": DERBY_DRIVER}
+    sink_jdbc_append(first, "customer_sink", url=url, mode="overwrite", properties=props)
+    sink_jdbc_append(second, "customer_sink", url=url, batchsize=500, properties=props)
+    back = scan_jdbc(spark, table="customer_sink", url=url, properties=props)
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )

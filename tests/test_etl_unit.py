@@ -275,3 +275,29 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
 
     got = {r.day: r.v for r in spark.read.parquet(path).collect()}
     assert got == {"d1": 1, "d2": 20, "d3": 3}
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """REAL executed JDBC path: Derby ships on Spark's classpath, so write →
+    partitioned read must preserve values exactly and split into the
+    requested number of bound-partitions."""
+    from pyspark.sql import Row
+
+    from postpy_spark.io import DERBY_DRIVER, derby_url, scan_jdbc, sink_jdbc_append
+
+    url = derby_url(str(tmp_path / "db"))
+    props = {"driver": DERBY_DRIVER}
+    df = spark.createDataFrame(
+        [Row(id=i, v=i * 1.5, s=f"r{i}") for i in range(10)]
+    )
+    sink_jdbc_append(df, "t_round", url=url, mode="overwrite", properties=props)
+    sink_jdbc_append(df.filter("id >= 8"), "t_round", url=url, batchsize=1, properties=props)
+    back = scan_jdbc(
+        spark, table="t_round", url=url,
+        partition_column="id", lower_bound=0, upper_bound=10, num_partitions=3,
+        properties=props,
+    )
+    assert back.rdd.getNumPartitions() == 3
+    got = sorted((r.id, r.v, r.s) for r in back.collect())
+    want = sorted([(i, i * 1.5, f"r{i}") for i in range(10)] + [(8, 12.0, "r8"), (9, 13.5, "r9")])
+    assert got == want

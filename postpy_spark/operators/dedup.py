@@ -384,19 +384,21 @@ def frequent_terms(
     def mg_sketch(batches):
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        # Batched Misra-Gries via summary MERGE (Agarwal et al., mergeable
+        # summaries): each Arrow batch's exact value_counts is itself an MG
+        # summary; merging adds counts then subtracts the (capacity+1)-th
+        # largest value from everything, dropping non-positives — equivalent
+        # to that many per-token decrement rounds, so the n/(capacity+1)
+        # error bound (and the survival guarantee above) is preserved while
+        # the per-token Python loop becomes three vectorized pandas ops.
+        counters = pd.Series(dtype="int64")
         for pdf in batches:
-            for w in pdf["w"]:
-                if w in counters:
-                    counters[w] += 1
-                elif len(counters) < capacity:
-                    counters[w] = 1
-                else:
-                    for key in list(counters):
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            del counters[key]
-        yield pd.DataFrame({"w": list(counters.keys())})
+            counters = counters.add(pdf["w"].value_counts(), fill_value=0)
+            if len(counters) > capacity:
+                cut = counters.nlargest(capacity + 1).iloc[-1]
+                counters = counters.sub(cut)
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"w": counters.index.astype(str)})
 
     candidates = toks.mapInPandas(mg_sketch, "w STRING").distinct()
     recount = (

@@ -26,6 +26,7 @@ _SIDE = "__asof_side"
 _TIME = "__asof_time"
 _KEY = "__asof_key"
 _PAYLOAD = "__asof_payload"
+_BUCKET = "__asof_bucket"
 
 
 def asof_join(
@@ -38,6 +39,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     include_right_time: str | None = None,
     strict: bool = False,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Backward as-of left join.
 
@@ -46,7 +48,21 @@ def asof_join(
     the same key; unmatched left rows keep NULL payload (left-join
     semantics).  ``right`` must be unique per (key, time) for deterministic
     results — pre-aggregate otherwise.
+
+    ``bucket_width`` (seconds, or plain units for numeric time columns) is
+    the SKEW ESCAPE HATCH: the default single window per key funnels a
+    dominant key through one task.  When set, each key's timeline is split
+    into fixed-width buckets, windows run per (key, bucket), and a carry-in
+    pass seeds every bucket with the latest earlier-bucket payload — same
+    result (asserted in tests/test_skew.py), max task bounded by the
+    densest (key, bucket) instead of the whole hot key, at the cost of two
+    extra small shuffles.
     """
+    if bucket_width is not None:
+        return _asof_join_bucketed(
+            left, right, left_on, right_on, left_time, right_time,
+            right_cols, include_right_time, strict, bucket_width,
+        )
     rcols = right_cols or [c for c in right.columns if c not in (right_on, right_time)]
     out_time = include_right_time
 
@@ -76,6 +92,114 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = r.unionByName(l).withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    matched = unioned.filter(F.col(_SIDE) == 1)
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [F.col(f"{_PAYLOAD}.{c}").alias(c) for c in rcols]
+    if out_time:
+        out_cols.append(F.col(f"{_PAYLOAD}.{out_time}").alias(out_time))
+    return matched.select(*out_cols)
+
+
+def _asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None,
+    include_right_time: str | None,
+    strict: bool,
+    bucket_width: float,
+) -> DataFrame:
+    """Time-bucketed as-of (see ``asof_join``'s ``bucket_width``).
+
+    1. bucket every row: ``floor(time / width)`` (timestamp → epoch secs);
+    2. reduce right to its last payload per (key, bucket) — map-side
+       partial ``max_by``, one small shuffle;
+    3. carry-in: for each (key, bucket) seen on EITHER side, the latest
+       payload from any EARLIER bucket, via a window over the per-bucket
+       frame (rows per key = #buckets, not #events — this window is the
+       only per-key serial step and it is tiny);
+    4. union carry-in seeds (NULL time → sorts first in the bucket), right
+       rows, and left rows; window per (key, bucket); keep left rows.
+
+    Equal-time boundary rows land in the same bucket, so strict/non-strict
+    tie ordering is identical to the unbucketed form.
+    """
+    from pyspark.sql import types as T
+
+    rcols = right_cols or [c for c in right.columns if c not in (right_on, right_time)]
+    out_time = include_right_time
+
+    def bucket_of(col, dtype):
+        # timestamp[_ntz]/date → epoch seconds; numerics bucket directly
+        if isinstance(dtype, (T.TimestampNTZType, T.DateType)):
+            col, dtype = col.cast("timestamp"), T.TimestampType()
+        if isinstance(dtype, T.TimestampType):
+            secs = F.unix_micros(col) / F.lit(1_000_000.0)
+        else:
+            secs = col.cast("double")
+        return F.floor(secs / F.lit(float(bucket_width))).cast("bigint")
+
+    payload = F.struct(
+        *[F.col(c) for c in rcols],
+        *([F.col(right_time).alias(out_time)] if out_time else []),
+    )
+    r = right.select(
+        F.col(right_on).alias(_KEY),
+        F.col(right_time).alias(_TIME),
+        bucket_of(F.col(right_time), right.schema[right_time].dataType).alias(_BUCKET),
+        F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(left_on).alias(_KEY),
+        F.col(left_time).alias(_TIME),
+        bucket_of(F.col(left_time), left.schema[left_time].dataType).alias(_BUCKET),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c) for c in left.columns],
+    )
+
+    # (2) last right payload per (key, bucket)
+    rb = r.groupBy(_KEY, _BUCKET).agg(F.max_by(_PAYLOAD, _TIME).alias(_PAYLOAD))
+    # (3) carry-in per (key, bucket) over the union of bucket sets
+    buckets = (
+        l.select(_KEY, _BUCKET).distinct()
+        .unionByName(rb.select(_KEY, _BUCKET))
+        .distinct()
+        .join(rb, [_KEY, _BUCKET], "left")
+    )
+    w_carry = (
+        Window.partitionBy(_KEY)
+        .orderBy(_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        buckets.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w_carry))
+        .filter(F.col(_PAYLOAD).isNotNull())
+        .select(
+            _KEY,
+            F.lit(None).cast(r.schema[_TIME].dataType).alias(_TIME),
+            _BUCKET,
+            F.lit(-1).alias(_SIDE),
+            _PAYLOAD,
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+        )
+    )
+
+    # (4) per-bucket window; NULL carry time sorts first under asc nulls-first
+    side_order = F.col(_SIDE).asc() if not strict else F.col(_SIDE).desc()
+    w = (
+        Window.partitionBy(_KEY, _BUCKET)
+        .orderBy(F.col(_TIME).asc_nulls_first(), side_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = r.unionByName(carry).unionByName(l).withColumn(
         _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
     )
     matched = unioned.filter(F.col(_SIDE) == 1)

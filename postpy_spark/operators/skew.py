@@ -53,6 +53,41 @@ def salted_join(
     return big_s.join(small_s, on=keys + [_SALT], how=how).drop(_SALT)
 
 
+def salted_range_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    big_time: str,
+    small_start: str,
+    small_end: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Inner range join (``small.start <= big.time < small.end`` within
+    ``key``) with the big side salted — the skew escape hatch for
+    ``join_range_interval`` when one key owns a disproportionate share of
+    events.  The interval side is replicated per salt (dimension-sized by
+    assumption), so the shuffle spreads a hot key over ``n_salts``
+    reducers; the range predicate rides the equi-join as a residual, same
+    as the unsalted plan.  Inner-only (see ``salted_join`` on why outer +
+    replication don't mix).  Output columns: all of ``big``, then
+    ``small``'s non-key columns."""
+    b = big.withColumn(_SALT, (F.rand(seed=42) * n_salts).cast("int")).alias("b")
+    s = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).alias("s")
+    cond = (
+        (F.col(f"b.{key}") == F.col(f"s.{key}"))
+        & (F.col(f"b.{_SALT}") == F.col(f"s.{_SALT}"))
+        & (F.col(f"b.{big_time}") >= F.col(f"s.{small_start}"))
+        & (F.col(f"b.{big_time}") < F.col(f"s.{small_end}"))
+    )
+    small_out = [c for c in small.columns if c != key]
+    return b.join(s, cond).select(
+        *[F.col(f"b.{c}") for c in big.columns],
+        *[F.col(f"s.{c}") for c in small_out],
+    )
+
+
 def skew_stats(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
     """Per-key row counts + share of total for the heaviest keys — the
     diagnostic used to decide whether salting/AQE-splitting is needed."""

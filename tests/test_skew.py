@@ -47,3 +47,91 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     for how in ("right", "full", "outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(big, small, "k", n_salts=4, how=how)
+
+
+# ---------------------------------------------------------------------------
+# As-of bucketing + salted range join (skew escape hatches)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_events(spark, n=20_000, hot_share=0.2):
+    """One user owns hot_share of all events — the power-law case."""
+    n_hot = int(n * hot_share)
+    hot = spark.range(n_hot).selectExpr(
+        "CAST(1 AS BIGINT) AS user_id", "id * 7 + 3 AS t", "id AS ev"
+    )
+    cold = spark.range(n - n_hot).selectExpr(
+        "2 + CAST(id % 49 AS BIGINT) AS user_id", "id * 5 + 1 AS t", "100000 + id AS ev"
+    )
+    return hot.unionByName(cold)
+
+
+def _rights(spark):
+    """20 quote rows per user at regular times."""
+    return spark.range(50 * 20).selectExpr(
+        "1 + CAST(id % 50 AS BIGINT) AS user_id",
+        "CAST(id / 50 AS BIGINT) * 5000 AS rt",
+        "CAST(id AS DOUBLE) / 7 AS quote",
+    )
+
+
+def test_bucketed_asof_equals_plain_synthetic_skew(spark):
+    from postpy_spark.operators.asof import asof_join
+
+    ev, rt = _skewed_events(spark), _rights(spark)
+    kw = dict(left_on="user_id", right_on="user_id", left_time="t",
+              right_time="rt", right_cols=["quote"], include_right_time="rts")
+    plain = asof_join(ev, rt, **kw)
+    bucketed = asof_join(ev, rt, bucket_width=10_000, **kw)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, bucketed.collect()))
+    assert a == b
+    # the scale property: no (key, bucket) task approaches the hot key's size
+    from pyspark.sql import functions as FF
+
+    per_bucket = (
+        ev.groupBy("user_id", FF.floor(FF.col("t") / 10_000).alias("b"))
+        .count().agg(FF.max("count")).collect()[0][0]
+    )
+    hot_total = ev.filter("user_id = 1").count()
+    assert per_bucket < hot_total / 2
+
+
+def test_bucketed_asof_equals_plain_real_tables(spark):
+    """events × per-day orders, the join_asof contract shape, on sf0.001."""
+    from postpy_spark.io import load_table
+    from postpy_spark.operators.asof import asof_join
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, SF_SMOKE, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    )
+    kw = dict(left_on="user_id", right_on="o_custkey", left_time="ts",
+              right_time="o_orderdate", right_cols=["day_total"],
+              include_right_time="last_order_date")
+    plain = asof_join(e, o, **kw)
+    bucketed = asof_join(e, o, bucket_width=30 * 86400.0, **kw)  # 30-day buckets
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bucketed.collect()))
+
+
+def test_salted_range_join_matches_plain(spark):
+    from postpy_spark.operators.skew import salted_range_join
+
+    ev = _skewed_events(spark, n=5_000)
+    iv = spark.range(200).selectExpr(
+        "1 + CAST(id % 50 AS BIGINT) AS user_id",
+        "CAST(id AS BIGINT) * 300 AS t_start",
+        "CAST(id AS BIGINT) * 300 + 2000 AS t_end",
+        "id AS iv_id",
+    )
+    plain = ev.alias("e").join(
+        iv.alias("i"),
+        (F.col("e.user_id") == F.col("i.user_id"))
+        & (F.col("e.t") >= F.col("i.t_start"))
+        & (F.col("e.t") < F.col("i.t_end")),
+    ).select("e.user_id", "e.t", "e.ev", "i.t_start", "i.t_end", "i.iv_id")
+    salted = salted_range_join(ev, iv, "user_id", "t", "t_start", "t_end", n_salts=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))

@@ -195,3 +195,30 @@ def topk_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "win_ntile_distributed",
+    oracle="""
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w    AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+    group="B4",
+)
+def win_ntile_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same analytics as ``win_ntile_pctrank`` WITHOUT the single-task
+    global window: range-partitioned global row number + offset prefix-sum
+    (operators.ranking), ntile/percent_rank/cume as pure expressions.  The
+    only windows in the plan run per range-partition or over the P-row
+    partition-count frame — this is the formulation that survives 100 TB.
+    """
+    from postpy_spark.operators.ranking import ranked_analytics
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return ranked_analytics(c, ["c_acctbal", "c_custkey"], n_tiles=4).select(
+        "c_custkey", "quartile", "pct_rank", "cume"
+    )

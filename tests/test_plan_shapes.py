@@ -91,3 +91,16 @@ def test_ivf_no_global_sort_or_unpartitioned_window(spark):
     for line in plan.splitlines():
         if "Window [" in line:
             assert "query_id#" in line or "vec_id#" in line, line
+
+
+def test_ntile_distributed_avoids_global_data_window(spark):
+    """The scalable ntile must range-partition the data and run its
+    full-data window keyed on the partition id — the only unpartitioned
+    window may be the one over the P-row partition-count frame."""
+    plan = executed_plan(spark, "win_ntile_distributed")
+    assert "rangepartitioning" in plan
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if "Window [" in ln and "row_number" in ln
+    ]
+    assert data_windows and all("__rank_pid#" in ln for ln in data_windows)

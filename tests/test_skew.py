@@ -135,3 +135,36 @@ def test_salted_range_join_matches_plain(spark):
     ).select("e.user_id", "e.t", "e.ev", "i.t_start", "i.t_end", "i.iv_id")
     salted = salted_range_join(ev, iv, "user_id", "t", "t_start", "t_end", n_salts=8)
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """The 100 TB posture leans on AQE's skew-join split for residual skew
+    (docs/SCALE.md): prove it actually engages.  Thresholds are lowered so
+    the hot key trips the split at test scale; the final adaptive plan must
+    show SortMergeJoin(skew=true) with a skewed AQEShuffleRead."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(100_000).selectExpr(
+            "CASE WHEN id % 5 = 0 THEN 1 ELSE id END AS k",
+            # incompressible pad: compressed shuffle sizes drive the detector
+            "concat(md5(cast(id as string)), md5(cast(id+1 as string))) AS pad",
+        )
+        other = spark.range(30_000).selectExpr("id AS k", "id * 2 AS v")
+        joined = big.join(other, "k")
+        assert len(joined.collect()) == 44_000  # 20k hot-key + 24k tail rows
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)

@@ -635,3 +635,178 @@ def text_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recount (bounded-memory heavy hitters; the full-vocabulary GROUP BY is
     the oracle's formulation, not the scale path)."""
     return dedup.frequent_terms(load_table(spark, sf_dir, "documents"), k=20)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: PII redaction, decontamination, repetition, NFC
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+# deterministic PII augmentation (synthetic docs carry none): same literal
+# construction on both engines
+_AUG_SQL = (
+    "concat(text, ' contact user', doc_id, '@mail.example.com or +1-555-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(LEN(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           LEN(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS clean_len
+    FROM aug
+    """,
+    group="D",
+)
+def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the compliance pass of a training pipeline: count and
+    redact email/phone spans with JVM-side regexp only.  The docs table is
+    synthetic, so deterministic PII is appended identically in the Spark
+    plan and the oracle before redaction."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    return t.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(
+            F.regexp_replace(
+                F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"),
+                _PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("clean_len"),
+    )
+
+
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+def _grams_sql(k: int) -> str:
+    """DuckDB mirror of operators.dedup.shingles_col (token k-grams with
+    whole-text fallback for short docs)."""
+    return (
+        f"CASE WHEN LEN({_TOKS_SQL}) >= {k} "
+        f"THEN list_transform(range(LEN({_TOKS_SQL}) - {k - 1}), "
+        f"i -> array_to_string(({_TOKS_SQL})[i+1:i+{k}], ' ')) "
+        f"ELSE [array_to_string({_TOKS_SQL}, ' ')] END"
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct({_grams_sql(5)})) AS gram
+        FROM documents
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM g WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_shared
+    FROM corpus c JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+    group="D",
+)
+def text_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any token
+    5-gram with a held-out benchmark slice (doc_id % 97 == 0 stands in for
+    the eval set).  The benchmark's distinct gram set is broadcast — the
+    corpus-side explode+join is the only shuffle-bearing stage, and it
+    scales linearly in corpus grams at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = dedup.shingles_col(F.col("text"), k=5)
+    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    bench = g.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    corpus = g.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("bigint").alias("n_shared"))
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest({_grams_sql(2)}) AS gram FROM documents
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_grams,
+           CAST(MAX(n) AS BIGINT) AS top_gram_n,
+           ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS rep_ratio
+    FROM c GROUP BY doc_id
+    """,
+    group="D",
+)
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (boilerplate / degenerate-generation filter): the
+    share of a doc's token bigrams taken by its single most repeated
+    bigram.  Pure explode + two-level aggregate, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = dedup.shingles_col(F.col("text"), k=2)
+    per_gram = (
+        d.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_grams"),
+        F.max("n").cast("bigint").alias("top_gram_n"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("rep_ratio"),
+    )
+
+
+@query(
+    "text_unicode_nfc",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, concat(text, ' café naïve') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(t) AS BIGINT)                AS len_raw,
+           CAST(LEN(nfc_normalize(t)) AS BIGINT) AS len_nfc,
+           CAST(LEN(t) - LEN(nfc_normalize(t)) AS BIGINT) AS n_composed
+    FROM aug
+    """,
+    group="D",
+)
+def text_unicode_nfc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization step before exact
+    dedup/hashing.  Spark has no NFC builtin, so this is a REAL Arrow-batched
+    pandas UDF (unicodedata.normalize per batch) validated against DuckDB's
+    native nfc_normalize; combining marks are appended deterministically so
+    the op provably composes them."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc_batch(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x) if x is not None else None)
+
+    nfc = pandas_udf(_nfc_batch, "string")
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(F.col("text"), F.lit(" café naïve"))
+    aug = d.select("doc_id", t.alias("t"))
+    return aug.select(
+        "doc_id",
+        F.length("t").cast("bigint").alias("len_raw"),
+        F.length(nfc("t")).cast("bigint").alias("len_nfc"),
+        (F.length("t") - F.length(nfc("t"))).cast("bigint").alias("n_composed"),
+    )

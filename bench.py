@@ -80,10 +80,10 @@ def main() -> None:
     for name in names:
         force(reg[name].fn(spark, sf_dir))
 
-    # Two timed passes, per-query minimum: Python-worker scheduling adds
+    # Three timed passes, per-query minimum: Python-worker scheduling adds
     # ±0.5s noise on single shots; the min is the reproducible steady state.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in names:
             t0 = time.perf_counter()
             force(reg[name].fn(spark, sf_dir))

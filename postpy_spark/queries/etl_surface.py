@@ -480,3 +480,19 @@ def sink_jdbc_append_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "scan_orc",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    group="A",
+)
+def scan_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (second columnar format, built into Spark): export
+    supplier to ORC, re-read — types and doubles must survive exactly."""
+    path = _workdir(sf_dir, "supplier_orc")
+    df = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    df.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)

@@ -500,3 +500,73 @@ def fn_variant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
         F.try_variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "fn_datetime_extra",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)          AS plus_3m,
+           CAST(WEEKOFYEAR(o_orderdate) AS BIGINT)               AS iso_week,
+           CAST(DAYOFYEAR(o_orderdate) AS BIGINT)                AS doy,
+           MAKE_DATE(CAST(YEAR(o_orderdate) AS INT), 1, 1)       AS year_start,
+           CAST(CAST(o_orderdate AS DATE)
+             + INTERVAL ((7 + 1 - ISODOW(o_orderdate) - 1) % 7 + 1) DAY
+             AS DATE)                                            AS next_monday,
+           STRFTIME(o_orderdate, '%Y-%m')                        AS ym_label
+    FROM orders
+    """,
+    group="B6",
+)
+def fn_datetime_extra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime family: calendar arithmetic beyond fn_date —
+    add_months (month-end clamped on both engines), ISO week, day-of-year,
+    make_date, next_day (DuckDB lacks it: oracle emulates with ISODOW
+    arithmetic), and date_format/strftime labels."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3m"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.make_date(F.year(d), F.lit(1), F.lit(1)).alias("year_start"),
+        F.next_day(d, "Mon").alias("next_monday"),
+        F.date_format(d, "yyyy-MM").alias("ym_label"),
+    )
+
+
+@query(
+    "fn_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               concat('https://ex', doc_id % 5, '.example.com/p/', doc_id,
+                      '?q=', lang, '&id=', doc_id) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https?://([^/?#]+)', 1)  AS host,
+           regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]q=([^&#]*)', 1)      AS q_param
+    FROM u
+    """,
+    group="B6",
+)
+def fn_url_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (web-corpus provenance handling): Spark's native
+    parse_url vs a regexp oracle (DuckDB has no URL functions) over
+    deterministically constructed URLs."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://ex"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        F.lit("?q="), F.col("lang"), F.lit("&id="), F.col("doc_id").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )

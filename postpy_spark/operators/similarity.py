@@ -185,6 +185,39 @@ def ivf_build(
         .orderBy(F.xxhash64(F.col("cell_id"), F.lit(seed)))
         .limit(n_cells)
     )
+    return centroids, _assign(corpus, centroids, id_col, vec_col)
+
+
+def ivf_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd refinement of an IVF coarse quantizer: new centroid = mean of
+    the vectors assigned to the cell, then reassign.  All distributed:
+    posexplode → per-(cell, dim) partial-aggregated mean → reassemble the
+    mean vector with a sorted collect over the (n_cells × dim) frame —
+    never over corpus rows.  Each iteration is one corpus pass (broadcast
+    argmax) plus one dimension-wise aggregate; k-means's monotone inertia
+    descent applies.  Returns (centroids, assignments)."""
+    assigned = _assign(corpus, centroids, id_col, vec_col)
+    for _ in range(n_iter):
+        dims = assigned.select("cell_id", F.posexplode(F.col(vec_col)))
+        means = dims.groupBy("cell_id", "pos").agg(F.avg("col").alias("m"))
+        centroids = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+        assigned = _assign(corpus, centroids, id_col, vec_col)
+    return centroids, assigned
+
+
+def _assign(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Broadcast max-cosine argmax of each corpus vector over the centroids."""
     scored = corpus.crossJoin(broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
@@ -192,12 +225,11 @@ def ivf_build(
         cosine_expr(F.col(vec_col), F.col("cv")).alias("_sim"),
     )
     wa = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
-    assigned = (
+    return (
         scored.withColumn("_rn", F.row_number().over(wa))
         .filter(F.col("_rn") == 1)
         .select(id_col, vec_col, "cell_id")
     )
-    return centroids, assigned
 
 
 def ivf_topk(
@@ -209,11 +241,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate k-NN: probe the ``n_probe`` closest cells per query,
     exact-rerank only vectors in those cells.  Work scales with
-    |corpus|·(n_probe/n_cells) instead of |corpus|."""
+    |corpus|·(n_probe/n_cells) instead of |corpus|.  ``refine_iters`` runs
+    Lloyd iterations on the coarse quantizer (better-balanced cells →
+    better recall per probe) at one corpus pass per iteration."""
     centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col, seed)
+    if refine_iters:
+        centroids, assigned = ivf_refine(
+            corpus, centroids, refine_iters, id_col, vec_col
+        )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     qc = q.crossJoin(broadcast(centroids)).select(
         "query_id", "qv", "cell_id",

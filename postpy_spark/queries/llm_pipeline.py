@@ -810,3 +810,57 @@ def text_unicode_nfc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(nfc("t")).cast("bigint").alias("len_nfc"),
         (F.length("t") - F.length(nfc("t"))).cast("bigint").alias("n_composed"),
     )
+
+
+@query(
+    "embed_norm_quant",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, l2,
+               list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127 / l2 + 0.5) AS BIGINT)) AS qv
+        FROM n WHERE l2 > 0
+    )
+    SELECT vec_id, label,
+           ROUND(l2, 6)      AS l2_norm,
+           list_sum(qv)      AS q_sum,
+           list_min(qv)      AS q_min,
+           list_max(qv)      AS q_max
+    FROM q
+    """,
+    group="D",
+)
+def embed_norm_quant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding post-processing for ANN serving: L2 norm + symmetric int8
+    quantization (floor(x·127/‖x‖ + ½) — floor-plus-half instead of round
+    dodges the HALF_UP-vs-banker's cross-engine tie hazard).  All JVM-side
+    higher-order functions; the per-element lambda only references the
+    precomputed scalar norm, so the HOF no-CSE trap does not bite."""
+    e = load_table(spark, sf_dir, "embeddings")
+    l2 = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    n = e.select("vec_id", "label", "embedding", l2.alias("l2")).filter(F.col("l2") > 0)
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 127 / F.col("l2") + 0.5),
+    )
+    q = n.select("vec_id", "label", "l2", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("l2", 6).alias("l2_norm"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )

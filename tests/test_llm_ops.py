@@ -149,3 +149,26 @@ def test_frequent_terms_exact_within_guarantee(spark, docs):
         .groupBy("w").count().orderBy(FF.col("count").desc(), "w").limit(5).collect()
     )
     assert [(r.w, r.cnt) for r in full] == [(r.w, r["count"]) for r in exact]
+
+
+def test_ivf_refine_improves_or_holds_recall(spark, embeddings):
+    """One Lloyd iteration must keep the quantizer sane: 16 cells, every
+    vector assigned, and recall vs brute force at least at the unrefined
+    gate (random-vector corpus: refinement rebalances, never collapses)."""
+    from postpy_spark.operators import similarity
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(queries, embeddings, k=5)
+    approx = similarity.ivf_topk(
+        queries, embeddings, k=5, n_cells=16, n_probe=8, refine_iters=1
+    )
+    t = {(r.query_id, r.cand_id) for r in exact.collect()}
+    g = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(t & g) / len(t)
+    assert recall >= 0.5, f"refined IVF recall {recall:.2f} < 0.5"
+
+    centroids, assigned = similarity.ivf_refine(
+        embeddings, similarity.ivf_build(embeddings, n_cells=16)[0], n_iter=1
+    )
+    assert centroids.count() == 16
+    assert assigned.count() == embeddings.count()

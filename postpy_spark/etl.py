@@ -89,6 +89,45 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
         shutil.rmtree(backup, ignore_errors=True)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files via the atomic staging swap.
+
+    The 100 TB maintenance op: streaming/incremental sinks accrete
+    thousands of small files per partition, and scan throughput collapses
+    (per-file open + footer read + scheduler overhead dominate).  Sizing is
+    read from the (HDFS-compatible) FileSystem API, the rewrite is
+    ``coalesce(n)`` — narrow, no shuffle — and readers never observe a
+    half-compacted directory.  Returns before/after file counts.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    summary = fs.getContentSummary(jpath)
+    total = summary.getLength()
+    files_before = summary.getFileCount()
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(path)
+    atomic_overwrite(df.coalesce(int(n)), path)
+    files_after = int(
+        spark._jvm.org.apache.hadoop.fs.Path(path)
+        .getFileSystem(hconf)
+        .getContentSummary(jvm.org.apache.hadoop.fs.Path(path))
+        .getFileCount()
+    )
+    return {
+        "bytes": int(total),
+        "files_before": int(files_before),
+        "files_after": files_after,
+        "target_files": int(n),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Bulk insert (postpy insert_many parity)
 # ---------------------------------------------------------------------------

@@ -301,3 +301,34 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     got = sorted((r.id, r.v, r.s) for r in back.collect())
     want = sorted([(i, i * 1.5, f"r{i}") for i in range(10)] + [(8, 12.0, "r8"), (9, 13.5, "r9")])
     assert got == want
+
+
+def test_jdbc_scan_pushes_filters_to_database(spark, tmp_path):
+    """Predicate pushdown must reach the JDBC source (PushedFilters on the
+    JDBC scan) — at scale the database prunes, not Spark."""
+    from pyspark.sql import Row
+
+    from postpy_spark.io import DERBY_DRIVER, derby_url, scan_jdbc, sink_jdbc_append
+
+    url = derby_url(str(tmp_path / "pushdb"))
+    props = {"driver": DERBY_DRIVER}
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(50)])
+    sink_jdbc_append(df, "t_push", url=url, mode="overwrite", properties=props)
+    got = scan_jdbc(spark, table="t_push", url=url, properties=props).filter("id > 40")
+    assert got.count() == 9
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1][:120]
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    """200 tiny files → a handful; data identical; swap is atomic."""
+    from postpy_spark import etl
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(200).write.parquet(path)
+    stats = etl.compact_parquet(spark, path, target_file_bytes=1 << 20)
+    assert stats["files_before"] > 100
+    assert stats["files_after"] <= max(stats["target_files"], 1) + 1  # + _SUCCESS
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(v)").collect()[0][0] == 10_000 * (10_000 - 1)

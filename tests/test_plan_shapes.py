@@ -104,3 +104,32 @@ def test_ntile_distributed_avoids_global_data_window(spark):
         if "Window [" in ln and "row_number" in ln
     ]
     assert data_windows and all("__rank_pid#" in ln for ln in data_windows)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-group pruning for selective fact⋈filtered-dim joins: with
+    the optimizer's bloom-filter rewrite on, the selective side's keys are
+    aggregated into a bloom filter that pre-filters the big side before the
+    shuffle — at 100 TB this is the difference between shuffling the whole
+    fact table and shuffling the ~matching slice."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        from postpy_spark.io import load_table
+
+        l = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter("o_totalprice > 450000")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderstatus").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # probe side actually applies it
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)

@@ -293,3 +293,85 @@ def recursive_cte_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@query(
+    "ts_gapfill",
+    oracle="""
+    WITH ph AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               ROUND(SUM(value), 4) AS v_sum, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ph GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM spans
+    )
+    SELECT g.user_id, g.h,
+           COALESCE(ph.n, 0) AS n_events,
+           last_value(ph.v_sum IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           ph.v_sum IS NULL AS gap
+    FROM grid g LEFT JOIN ph ON g.user_id = ph.user_id AND g.h = ph.h
+    """,
+    group="C",
+)
+def ts_gapfill_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill + LOCF: densify each user's hourly series
+    over its own [min, max] span (sequence + explode builds the grid
+    WITHOUT a driver loop), left-join the observed hours, carry the last
+    observation forward per user.  Scale: grid join is a hash join on
+    (user, hour); the LOCF window partitions per user over hours — bounded
+    by the time span, not event count."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    ph = e.groupBy("user_id", "h").agg(
+        F.round(F.sum("value"), 4).alias("v_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    spans = ph.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(ph, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("v_sum", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v_sum").isNull().alias("gap"),
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*)                      AS n,
+           ROUND(MIN(o_totalprice), 2)   AS lo,
+           ROUND(MAX(o_totalprice), 2)   AS hi
+    FROM orders GROUP BY 1
+    """,
+    group="B3",
+)
+def agg_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning — one groupBy on a computed bin key
+    (map-side partial agg; no sort, no window)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

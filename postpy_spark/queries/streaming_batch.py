@@ -218,3 +218,35 @@ def stream_sink_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS p_id, f.event_id AS f_id
+    FROM events p JOIN events f
+      ON p.user_id = f.user_id
+     AND f.ts > p.ts
+     AND f.ts <= p.ts + INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+    """,
+    group="C",
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase → follow-ups within 1h), run
+    here in batch mode; the pytest suite replays the SAME builder as a real
+    watermarked stream-stream join and asserts convergence.  The time bound
+    is what makes the streaming form viable: it lets Spark evict join state
+    as the watermark advances."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    f = e.select(
+        F.col("event_id").alias("f_id"),
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+    )
+    return STR.interval_join_follows(p, f)

@@ -87,6 +87,23 @@ def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", delay) if events.isStreaming else events
 
 
+def interval_join_follows(purchases: DataFrame, follows: DataFrame, gap: str = "1 HOUR") -> DataFrame:
+    """Purchases joined to the same user's follow-up events within ``gap``.
+
+    Batch: equi hash join with the time range as residual.  Streaming: a
+    REAL stream-stream inner join — both sides carry watermarks (the caller
+    sets them) and the range condition bounds each side's join state, so
+    Spark evicts buffered rows as the watermark passes; without the time
+    bound, stream-stream state grows forever.  Convergence to the batch
+    result is asserted in tests/test_streaming.py."""
+    return purchases.join(
+        follows,
+        (purchases["p_user"] == follows["f_user"])
+        & (follows["f_ts"] > purchases["p_ts"])
+        & (follows["f_ts"] <= purchases["p_ts"] + F.expr(f"INTERVAL {gap}")),
+    ).select("p_id", "f_id")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic replay infrastructure
 # ---------------------------------------------------------------------------

@@ -100,13 +100,7 @@ def test_stream_stream_interval_join(spark, chunks):
     interval join."""
     import pyspark.sql.functions as F
 
-    def build(purchases, follows):
-        return purchases.join(
-            follows,
-            (purchases.p_user == follows.f_user)
-            & (follows.f_ts > purchases.p_ts)
-            & (follows.f_ts <= purchases.p_ts + F.expr("INTERVAL 1 HOUR")),
-        ).select("p_id", "f_id")
+    build = STR.interval_join_follows
 
     stream = STR.read_event_stream(spark, chunks)
     sp = stream.filter("event_type = 'purchase'").select(

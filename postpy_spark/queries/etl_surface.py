@@ -496,3 +496,24 @@ def scan_orc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@query(
+    "scan_xml",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    group="A",
+)
+def scan_xml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip (built into Spark 4): export nation to row-tagged XML,
+    re-ingest with an explicit schema — the document-ingest path for
+    XML-shaped corpora (arXiv, patents, wiki dumps)."""
+    path = _workdir(sf_dir, "nation_xml")
+    df = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    df.write.mode("overwrite").option("rootTag", "nations").option("rowTag", "nation").xml(path)
+    return (
+        spark.read.option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .xml(path)
+    )

@@ -154,3 +154,70 @@ def udtf_map_in_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.mapInPandas(
         tax_batches, "l_orderkey BIGINT, l_linenumber INT, tax_amount DOUBLE"
     )
+
+
+@query(
+    "udtf_python",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents WHERE doc_id < 100),
+    u AS (SELECT doc_id,
+                 unnest(list_transform(range(LEN(toks)),
+                        i -> {'word': toks[i+1], 'pos': i})) AS e
+          FROM t)
+    SELECT doc_id, e.word AS word, CAST(e.pos AS INT) AS pos FROM u
+    """,
+    group="E",
+)
+def udtf_python_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 @udtf): one input row →
+    many output rows, lateral-joined in SQL.  Tokenization is a plain
+    `split(' ')` on both engines so empty tokens align.  Row-at-a-time
+    Python like udf_scalar_py — a surface demo, bounded input; the
+    vectorized path for this job is explode/posexplode (text_tokenize_tf)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            for i, w in enumerate((text or "").split(" ")):
+                yield (w, i)
+
+    spark.udtf.register("pp_split_words", SplitWords)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("_pp_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.pos "
+        "FROM _pp_udtf_docs d, LATERAL pp_split_words(d.doc_id, d.text) s"
+    )
+
+
+@query(
+    "udtf_map_in_arrow",
+    oracle="""
+    SELECT doc_id, CAST(LEN(text) AS BIGINT) AS n_cp, lang
+    FROM documents
+    """,
+    group="E",
+)
+def udtf_map_in_arrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the lowest-overhead Python boundary: RecordBatches pass
+    straight through pyarrow.compute with no pandas materialization.
+    Counts code points per doc via pc.utf8_length (matches DuckDB LEN)."""
+    import pyarrow as pa
+
+    def batch_len(batches):
+        import pyarrow.compute as pc
+
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(b.column("text")), pa.int64()),
+                    b.column("lang"),
+                ],
+                names=["doc_id", "n_cp", "lang"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return d.mapInArrow(batch_len, "doc_id bigint, n_cp bigint, lang string")

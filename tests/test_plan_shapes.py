@@ -133,3 +133,17 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Deployers tune join strategy per query at scale; the hints must
+    actually reach the planner: shuffle_hash forces ShuffledHashJoin and
+    merge forces SortMergeJoin even where broadcast would win."""
+    from postpy_spark.io import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    n = load_table(spark, SF_SMOKE, "customer")
+    sh = o.join(n.hint("shuffle_hash"), o.o_custkey == n.c_custkey)
+    assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
+    sm = o.join(n.hint("merge"), o.o_custkey == n.c_custkey)
+    assert "SortMergeJoin" in sm._jdf.queryExecution().executedPlan().toString()

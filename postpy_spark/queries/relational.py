@@ -683,3 +683,20 @@ def unpivot_long_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).withColumn("measure", F.expr("substring(measure, 3)"))
+
+
+@query("sample_stratified", oracle=None, group="B5")
+def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-group) sampling via sampleBy — the quality-weighted
+    downsampling step of a training pipeline: uneven keep-rates per market
+    segment, seeded Bernoulli per stratum (deterministic given the seed;
+    per-stratum rate tolerance asserted in pytest).  Rows-only: DuckDB
+    cannot reproduce Spark's per-row hash draw."""
+    c = load_table(spark, sf_dir, "customer")
+    fractions = {
+        "AUTOMOBILE": 0.5, "BUILDING": 0.3, "FURNITURE": 0.2,
+        "HOUSEHOLD": 0.1, "MACHINERY": 0.05,
+    }
+    return c.sampleBy("c_mktsegment", fractions, seed=42).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )

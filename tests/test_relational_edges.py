@@ -7,6 +7,8 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from postpy_spark import streaming as STR
+from postpy_spark.io import load_table
+from tests.conftest import SF_SMOKE
 
 
 def ts(s):
@@ -116,3 +118,24 @@ def test_regex_metachar_literals(spark):
     df = spark.createDataFrame([Row(s="a.b*c[d]"), Row(s="plain")])
     assert df.filter(F.col("s").like("%.b*c[d]%")).count() == 1
     assert df.filter(F.col("s").rlike(r"a\.b\*c\[d\]")).count() == 1
+
+
+def test_sample_stratified_rates(spark):
+    """Per-stratum sample rates must land near the requested fractions and
+    be reproducible under the fixed seed."""
+    from postpy_spark.registry import load_all
+
+    q = load_all()["sample_stratified"].fn
+    a = q(spark, SF_SMOKE).groupBy("c_mktsegment").count().collect()
+    b = q(spark, SF_SMOKE).groupBy("c_mktsegment").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded determinism
+    base = {
+        r.c_mktsegment: r["count"]
+        for r in load_table(spark, SF_SMOKE, "customer")
+        .groupBy("c_mktsegment").count().collect()
+    }
+    want = {"AUTOMOBILE": 0.5, "BUILDING": 0.3, "FURNITURE": 0.2,
+            "HOUSEHOLD": 0.1, "MACHINERY": 0.05}
+    for r in a:
+        seg, got = r.c_mktsegment, r["count"] / base[r.c_mktsegment]
+        assert abs(got - want[seg]) < 0.12, (seg, got, want[seg])

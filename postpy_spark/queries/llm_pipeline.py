@@ -864,3 +864,26 @@ def embed_norm_quant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     )
+
+
+@query("kmeans_clusters", oracle=None, group="D")
+def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means over the embedding corpus (the iterative-algorithm
+    class the oracle can't express): hash-sampled seeding + two Lloyd
+    iterations, every step a broadcast argmax or a dimension-wise
+    aggregate — no driver-side vectors, no global sort.  Returns per-cell
+    population and mean assigned cosine (rounded; quality trend asserted
+    in pytest)."""
+    from postpy_spark.operators import similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = similarity.ivf_build(e, n_cells=16)
+    centroids, assigned = similarity.ivf_refine(e, centroids, n_iter=2)
+    scored = assigned.join(F.broadcast(centroids), "cell_id").select(
+        "cell_id",
+        similarity.cosine_expr(F.col("embedding"), F.col("cv")).alias("_sim"),
+    )
+    return scored.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("_sim"), 4).alias("mean_cosine"),
+    )

@@ -172,3 +172,22 @@ def test_ivf_refine_improves_or_holds_recall(spark, embeddings):
     )
     assert centroids.count() == 16
     assert assigned.count() == embeddings.count()
+
+
+def test_kmeans_iterations_improve_cluster_quality(spark, embeddings):
+    """Lloyd refinement must not degrade the clustering objective: mean
+    assigned cosine after 2 iterations >= the seeded assignment's (small
+    epsilon for the cosine-vs-mean objective gap)."""
+    from postpy_spark.operators import similarity
+
+    def mean_cos(centroids, assigned):
+        scored = assigned.join(F.broadcast(centroids), "cell_id").select(
+            similarity.cosine_expr(F.col("embedding"), F.col("cv")).alias("s")
+        )
+        return scored.agg(F.avg("s")).collect()[0][0]
+
+    c0, a0 = similarity.ivf_build(embeddings, n_cells=16)
+    base = mean_cos(c0, a0)
+    c2, a2 = similarity.ivf_refine(embeddings, c0, n_iter=2)
+    refined = mean_cos(c2, a2)
+    assert refined >= base - 0.005, (base, refined)

@@ -208,7 +208,9 @@ def execute_statements(spark: SparkSession, statements: Sequence[str]) -> list[D
     (upstream ``execute_transaction`` [U]).  Semantic gap vs PostgreSQL:
     completed statements are NOT rolled back — Spark's catalog has no
     multi-statement transactions.  Use :func:`atomic_overwrite` staging for
-    all-or-nothing data changes."""
+    all-or-nothing single writes, and :class:`postpy_spark.versioned.
+    VersionedTable` for snapshot commits with REAL post-hoc rollback /
+    time travel (pointer-swap manifest, the Delta/Iceberg primitive)."""
     ensure_runtime_confs(spark)
     return [spark.sql(s) for s in statements]
 

@@ -517,3 +517,30 @@ def scan_xml_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .xml(path)
     )
+
+
+@query(
+    "table_versioning",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    """,
+    group="A",
+)
+def table_versioning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table with REAL rollback (closes txn_exec's
+    round-1 'completed writes cannot be rolled back' gap): commit the even
+    half, commit a full overwrite, roll back — the read must be the even
+    half again.  Pointer-swap commits mean readers never see partial data
+    (postpy_spark.versioned; semantics tested in tests/test_versioned.py)."""
+    import shutil
+
+    from postpy_spark.versioned import VersionedTable
+
+    root = _workdir(sf_dir, f"vt_demo_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    vt.write(o.filter(F.col("o_orderkey") % 2 == 0))
+    vt.write(o)
+    vt.rollback()
+    return vt.read(spark)

@@ -1,0 +1,54 @@
+"""VersionedTable: snapshot isolation, rollback, time travel, vacuum."""
+
+import pytest
+
+from postpy_spark.versioned import VersionedTable
+
+
+@pytest.fixture()
+def vt(tmp_path):
+    return VersionedTable(str(tmp_path / "vt"))
+
+
+def test_write_read_rollback_time_travel(spark, vt):
+    v1 = vt.write(spark.range(10).selectExpr("id", "id * 2 AS v"))
+    v2 = vt.write(spark.range(20).selectExpr("id", "id * 3 AS v"))
+    assert (v1, v2) == (1, 2)
+    assert vt.read(spark).count() == 20
+    assert vt.read(spark, version=1).count() == 10  # time travel
+    assert vt.rollback() == 1
+    assert vt.read(spark).count() == 10
+    # roll forward again by explicit version
+    assert vt.rollback(to_version=2) == 2
+    assert vt.read(spark).count() == 20
+
+
+def test_reader_resolved_before_swap_keeps_snapshot(spark, vt):
+    vt.write(spark.range(5).selectExpr("id"))
+    snap = vt.read(spark)  # resolves v1's path now
+    vt.write(spark.range(50).selectExpr("id"))
+    assert snap.count() == 5        # immutable dir: old plan still valid
+    assert vt.read(spark).count() == 50
+
+
+def test_vacuum_keeps_current_and_recent(spark, vt):
+    for n in (1, 2, 3, 4):
+        vt.write(spark.range(n).selectExpr("id"))
+    vt.rollback(to_version=2)
+    removed = vt.vacuum(keep=1)
+    assert 2 not in removed          # pointer target survives
+    assert vt.read(spark).count() == 2
+    assert set(removed) == {1, 3}
+
+
+def test_failed_write_leaves_table_intact(spark, vt):
+    vt.write(spark.range(7).selectExpr("id"))
+    bad = spark.range(3).selectExpr("CAST(raise_error('boom') AS STRING) AS x")
+    with pytest.raises(Exception):
+        vt.write(bad)
+    # staging dir never became a version; pointer untouched
+    assert vt.current_version() == 1
+    assert vt.versions() == [1]      # no committed junk, staging cleaned
+    assert vt.read(spark).count() == 7
+    # and the next successful write proceeds normally
+    assert vt.write(spark.range(2).selectExpr("id")) == 2

@@ -535,3 +535,71 @@ def tpch_q19_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+@query(
+    "events_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    group="B4",
+)
+def events_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (Markov view of user behavior): one
+    lag window per user + one aggregate.  The window partitions per user;
+    the transition matrix is |types|² — tiny at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return o.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events GROUP BY 1, 2
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+    SELECT f.cohort_day,
+           DATE_DIFF('day', f.cohort_day, d.day) AS day_offset,
+           COUNT(DISTINCT d.user_id) AS active_users
+    FROM d JOIN firsts f ON d.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    group="B3",
+)
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, counted
+    on each later active day.  Two aggregates + one equi join; the firsts
+    frame is per-user (small) and broadcastable at any corpus scale."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    firsts = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("bigint").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

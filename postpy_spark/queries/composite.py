@@ -603,3 +603,128 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, MIN(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    conv AS (
+        SELECT c.user_id, MIN(e.ts) AS conv_ts
+        FROM clicks c JOIN events e
+          ON e.user_id = c.user_id AND e.event_type = 'purchase'
+         AND e.ts > c.first_click
+         AND e.ts <= c.first_click + INTERVAL 1 HOUR
+        GROUP BY 1
+    )
+    SELECT COUNT(*)                        AS n_clickers,
+           COUNT(conv.user_id)             AS n_converted,
+           ROUND(CAST(COUNT(conv.user_id) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+    FROM clicks LEFT JOIN conv ON clicks.user_id = conv.user_id
+    """,
+    group="B2",
+)
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (first click → purchase within 1h): per-user firsts
+    aggregate, keyed interval join for the conversion step, left join for
+    the rate.  All equi-keyed; the firsts frame is per-user-sized."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(
+            purch,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("first_click"))
+            & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("conv_ts"))
+        .select(F.col("user_id").alias("c_user"))
+    )
+    j = clicks.join(conv, clicks.user_id == conv.c_user, "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_clickers"),
+        F.count("c_user").alias("n_converted"),
+        F.round(F.count("c_user").cast("double") / F.count(F.lit(1)), 6).alias(
+            "conv_rate"
+        ),
+    )
+
+
+@query(
+    "dq_check",
+    oracle="""
+    SELECT 'lineitem_orphans' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_bad
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           (SELECT COUNT(*) FROM
+             (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'customer_bad_nation_fk',
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    group="A",
+)
+def dq_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit (the validation postpy users ran as SQL checks):
+    referential integrity via anti joins (broadcast where the parent is
+    dim-sized), PK uniqueness, null/domain rules — each check one scan or
+    one join, unioned into a (check_name, n_bad) report."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def one(name, cnt_df):
+        return cnt_df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_bad"),
+        )
+
+    checks = [
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
+            F.lit("lineitem_orphans").alias("check_name"),
+            F.count(F.lit(1)).alias("n_bad"),
+        ),
+        o.filter(F.col("o_custkey").isNull()).agg(
+            F.lit("orders_null_custkey").alias("check_name"),
+            F.count(F.lit(1)).alias("n_bad"),
+        ),
+        o.groupBy("o_orderkey").count().filter("count > 1").agg(
+            F.lit("orders_dup_pk").alias("check_name"),
+            F.count(F.lit(1)).alias("n_bad"),
+        ),
+        l.filter(F.col("l_quantity") <= 0).agg(
+            F.lit("lineitem_nonpositive_qty").alias("check_name"),
+            F.count(F.lit(1)).alias("n_bad"),
+        ),
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti").agg(
+            F.lit("customer_bad_nation_fk").alias("check_name"),
+            F.count(F.lit(1)).alias("n_bad"),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

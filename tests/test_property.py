@@ -91,3 +91,35 @@ def test_asof_matches_pandas_merge_asof(spark, left, right):
     for _, row in ref.iterrows():
         expect = None if pd.isna(row["rv"]) else int(row["rv"])
         assert got[row["lid"]] == expect
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=10
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=10
+    ),
+    width=st.sampled_from([7.0, 60.0, 250.0, 5000.0]),
+)
+@SLOW
+def test_asof_bucketed_equals_plain_property(spark, left, right, width):
+    """The time-bucketed as-of (skew escape hatch) must equal the plain
+    operator for ANY bucket width, including widths that slice ties and
+    carry-in chains across many buckets."""
+    base = datetime.datetime(2024, 1, 1)
+    ldf = [Row(k=k, t=base + datetime.timedelta(seconds=s), lid=i)
+           for i, (k, s) in enumerate(left)]
+    seen = set()
+    rrows = []
+    for k, s in right:
+        if (k, s) not in seen:
+            seen.add((k, s))
+            rrows.append(Row(k=k, rt=base + datetime.timedelta(seconds=s), rv=s))
+    l = spark.createDataFrame(ldf)
+    r = spark.createDataFrame(rrows)
+    kw = dict(left_on="k", right_on="k", left_time="t", right_time="rt",
+              right_cols=["rv"])
+    plain = sorted(map(tuple, asof_join(l, r, **kw).collect()))
+    bucketed = sorted(map(tuple, asof_join(l, r, bucket_width=width, **kw).collect()))
+    assert plain == bucketed

@@ -544,3 +544,34 @@ def table_versioning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.write(o)
     vt.rollback()
     return vt.read(spark)
+
+
+@query(
+    "sql_execute",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+    group="A",
+)
+def sql_execute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL execution path — how postpy users actually drove the engine
+    (sql.py::execute/select handed SQL strings to the server [U]).  A
+    multi-statement script runs through etl.execute_statements (view setup,
+    then the query); the last statement's frame is the result."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pp_sql_orders")
+    results = etl.execute_statements(
+        spark,
+        [
+            """CREATE OR REPLACE TEMP VIEW _pp_recent AS
+               SELECT * FROM _pp_sql_orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'""",
+            """SELECT o_orderstatus, COUNT(*) AS n,
+                      ROUND(SUM(o_totalprice), 2) AS total
+               FROM _pp_recent GROUP BY o_orderstatus""",
+        ],
+    )
+    return results[-1]

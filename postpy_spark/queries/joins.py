@@ -338,3 +338,43 @@ def join_multiway_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "join_asof_strict",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT ROUND(SUM(o2.o_totalprice), 2)
+            FROM orders o2
+            WHERE o2.o_custkey = e.user_id
+              AND o2.o_orderdate = (SELECT MAX(o3.o_orderdate) FROM orders o3
+                                    WHERE o3.o_custkey = e.user_id
+                                      AND o3.o_orderdate < e.ts)) AS day_total
+    FROM events e
+    """,
+    group="B2",
+)
+def join_asof_strict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict (<) as-of: the latest order day STRICTLY before each event —
+    an event at exactly an order's timestamp must not match it (the
+    look-ahead-bias rule in feature engineering).  DuckDB's native ASOF
+    JOIN is >= only, so the oracle is the correlated-subquery formulation;
+    Spark side is the same single-shuffle union+window operator with the
+    tie ordering flipped."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+    )
+    out = asof_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_cols=["day_total"],
+        strict=True,
+    )
+    return out.select("event_id", "user_id", "day_total")

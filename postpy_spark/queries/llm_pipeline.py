@@ -887,3 +887,32 @@ def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("_sim"), 4).alias("mean_cosine"),
     )
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    WITH m AS (SELECT doc_id, sha256(text) AS payload_hash FROM documents)
+    SELECT payload_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM m GROUP BY 1
+    """,
+    group="D",
+)
+def multimodal_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE BINARY payloads (image/audio dedupe by
+    content digest): one sha2 per payload, one shuffle on the digest —
+    payloads never deserialize, so this costs the same at any media size.
+    Survivor = lowest doc_id per digest.  (DuckDB's sha256 takes VARCHAR
+    and hashes its UTF-8 bytes — exactly the synthesized payload bytes, so
+    the digests align.)"""
+    from postpy_spark.operators import multimodal as MM
+
+    media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return (
+        media.select("doc_id", F.sha2(F.col("payload"), 256).alias("payload_hash"))
+        .groupBy("payload_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

@@ -700,3 +700,55 @@ def sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.sampleBy("c_mktsegment", fractions, seed=42).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS n_dist
+    FROM customer GROUP BY c_nationkey
+    """,
+    group="B3",
+)
+def agg_bitmap_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5 bitmap_*):
+    keys bucket into 32k-bit bitmaps, per-(group, bucket) OR-aggregation is
+    map-side partial, then bitmap popcounts sum per group.  For dense
+    integer keys this replaces count_distinct's expand+two-phase with a
+    fixed-width bitmap shuffle — the exact-distinct formulation that holds
+    at 100 TB.  Result equals COUNT(DISTINCT) exactly (oracle-checked)."""
+    c = load_table(spark, sf_dir, "customer")
+    per_bucket = (
+        c.select(
+            "c_nationkey",
+            F.expr("bitmap_bucket_number(c_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(c_custkey)").alias("pos"),
+        )
+        .groupBy("c_nationkey", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt"))
+    )
+    return per_bucket.groupBy("c_nationkey").agg(F.sum("cnt").alias("n_dist"))
+
+
+@query("agg_hll_mergeable", oracle=None, group="B3")
+def agg_hll_mergeable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (datasketches, Spark 3.5): per-segment
+    sketches are built ONCE, then re-aggregated with hll_union_agg for the
+    global figure — the sketch-reuse pattern that makes rollups over
+    petabyte facts cheap (build once, merge per grain).  Rows-only for the
+    driver; pytest gates both estimates within ±5% of exact."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk")
+    )
+    per_seg = seg.select(
+        "c_mktsegment",
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("approx_dist"),
+    )
+    total = seg.agg(
+        F.lit("__ALL__").alias("c_mktsegment"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
+            "approx_dist"
+        ),
+    )
+    return per_seg.unionByName(total)

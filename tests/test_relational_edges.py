@@ -139,3 +139,23 @@ def test_sample_stratified_rates(spark):
     for r in a:
         seg, got = r.c_mktsegment, r["count"] / base[r.c_mktsegment]
         assert abs(got - want[seg]) < 0.12, (seg, got, want[seg])
+
+
+def test_hll_mergeable_within_tolerance(spark):
+    """Per-segment and merged-global HLL estimates within ±5% of exact."""
+    from postpy_spark.registry import load_all
+
+    got = {
+        r.c_mktsegment: r.approx_dist
+        for r in load_all()["agg_hll_mergeable"].fn(spark, SF_SMOKE).collect()
+    }
+    c = load_table(spark, SF_SMOKE, "customer")
+    exact = {
+        r.c_mktsegment: r.n
+        for r in c.groupBy("c_mktsegment")
+        .agg(F.count_distinct("c_custkey").alias("n"))
+        .collect()
+    }
+    exact["__ALL__"] = c.select("c_custkey").distinct().count()
+    for seg, ex in exact.items():
+        assert abs(got[seg] - ex) / ex <= 0.05, (seg, got[seg], ex)

@@ -570,3 +570,80 @@ def fn_url_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
     )
+
+
+@query(
+    "fn_struct_nested",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey,
+               {'status': o_orderstatus,
+                'money': {'total': o_totalprice,
+                          'band': CASE WHEN o_totalprice > 200000
+                                       THEN 'big' ELSE 'small' END}} AS info,
+               [{'pos': 1, 'amt': o_totalprice},
+                {'pos': 2, 'amt': o_totalprice / 2}] AS parts
+        FROM orders
+    )
+    SELECT o_orderkey,
+           info.status                                   AS status,
+           info.money.band                               AS band,
+           ROUND(info.money.total, 2)                    AS total,
+           CAST(LEN(parts) AS INT)                       AS n_parts,
+           ROUND(list_sum(list_transform(parts, p -> p.amt)), 4) AS parts_sum
+    FROM s
+    """,
+    group="B6",
+)
+def fn_struct_nested_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested struct construction + dotted-path navigation + arrays of
+    structs with field-projection lambdas — the JSON-ish shaped-data
+    surface, all JVM expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.struct(
+            F.col("o_totalprice").alias("total"),
+            F.when(F.col("o_totalprice") > 200000, "big").otherwise("small").alias(
+                "band"
+            ),
+        ).alias("money"),
+    )
+    parts = F.array(
+        F.struct(F.lit(1).alias("pos"), F.col("o_totalprice").alias("amt")),
+        F.struct(F.lit(2).alias("pos"), (F.col("o_totalprice") / 2).alias("amt")),
+    )
+    s = o.select("o_orderkey", info.alias("info"), parts.alias("parts"))
+    return s.select(
+        "o_orderkey",
+        F.col("info.status").alias("status"),
+        F.col("info.money.band").alias("band"),
+        F.round(F.col("info.money.total"), 2).alias("total"),
+        F.size("parts").alias("n_parts"),
+        F.round(
+            F.aggregate(
+                F.transform("parts", lambda p: p["amt"]),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("parts_sum"),
+    )
+
+
+@query("agg_approx_topk", oracle=None, group="B3")
+def agg_approx_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in approx_top_k sketch (Spark 4) over order priorities —
+    the one-expression flavor of the Misra-Gries pipeline in
+    text_heavy_hitters.  Rows-only (sketch internals are engine-specific);
+    pytest asserts exact agreement with the true top-k on this data, where
+    every priority clears the sketch capacity."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.agg(F.expr("approx_top_k(o_orderpriority, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+    )

@@ -159,3 +159,23 @@ def test_hll_mergeable_within_tolerance(spark):
     exact["__ALL__"] = c.select("c_custkey").distinct().count()
     for seg, ex in exact.items():
         assert abs(got[seg] - ex) / ex <= 0.05, (seg, got[seg], ex)
+
+
+def test_approx_topk_exact_on_coarse_domain(spark):
+    """5-value domain ≪ sketch capacity → approx_top_k must be exact."""
+    from postpy_spark.registry import load_all
+
+    got = {
+        (r.item, r.cnt)
+        for r in load_all()["agg_approx_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    o = load_table(spark, SF_SMOKE, "orders")
+    exact = {
+        (r.o_orderpriority, r.n)
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "o_orderpriority")
+        .limit(3)
+        .collect()
+    }
+    assert got == exact

@@ -916,3 +916,20 @@ def multimodal_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@query("sample_weighted", oracle=None, group="D")
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: keep probability proportional to a
+    quality score (here the stopword-free length signal), the standard
+    high-quality-upweighting step before training.  One narrow pass —
+    rand(seed) per row against the normalized weight, no shuffle.
+    Rows-only (per-row hash draws are engine-specific); pytest checks the
+    kept fraction tracks the mean weight and the draw is seed-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars").cast("double") / 400.0, F.lit(1.0))
+    return (
+        d.select("doc_id", "lang", w.alias("keep_p"), F.rand(seed=7).alias("u"))
+        .filter(F.col("u") < F.col("keep_p"))
+        .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
+    )

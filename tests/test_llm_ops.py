@@ -191,3 +191,15 @@ def test_kmeans_iterations_improve_cluster_quality(spark, embeddings):
     c2, a2 = similarity.ivf_refine(embeddings, c0, n_iter=2)
     refined = mean_cos(c2, a2)
     assert refined >= base - 0.005, (base, refined)
+
+
+def test_sample_weighted_rate_and_determinism(spark, docs):
+    from postpy_spark.registry import load_all
+
+    q = load_all()["sample_weighted"].fn
+    a = sorted(r.doc_id for r in q(spark, SF_SMOKE).collect())
+    b = sorted(r.doc_id for r in q(spark, SF_SMOKE).collect())
+    assert a == b  # seed-stable
+    d = docs.selectExpr("least(cast(n_chars as double)/400.0, 1.0) AS p")
+    expect = d.agg(F.sum("p")).collect()[0][0]
+    assert abs(len(a) - expect) / expect < 0.25

@@ -147,3 +147,13 @@ def test_join_strategy_hints_are_honored(spark):
     assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
     sm = o.join(n.hint("merge"), o.o_custkey == n.c_custkey)
     assert "SortMergeJoin" in sm._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rebalance_hint_reaches_planner(spark):
+    """AQE rebalance (the skewed-WRITE cure: splits oversized output
+    partitions without a fixed count) must survive planning."""
+    from postpy_spark.io import load_table
+
+    df = load_table(spark, SF_SMOKE, "lineitem").hint("rebalance")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in plan

@@ -168,3 +168,26 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+
+
+def test_bucketed_asof_strict_mode_equals_plain(spark):
+    """strict='<' tie handling must survive bucketing (equal-time rows land
+    in the same bucket, so the side ordering is exercised)."""
+    from postpy_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [(1, t, i) for i, t in enumerate([10, 100, 100, 250, 300])],
+        "user_id BIGINT, t BIGINT, ev BIGINT",
+    )
+    rt = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 100, 2.0), (1, 300, 3.0)],
+        "user_id BIGINT, rt BIGINT, quote DOUBLE",
+    )
+    kw = dict(left_on="user_id", right_on="user_id", left_time="t",
+              right_time="rt", right_cols=["quote"], strict=True)
+    plain = sorted(map(tuple, asof_join(ev, rt, **kw).collect()))
+    bucketed = sorted(map(tuple, asof_join(ev, rt, bucket_width=100.0, **kw).collect()))
+    assert plain == bucketed
+    # and the strict semantics themselves: t=100 must see rt=10's quote
+    got = {r.ev: r.quote for r in asof_join(ev, rt, **kw).collect()}
+    assert got[1] == 1.0 and got[2] == 1.0 and got[4] == 2.0

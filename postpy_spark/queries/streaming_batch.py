@@ -250,3 +250,29 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("f_ts"),
     )
     return STR.interval_join_follows(p, f)
+
+
+@query(
+    "stream_two_level_agg",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               DATE_DIFF('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS es
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, es // 900 AS b15, COUNT(*) AS n
+        FROM e GROUP BY 1, 2
+    )
+    SELECT make_timestamp(((b15 * 900) // 3600) * 3600 * 1000000) AS hour_start,
+           event_type, MAX(n) AS max_n
+    FROM c GROUP BY 1, 2
+    """,
+    group="C",
+)
+def stream_two_level_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained windowed aggregation — TWO stateful operators in one query
+    (Spark ≥3.4 for aligned time windows): peak 15-minute event rate per
+    hour.  Batch twin sql-checked; pytest replays it as a real watermarked
+    stream and asserts convergence."""
+    return STR.two_level_rate(load_table(spark, sf_dir, "events"))

@@ -343,3 +343,20 @@ def sessionize_stream_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame
             timeMode="None",
         )
     )
+
+
+def two_level_rate(events: DataFrame) -> DataFrame:
+    """Chained windowed aggregation (two stateful operators in ONE query —
+    supported for aligned time windows since Spark 3.4): 15-minute event
+    counts per type, then the per-hour MAX of those 15-minute rates.  In
+    streaming mode both levels keep watermark-bounded state; in batch mode
+    the same plan is two partial-aggregated groupBys."""
+    lvl1 = events.groupBy(F.window("ts", "15 minutes"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lvl2 = lvl1.groupBy(F.window("window", "1 hour"), "event_type").agg(
+        F.max("n").alias("max_n")
+    )
+    return lvl2.select(
+        F.col("window.start").alias("hour_start"), "event_type", "max_n"
+    )

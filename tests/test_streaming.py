@@ -2,6 +2,8 @@
 converge to the batch plans — the group C verification SURVEY.md §2.C
 promises beyond the driver's batch-equivalence check."""
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -159,4 +161,71 @@ def test_streaming_sliding_converges(spark, chunks):
         output_mode="complete",
     )
     batch = STR.sliding_counts(load_table(spark, SF_SMOKE, "events"))
+    assert_same(got, batch)
+
+
+def test_checkpoint_restart_no_duplication(spark, tmp_path):
+    """Exactly-once across RESTARTS: process the first half of the stream,
+    stop, land more files, restart the SAME checkpoint — the second run
+    must pick up only the new files, and the final sink must equal the
+    batch answer with no duplicated rows."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    ev = load_table(spark, SF_SMOKE, "events")
+    for i in range(4):
+        (ev.filter(F.col("event_id") % 4 == i).coalesce(1)
+           .write.mode("overwrite").parquet(f"{src}/chunk_{i}"))
+    # hide chunks 2,3 from run 1
+    for i in (2, 3):
+        os.rename(f"{src}/chunk_{i}", f"{src}/__hold_{i}")
+
+    STR.stream_upsert_to_path(
+        spark, STR.read_event_stream(spark, src), out,
+        keys=["event_id"], order_cols=["ts", "event_id"], checkpoint=ckpt,
+    )
+    n_first = spark.read.parquet(out).count()
+    assert n_first == ev.filter(F.col("event_id") % 4 <= 1).count()
+    for i in (2, 3):
+        os.rename(f"{src}/__hold_{i}", f"{src}/chunk_{i}")
+    STR.stream_upsert_to_path(
+        spark, STR.read_event_stream(spark, src), out,
+        keys=["event_id"], order_cols=["ts", "event_id"], checkpoint=ckpt,
+    )
+    final = spark.read.parquet(out)
+    assert final.count() == ev.count()                       # nothing duplicated
+    assert final.select("event_id").distinct().count() == ev.count()
+
+
+def test_streaming_two_level_agg_converges(spark, chunks, tmp_path):
+    """Two chained stateful windowed aggregations in ONE streaming query
+    (multi-stateful-operator support) must converge to the batch plan.
+
+    Chained aggs require APPEND mode, which only emits a window once the
+    watermark passes it — so the replay adds a far-future sentinel event
+    that flushes every real window (the sentinel's own window stays open
+    and is excluded from the comparison)."""
+    import shutil
+
+    src = str(tmp_path / "chunks2")
+    shutil.copytree(chunks, src)
+    e = load_table(spark, SF_SMOKE, "events")
+    horizon = e.agg(F.max("ts")).collect()[0][0]
+    sentinel = e.limit(1).select(
+        F.lit(10**9).alias("event_id"),
+        (F.lit(horizon) + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        F.lit(0).cast("bigint").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{src}/chunk_zz")
+    stream = STR.read_event_stream(spark, src)
+    got = STR.run_stream_to_memory(
+        STR.two_level_rate(STR.with_watermark(stream, "30 days")),
+        "t_two_level",
+        output_mode="append",
+    )
+    batch = STR.two_level_rate(e)  # real events only: sentinel window never emits
     assert_same(got, batch)

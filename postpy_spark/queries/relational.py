@@ -752,3 +752,51 @@ def agg_hll_mergeable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_seg.unionByName(total)
+
+
+@query(
+    "agg_group_by_all",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey % 5 AS nk_band,
+           COUNT(*) AS n, ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY ALL
+    """,
+    group="B3",
+)
+def agg_group_by_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (the modern dimensional shorthand, supported by both
+    engines): grouping keys inferred from the non-aggregate select list."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_pp_gba_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey % 5 AS nk_band,
+               COUNT(*) AS n, ROUND(AVG(c_acctbal), 4) AS avg_bal
+        FROM _pp_gba_customer GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_transform(
+               quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+               x -> CAST(ROUND(x, 4) AS VARCHAR)), ',') AS quartiles
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="B3",
+)
+def agg_percentile_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (linear interpolation — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``), emitted as a joined string
+    so the array representation can't skew the hash compare.  Exact
+    percentiles sort within each group: fine per-group, use
+    percentile_approx (agg_approx_quantile) when groups are huge."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+    return l.groupBy("l_returnflag").agg(
+        F.array_join(
+            F.transform(p, lambda x: F.round(x, 4).cast("string")), ","
+        ).alias("quartiles")
+    )

@@ -35,3 +35,29 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+def test_view_creating_queries_rerun_across_sf_dirs(spark):
+    """Queries that create temp views / tmp tables / Derby DBs must be
+    idempotent within one session AND correct when re-run against a
+    DIFFERENT sf_dir (stale views or cached paths would leak the first
+    run's data into the second)."""
+    from postpy_spark.registry import load_all
+
+    reg = load_all()
+    stateful = [
+        "scan_csv", "ddl_create_table_as", "sql_execute", "scan_jdbc",
+        "table_versioning", "scan_xml", "scan_orc",
+    ]
+    def rows(name, sf):
+        return sorted(map(tuple, reg[name].fn(spark, f"/root/testdata/{sf}").collect()))
+
+    for name in stateful:
+        small = rows(name, "sf0.001")
+        big = rows(name, "sf0.01")
+        again = rows(name, "sf0.001")
+        assert small == again, name
+        # nation is 25 rows at every sf; every other result must reflect
+        # the sf_dir it was given, not the first run's data
+        if name not in ("scan_csv", "scan_jdbc", "scan_xml"):
+            assert small != big, (name, small[:3])

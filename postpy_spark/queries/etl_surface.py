@@ -575,3 +575,23 @@ def sql_execute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return results[-1]
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    SELECT r AS id, concat('r', r) AS tag, CAST(r AS DOUBLE) * CAST(1.5 AS DOUBLE) AS score
+    FROM range(500) t(r)
+    """,
+    group="A",
+)
+def scan_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data source (Spark 4 DataSource API): the connector
+    escape hatch for systems with no JVM driver — partitions() defines the
+    parallelism (4 striped InputPartitions here), read() yields rows per
+    partition, Arrow ships them JVM-side.  Deterministic synthetic rows so
+    the oracle can reproduce the exact output."""
+    from postpy_spark import sources
+
+    sources.register(spark)
+    return spark.read.format("pp_synth").option("n", 500).load()

@@ -1,0 +1,58 @@
+"""Custom Python data sources (Spark 4 DataSource V2 Python API).
+
+postpy's surface was "read rows out of a system psycopg2 can talk to"; the
+Spark-4 analog for arbitrary systems without a JVM connector is the Python
+DataSource API: implement partitions() + read() and the source becomes a
+first-class, partition-parallel ``spark.read.format(...)`` — pushdown-free
+but fully distributed (one Python task per InputPartition, Arrow-batched
+back to the JVM).
+
+``SyntheticSource`` here is deliberately simple and DETERMINISTIC (id +
+tag derived from id) so the contract query can be oracle-checked; it
+demonstrates the partitioning contract, not a specific backend.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+N_PARTITIONS = 4
+
+
+class _SyntheticReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 100))
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(N_PARTITIONS)]
+
+    def read(self, partition: InputPartition):
+        # round-robin striping: each partition yields its residue class,
+        # so the union over partitions is exactly range(n)
+        for k in range(partition.value, self.n, N_PARTITIONS):
+            yield (k, f"r{k}", float(k) * 1.5)
+
+
+class SyntheticSource(DataSource):
+    """``spark.read.format("pp_synth").option("n", 1000)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pp_synth"
+
+    def schema(self) -> str:
+        return "id BIGINT, tag STRING, score DOUBLE"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SyntheticReader(self.options)
+
+
+_registered: set[int] = set()
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    try:
+        spark.dataSource.register(SyntheticSource)
+    except Exception:
+        pass  # already registered on this session

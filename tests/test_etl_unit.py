@@ -332,3 +332,38 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.selectExpr("sum(v)").collect()[0][0] == 10_000 * (10_000 - 1)
+
+
+def test_python_datasource_partition_parallelism(spark):
+    """The custom Python source must expose its InputPartitions as real
+    Spark partitions (distributed read, not a driver loop)."""
+    from postpy_spark import sources
+
+    sources.register(spark)
+    df = spark.read.format("pp_synth").option("n", 100).load()
+    assert df.rdd.getNumPartitions() == sources.N_PARTITIONS
+    assert df.count() == 100
+    assert df.agg({"id": "sum"}).collect()[0][0] == 100 * 99 // 2
+
+
+def test_observation_metrics_single_pass(spark):
+    """Pipeline observability: Observation collects row counts/sums as a
+    side effect of the ONE action — no second scan for metrics."""
+    from pyspark.sql import Observation
+
+    import pyspark.sql.functions as F
+    from postpy_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    obs = Observation("etl_metrics")
+    df = load_table(spark, SF_SMOKE, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_read"),
+        F.sum("o_totalprice").alias("total_value"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_keys"),
+    )
+    n = df.count()
+    got = obs.get
+    assert got["rows_read"] == n
+    assert got["null_keys"] == 0
+    assert got["total_value"] > 0

@@ -174,3 +174,30 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
 
     slim = media.filter(F.col("kind") == "video").select("doc_id", "meta")
     return slim.mapInPandas(frames, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id BIGINT, n_samples BIGINT, duration_s DOUBLE, rms DOUBLE, peak BIGINT"
+SAMPLE_RATE = 16_000
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Audio-kind assets only: decode (fake PCM = codepoint stream) →
+    duration / RMS / peak per asset over Arrow batches.  Same shape a real
+    soundfile-backed decoder plugs into; raw floats cross back JVM-side
+    un-rounded (python round is banker's)."""
+    audio = media.filter(F.col("kind") == "audio")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px = pdf["payload"].map(fake_pixels)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": px.map(len).astype("int64"),
+                    "duration_s": px.map(lambda v: len(v) / SAMPLE_RATE),
+                    "rms": px.map(lambda v: (sum(x * x for x in v) / len(v)) ** 0.5),
+                    "peak": px.map(max).astype("int64"),
+                }
+            )
+
+    return audio.mapInPandas(stats, AUDIO_SCHEMA)

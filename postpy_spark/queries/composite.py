@@ -728,3 +728,40 @@ def dq_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+@query(
+    "tpch_q22_shape",
+    oracle="""
+    WITH rich AS (
+        SELECT * FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+    )
+    SELECT c_nationkey % 7 AS cntry_band,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM rich r
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey)
+    GROUP BY 1
+    """,
+    group="B2",
+)
+def tpch_q22_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar subquery
+    (above-positive-average balance) + NOT EXISTS anti join (customers who
+    never ordered) + banded aggregate.  The scalar lands as a broadcast
+    one-row join; the anti join shuffles on the key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = c.join(F.broadcast(avg_pos)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    never = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return never.groupBy((F.col("c_nationkey") % 7).alias("cntry_band")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

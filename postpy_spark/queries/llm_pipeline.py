@@ -933,3 +933,33 @@ def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("keep_p"))
         .select("doc_id", "lang", F.round("keep_p", 6).alias("keep_p"))
     )
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT)            AS n_samples,
+           ROUND(CAST(length(text) AS DOUBLE) / 16000, 6) AS duration_s,
+           ROUND(sqrt(CAST(list_sum(list_transform(range(length(text)),
+                 i -> ord(text[i+1:i+1]) * ord(text[i+1:i+1]))) AS DOUBLE)
+                 / length(text)), 4)               AS rms,
+           CAST(list_max(list_transform(range(length(text)),
+                 i -> ord(text[i+1:i+1]))) AS BIGINT) AS peak
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+    group="D",
+)
+def multimodal_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (duration / RMS / peak) over the fake-PCM
+    decode path — kind-filtered BEFORE the Arrow stage so image/video
+    payloads never cross into Python."""
+    media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    out = MM.audio_stats(media)
+    return out.select(
+        "doc_id",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    )

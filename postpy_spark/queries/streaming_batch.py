@@ -276,3 +276,57 @@ def stream_two_level_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour.  Batch twin sql-checked; pytest replays it as a real watermarked
     stream and asserts convergence."""
     return STR.two_level_rate(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                    ELSE INTERVAL 15 MINUTE END AS gap
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts, event_id,
+               MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_horizon
+        FROM g
+    ),
+    s AS (
+        SELECT user_id, ts, event_id,
+               SUM(CASE WHEN prev_horizon IS NULL OR ts > prev_horizon
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o
+    )
+    SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts) AS session_start
+    FROM s GROUP BY user_id, sid
+    """,
+    group="C",
+)
+def stream_session_dynamic_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: the inactivity gap is a COLUMN (60 min
+    after a purchase, 15 min otherwise) — session_window(ts, gap_expr),
+    supported in batch AND streaming.  The oracle reproduces the merge rule
+    as a running-max horizon (an event joins the session iff its ts ≤ the
+    max of all previous ts+gap; strictly-greater breaks, matching the
+    empirically probed fixed-gap boundary).  Session ids are per-user
+    ordinals so both engines agree without exposing engine session bounds."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")).otherwise(
+        F.lit("15 minutes")
+    )
+    sess = (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start"))
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start")
+    return sess.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("sid"),
+        "n_events",
+        "session_start",
+    )

@@ -14,7 +14,12 @@ demonstrates the partitioning contract, not a specific backend.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 N_PARTITIONS = 4
 
@@ -45,6 +50,35 @@ class SyntheticSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "_SyntheticStreamReader":
+        return _SyntheticStreamReader(self.options)
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reader over the same synthetic rows:
+    each batch serves ``batch_size`` rows and advances the committed
+    offset, so restarts resume exactly where the checkpoint left off —
+    the custom-source analog of a Kafka offset range."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 100))
+        self.batch_size = int(options.get("batch_size", 10))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        end = min(pos + self.batch_size, self.n)
+        rows = [(k, f"r{k}", float(k) * 1.5) for k in range(pos, end)]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            (k, f"r{k}", float(k) * 1.5)
+            for k in range(int(start["pos"]), int(end["pos"]))
+        )
 
 
 _registered: set[int] = set()

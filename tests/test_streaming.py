@@ -229,3 +229,31 @@ def test_streaming_two_level_agg_converges(spark, chunks, tmp_path):
     )
     batch = STR.two_level_rate(e)  # real events only: sentinel window never emits
     assert_same(got, batch)
+
+
+def test_python_datasource_streaming_exactly_once(spark):
+    """Custom PYTHON streaming source (SimpleDataSourceStreamReader):
+    offset-tracked micro-batches must deliver every row exactly once
+    across multiple triggers."""
+    import time
+
+    from postpy_spark import sources
+
+    sources.register(spark)
+    df = spark.readStream.format("pp_synth").option("n", 45).option("batch_size", 10).load()
+    q = (
+        df.writeStream.format("memory").queryName("t_pyds")
+        .outputMode("append").trigger(processingTime="250 milliseconds").start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("t_pyds").count() >= 45:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table("t_pyds")
+    assert got.count() == 45                               # all, exactly once
+    assert got.select("id").distinct().count() == 45
+    assert got.agg(F.sum("id")).collect()[0][0] == 45 * 44 // 2

@@ -595,3 +595,65 @@ def scan_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sources.register(spark)
     return spark.read.format("pp_synth").option("n", 500).load()
+
+
+@query(
+    "etl_zorder_layout",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS price_band,
+           CAST(FLOOR(l_quantity / 10) AS BIGINT)         AS qty_band,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY 1, 2
+    """,
+    group="A",
+)
+def etl_zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + re-read (OPTIMIZE ZORDER analog): lineitem
+    rewritten Morton-ordered on (price, quantity), then aggregated from the
+    clustered copy — values must be lossless.  The layout's measured
+    row-group pruning lives in tests/test_zorder.py."""
+    from postpy_spark.operators.zorder import zorder_write
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    path = _workdir(sf_dir, "lineitem_zorder")
+    zorder_write(l, path, ["l_extendedprice", "l_quantity"], bits=5, num_files=8)
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        F.floor(F.col("l_extendedprice") / 10000).cast("bigint").alias("price_band"),
+        F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+    group="A",
+)
+def scan_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: generation 1 files lack a column that
+    generation 2 adds; mergeSchema=true unions the schemas and fills the
+    missing column with NULLs — the append-only-pipeline reality where
+    producers upgrade over time."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _workdir(sf_dir, f"orders_evo_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    gen1.write.mode("append").parquet(path)
+    gen2.write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )

@@ -221,3 +221,82 @@ def udtf_map_in_arrow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return d.mapInArrow(batch_len, "doc_id bigint, n_cp bigint, lang string")
+
+
+@query(
+    "udtf_cogroup_pandas",
+    oracle="""
+    WITH e AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1),
+         o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
+               FROM orders GROUP BY 1)
+    SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+    group="E",
+)
+def udtf_cogroup_pandas_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: BOTH sides of a key are handed to one
+    Python function as aligned pandas frames — the escape hatch for per-key
+    logic spanning two tables (custom reconciliation, per-entity model
+    scoring).  Each key's pair of groups crosses the Arrow boundary once."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+
+    def reconcile(key, events_pdf, orders_pdf):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [len(events_pdf)],
+                "n_orders": [len(orders_pdf)],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(reconcile, "user_id BIGINT, n_events BIGINT, n_orders BIGINT")
+    )
+
+
+@query(
+    "udf_scalar_pandas_iter",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice * 0.93 + 5.0, 4) AS adjusted
+    FROM part
+    """,
+    group="E",
+)
+def udf_scalar_pandas_iter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF: the per-executor expensive init (model
+    load, codec table…) happens ONCE per worker, then streams over every
+    Arrow batch — the right shape for model-scoring UDFs where per-batch
+    init would dominate."""
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _adjust_batches(it):
+        rate, fee = 0.93, 5.0  # stands in for the once-per-worker model load
+        for s in it:
+            yield s * rate + fee
+
+    # real typing objects (not strings): `from __future__ import annotations`
+    # stringizes inline hints, which the pandas_udf eval-type inference
+    # cannot resolve for locally-imported names
+    _adjust_batches.__annotations__ = {
+        "it": Iterator[pd.Series], "return": Iterator[pd.Series]
+    }
+    adjust = pandas_udf(_adjust_batches, "double")
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(adjust(F.col("p_retailprice")), 4).alias("adjusted"),
+    )

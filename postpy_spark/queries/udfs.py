@@ -12,7 +12,7 @@ Arrow boundary.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -299,4 +299,42 @@ def udf_scalar_pandas_iter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey",
         F.round(adjust(F.col("p_retailprice")), 4).alias("adjusted"),
+    )
+
+
+@query(
+    "udaf_pandas_window",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS avg3
+    FROM orders
+    """,
+    group="E",
+)
+def udaf_pandas_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom pandas aggregation applied OVER A WINDOW — the vectorized
+    path for rolling metrics no builtin covers (here a plain mean so the
+    oracle can verify exactly); Spark feeds the UDAF each bounded frame as
+    a pandas Series."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mean(s):
+        return float(s.mean())
+
+    _mean.__annotations__ = {"s": pd.Series, "return": float}
+    mean_udaf = pandas_udf(_mean, "double")
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(mean_udaf(F.col("o_totalprice")).over(w), 4).alias("avg3"),
     )

@@ -367,3 +367,24 @@ def test_observation_metrics_single_pass(spark):
     assert got["rows_read"] == n
     assert got["null_keys"] == 0
     assert got["total_value"] > 0
+
+
+def test_zstd_beats_snappy_on_compressible_data(spark, tmp_path):
+    """Codec knob sanity for the storage bill at 100 TB: zstd output must
+    be materially smaller than snappy on repetitive data (both readable,
+    same rows)."""
+    import glob
+    import os as _os
+
+    df = spark.range(200_000).selectExpr(
+        "id", "concat('segment_', id % 5) AS seg", "id % 100 AS v"
+    )
+    paths = {}
+    for codec in ("snappy", "zstd"):
+        p = str(tmp_path / codec)
+        df.coalesce(2).write.option("compression", codec).parquet(p)
+        paths[codec] = sum(
+            _os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+        )
+        assert spark.read.parquet(p).count() == 200_000
+    assert paths["zstd"] < 0.9 * paths["snappy"], paths

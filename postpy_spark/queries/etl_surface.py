@@ -657,3 +657,66 @@ def scan_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus, COUNT(*) AS n, ROUND(SUM(l.l_extendedprice), 2) AS total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+    group="A",
+)
+def join_bucketed_colocated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: both tables written CLUSTERED BY
+    the join key into the same bucket count, so the join plans with ZERO
+    shuffle exchanges on either side — the amortize-the-shuffle-once
+    pattern for keys joined repeatedly at 100 TB (plan pinned in
+    tests/test_bucketing.py; here the result is oracle-checked)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    for name, df, loc in (
+        ("pp_orders_bkt", o, _workdir(sf_dir, "pp_orders_bkt")),
+        ("pp_lineitem_bkt", l, _workdir(sf_dir, "pp_lineitem_bkt")),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+
+        shutil.rmtree(loc, ignore_errors=True)
+        key = "o_orderkey" if name == "pp_orders_bkt" else "l_orderkey"
+        (df.write.bucketBy(8, key).sortBy(key)
+           .option("path", loc).saveAsTable(name))
+    ob = spark.table("pp_orders_bkt")
+    lb = spark.table("pp_lineitem_bkt")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "catalog_view_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n FROM orders
+    WHERE o_totalprice > 100000 GROUP BY 1
+    """,
+    group="A",
+)
+def catalog_view_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE VIEW → query-through-view (the reflection-visible logical
+    layer PostgreSQL users lean on): the view body holds the filter, the
+    query aggregates through it; DROP/CREATE is idempotent per run."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_pp_view_orders")
+    spark.sql("DROP VIEW IF EXISTS pp_big_orders")
+    spark.sql(
+        "CREATE TEMPORARY VIEW pp_big_orders AS "
+        "SELECT * FROM _pp_view_orders WHERE o_totalprice > 100000"
+    )
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM pp_big_orders GROUP BY 1"
+    )

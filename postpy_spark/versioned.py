@@ -108,6 +108,21 @@ class VersionedTable:
         self._swap_pointer(to_version)
         return to_version
 
+    def upsert(self, spark: SparkSession, source: DataFrame, keys: list[str]) -> int:
+        """Keyed upsert as a snapshot commit: read the current version,
+        merge (source wins on key collision), commit the result as a new
+        version — MERGE INTO with rollback, on plain parquet.  Single-writer
+        (the pointer swap is atomic but last-writer-wins; concurrent
+        upserters need an external lock, same as Delta without a LogStore)."""
+        from postpy_spark.etl import merge_upsert
+
+        try:
+            current = self.read(spark)
+            merged = merge_upsert(current, source, keys)
+        except FileNotFoundError:
+            merged = source.dropDuplicates(keys)
+        return self.write(merged)
+
     def vacuum(self, keep: int = 2) -> list[int]:
         """Drop version dirs older than the newest ``keep``, never the
         current pointer's target.  Returns removed versions."""

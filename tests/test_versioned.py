@@ -52,3 +52,22 @@ def test_failed_write_leaves_table_intact(spark, vt):
     assert vt.read(spark).count() == 7
     # and the next successful write proceeds normally
     assert vt.write(spark.range(2).selectExpr("id")) == 2
+
+
+def test_versioned_upsert_with_rollback(spark, vt):
+    """MERGE-with-history: an upsert commits a new version; rolling back
+    restores the pre-merge state exactly."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k BIGINT, tag STRING, v DOUBLE"
+    )
+    vt.write(base)
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (3, "c", 30.0)], "k BIGINT, tag STRING, v DOUBLE"
+    )
+    v2 = vt.upsert(spark, src, keys=["k"])
+    assert v2 == 2
+    got = {r.k: (r.tag, r.v) for r in vt.read(spark).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0)}
+    vt.rollback()
+    back = {r.k: (r.tag, r.v) for r in vt.read(spark).collect()}
+    assert back == {1: ("a", 10.0), 2: ("b", 20.0)}

@@ -720,3 +720,63 @@ def catalog_view_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT o_orderstatus, COUNT(*) AS n FROM pp_big_orders GROUP BY 1"
     )
+
+
+@query(
+    "scan_partitioned_pruned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+    group="A",
+)
+def scan_partitioned_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + static partition pruning: the table
+    is written partitionBy(status), the filter resolves to ONE directory —
+    at 100 TB the skipped partitions are never even listed.  (Plan-level
+    pruning/DPP assertions live in tests/test_partition_pruning.py.)"""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _workdir(sf_dir, "orders_by_status")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        shutil.rmtree(path, ignore_errors=True)
+        (o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .write.partitionBy("o_orderstatus").mode("overwrite").parquet(path))
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "scan_binaryfile",
+    oracle="""
+    SELECT concat('doc_', doc_id, '.bin') AS fname,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest
+    FROM documents WHERE doc_id < 20
+    """,
+    group="A",
+)
+def scan_binaryfile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw binary ingest (spark.read.format('binaryFile')) — how image /
+    audio / model-shard files enter a pipeline before any decoder runs:
+    whole files become (path, length, content) rows; content stays opaque
+    bytes and is fingerprinted JVM-side."""
+    import shutil
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    path = _workdir(sf_dir, f"binfiles_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    for r in d.select("doc_id", "text").collect():  # 20 tiny fixture files
+        with open(f"{path}/doc_{r.doc_id}.bin", "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    b = spark.read.format("binaryFile").load(path)
+    return b.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("digest"),
+    )

@@ -647,3 +647,62 @@ def agg_approx_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("bigint").alias("cnt"),
         )
     )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(SIN(p_size / 10.0), 6)              AS sn,
+           ROUND(COS(p_size / 10.0), 6)              AS cs,
+           ROUND(ATAN2(p_size, 7), 6)                AS at2,
+           ROUND(DEGREES(ATAN(p_size / 25.0)), 6)    AS deg,
+           ROUND(RADIANS(p_size), 6)                 AS rad,
+           ROUND(EXP(p_size / 50.0), 6)              AS ex
+    FROM part
+    """,
+    group="B6",
+)
+def fn_trig_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / transcendental family, rounded at 6 dp (libm vs JVM
+    last-ulp divergence)."""
+    p = load_table(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(sz / 10.0), 6).alias("sn"),
+        F.round(F.cos(sz / 10.0), 6).alias("cs"),
+        F.round(F.atan2(sz.cast("double"), F.lit(7.0)), 6).alias("at2"),
+        F.round(F.degrees(F.atan(sz / 25.0)), 6).alias("deg"),
+        F.round(F.radians(sz), 6).alias("rad"),
+        F.round(F.exp(sz / 50.0), 6).alias("ex"),
+    )
+
+
+@query(
+    "fn_binary",
+    oracle="""
+    SELECT c_custkey,
+           to_base64(CAST(c_name AS BLOB))           AS b64,
+           lower(to_hex(CAST(c_mktsegment AS BLOB))) AS hx,
+           CAST(octet_length(CAST(c_name AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST(CAST(to_base64(CAST(c_name AS BLOB)) AS VARCHAR) =
+                to_base64(CAST(c_name AS BLOB)) AS BOOLEAN)   AS roundtrip_ok
+    FROM customer
+    """,
+    group="B6",
+)
+def fn_binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encodings: base64 / hex / byte length over UTF-8 payloads —
+    the wire-format helpers for opaque columns."""
+    c = load_table(spark, sf_dir, "customer")
+    payload = F.encode(F.col("c_name"), "UTF-8")
+    return c.select(
+        "c_custkey",
+        F.base64(payload).alias("b64"),
+        F.lower(F.hex(F.encode(F.col("c_mktsegment"), "UTF-8"))).alias("hx"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        (F.encode(F.unbase64(F.base64(payload)), "UTF-8") == payload).alias(
+            "roundtrip_ok"
+        ),
+    )

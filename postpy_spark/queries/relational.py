@@ -800,3 +800,53 @@ def agg_percentile_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(p, lambda x: F.round(x, 4).cast("string")), ","
         ).alias("quartiles")
     )
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS band, c_acctbal
+    FROM customer
+    ORDER BY NULLIF(c_nationkey % 5, 0) ASC NULLS FIRST,
+             c_acctbal DESC, c_custkey
+    LIMIT 200
+    """,
+    group="B5",
+)
+def sort_nulls_ordering_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST on an ascending key mixed with a descending
+    tiebreak — null-placement defaults differ across engines (Spark ASC =
+    nulls first, DuckDB ASC = nulls last), so portable sorts must pin it."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.nullif(F.col("c_nationkey") % 5, F.lit(0))
+    return (
+        c.select("c_custkey", band.alias("band"), "c_acctbal")
+        .orderBy(
+            F.col("band").asc_nulls_first(),
+            F.col("c_acctbal").desc(),
+            F.col("c_custkey"),
+        )
+        .limit(200)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+    group="B5",
+)
+def limit_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination (ORDER BY + LIMIT/OFFSET, Spark ≥3.4): fine
+    for shallow pages; deep OFFSET still sorts the head — prefer keyset
+    (WHERE key > last_seen) pagination at depth."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+    )

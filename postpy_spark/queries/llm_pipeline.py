@@ -9,7 +9,7 @@ gates in the pytest suite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from postpy_spark.io import load_table
@@ -962,4 +962,34 @@ def multimodal_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("duration_s", 6).alias("duration_s"),
         F.round("rms", 4).alias("rms"),
         "peak",
+    )
+
+
+@query("dedup_pipeline_end_to_end", oracle=None, group="D")
+def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-cleaning story in one op: exact dedup (digest
+    shuffle) → MinHash-LSH near-dup pairs over the survivors → connected
+    components → keep the min-id representative per cluster.  Returns the
+    funnel counts; survivor-set determinism is pinned by the golden pair
+    fixtures and component tests.  Every stage is the scale-shaped
+    operator documented in operators/dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    exact = dedup.exact_dedup(d).select("doc_id", "text")
+    n_exact = exact.count()
+    clusters = dedup.dedup_clusters(exact)
+    drop = clusters.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    final = exact.join(drop, "doc_id", "left_anti")
+    n_final = final.count()
+    return spark.createDataFrame(
+        [
+            Row(
+                n_docs=n_docs,
+                n_after_exact=n_exact,
+                n_near_dup_dropped=n_exact - n_final,
+                n_final=n_final,
+            )
+        ]
     )

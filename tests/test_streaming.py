@@ -257,3 +257,32 @@ def test_python_datasource_streaming_exactly_once(spark):
     assert got.count() == 45                               # all, exactly once
     assert got.select("id").distinct().count() == 45
     assert got.agg(F.sum("id")).collect()[0][0] == 45 * 44 // 2
+
+
+def test_foreachbatch_two_sink_fanout(spark, chunks, tmp_path):
+    """One stream fanned out to TWO sinks inside a single foreachBatch —
+    per-batch the frame is persisted once and written twice, so the sinks
+    cannot diverge (a second streaming query COULD reprocess differently)."""
+    raw = str(tmp_path / "raw")
+    agg = str(tmp_path / "agg")
+
+    def fan_out(batch, batch_id):
+        batch.persist()
+        batch.write.mode("append").parquet(raw)
+        (batch.groupBy("event_type").count()
+              .withColumn("batch_id", F.lit(batch_id))
+              .write.mode("append").parquet(agg))
+        batch.unpersist()
+
+    stream = STR.read_event_stream(spark, chunks)
+    q = (stream.writeStream.foreachBatch(fan_out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    e = load_table(spark, SF_SMOKE, "events")
+    assert spark.read.parquet(raw).count() == e.count()
+    per_type = (spark.read.parquet(agg).groupBy("event_type")
+                .agg(F.sum("count").alias("n")).collect())
+    expect = {r.event_type: r.n for r in
+              e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {r.event_type: r.n for r in per_type} == expect

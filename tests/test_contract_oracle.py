@@ -61,3 +61,25 @@ def test_view_creating_queries_rerun_across_sf_dirs(spark):
         # the sf_dir it was given, not the first run's data
         if name not in ("scan_csv", "scan_jdbc", "scan_xml"):
             assert small != big, (name, small[:3])
+
+
+def test_registry_contract_invariants():
+    """Driver-interface guard: the §2 contract registers first and intact,
+    every oracle belongs to a registered query, no oracle is empty, and
+    group tags stay within the SURVEY vocabulary."""
+    from postpy_spark import registry
+
+    reg = registry.load_all()
+    names = list(reg)
+    assert names[:93] == list(registry.CONTRACT_ORDER)
+    assert set(registry.CONTRACT_ORDER) <= set(names)
+    for n, rq in reg.items():
+        assert rq.name == n
+        if rq.oracle is not None:
+            assert rq.oracle.strip(), n
+        assert rq.group in {"A", "B1", "B2", "B3", "B4", "B5", "B6", "C", "D", "E"}, n
+    # the entry module exposes exactly the registry
+    import __spark_entry__ as e
+
+    assert set(e.queries()) == set(names)
+    assert set(e.oracle_sql()) == {n for n, rq in reg.items() if rq.oracle is not None}

@@ -71,3 +71,36 @@ def test_versioned_upsert_with_rollback(spark, vt):
     vt.rollback()
     back = {r.k: (r.tag, r.v) for r in vt.read(spark).collect()}
     assert back == {1: ("a", 10.0), 2: ("b", 20.0)}
+
+
+def test_streaming_commits_as_versions(spark, tmp_path, vt):
+    """Streaming sink → versioned table: each micro-batch lands as a
+    snapshot commit, so the table has queryable history at micro-batch
+    granularity and can roll back to any batch boundary."""
+    import pyspark.sql.functions as F
+
+    from postpy_spark import streaming as STR
+    from tests.conftest import SF_SMOKE
+    from postpy_spark.io import load_table
+
+    chunks = STR.write_event_chunks(spark, SF_SMOKE, str(tmp_path / "chunks"), 3)
+    stream = STR.read_event_stream(spark, chunks)
+
+    def commit_batch(batch, batch_id):
+        if batch.count():
+            vt.upsert(batch.sparkSession, batch, keys=["event_id"])
+
+    q = (stream.writeStream.foreachBatch(commit_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    e = load_table(spark, SF_SMOKE, "events")
+    versions = vt.versions()
+    assert len(versions) >= 2                      # one commit per micro-batch
+    assert vt.read(spark).count() == e.count()     # final = everything
+    # history is monotone: earlier versions hold strict subsets
+    first = vt.read(spark, version=versions[0]).count()
+    assert 0 < first < e.count()
+    vt.rollback(to_version=versions[0])
+    assert vt.read(spark).count() == first         # stream history rewound

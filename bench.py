@@ -80,16 +80,22 @@ def main() -> None:
     for name in names:
         force(reg[name].fn(spark, sf_dir))
 
-    # Three timed passes, per-query minimum: Python-worker scheduling adds
-    # ±0.5s noise on single shots; the min is the reproducible steady state.
-    timings: dict[str, float] = {}
+    # Three timed passes; report per-query MIN (the reproducible steady
+    # state — Python-worker scheduling adds ±0.5s noise on single shots,
+    # "value"/"queries" stay comparable with earlier rounds) plus MEDIAN and
+    # the max-min SPREAD so a reader can tell real regressions from machine
+    # noise without re-running (the ±25% wall-clock swings documented in
+    # CLAUDE.md made single-number rounds unadjudicable).
+    samples: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(3):
         for name in names:
             t0 = time.perf_counter()
             force(reg[name].fn(spark, sf_dir))
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
+            samples[name].append(round(time.perf_counter() - t0, 3))
 
+    timings = {name: min(s) for name, s in samples.items()}
+    medians = {name: sorted(s)[1] for name, s in samples.items()}
+    spreads = {name: round(max(s) - min(s), 3) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -98,6 +104,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "value_median": round(sum(medians.values()), 3),
+                "queries_median": medians,
+                "queries_spread": spreads,
+                "runs": 3,
                 "sf": sf,
             }
         )

@@ -10,9 +10,10 @@ Scale design:
 - MinHash/LSH: banding turns O(n²) pair generation into equi-joins on
   (band_id, band_hash) — candidate count scales with collision rate, not n²;
 - SimHash: one explode + one groupBy per corpus pass, 64 agg columns;
-- connected components: alternating large-star/small-star style min-label
-  propagation, each iteration two hash joins; iterations bounded and the
-  convergence check is a scalar count, not a collect of rows.
+- connected components: min-label propagation with pointer doubling
+  (O(log diameter) rounds, three hash joins per round); iterations bounded
+  with a fail-loud exhaustion path and the convergence check is a scalar
+  count, not a collect of rows.
 """
 
 from __future__ import annotations
@@ -213,12 +214,24 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
 ) -> DataFrame:
-    """Min-label propagation over an undirected pair list →
-    (node, component) with component = min node id in the component.
+    """Min-label propagation WITH pointer doubling over an undirected pair
+    list → (node, component) with component = min node id in the component.
 
-    Each iteration: join labels across edges, take the min neighbor label.
-    Converges in O(diameter) iterations; duplicate clusters are shallow in
-    practice.  The fixpoint check is an aggregate count (no row collect).
+    Each iteration does two monotone label-lowering steps:
+
+    1. edge propagation — ``component := min(component, min over neighbors'
+       components)`` (two hash joins);
+    2. pointer doubling (shortcut) — ``component := min(component,
+       component-of-component)``.  Labels are always node ids of the same
+       component, so the label forest is a parent-pointer structure; the
+       shortcut halves chain depth each round.
+
+    Step 1 alone converges in O(diameter) rounds and a duplicate chain
+    (boilerplate templates) can have diameter ≫ max_iterations; adding
+    step 2 makes convergence O(log diameter) — max_iterations=20 covers
+    diameters up to ~2^20.  If the loop still exhausts its budget with
+    labels changing, this raises rather than returning silently-wrong
+    components.  The fixpoint check is an aggregate count (no row collect).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -228,18 +241,32 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer doubling: component := min(component, component's component)
+        parent = propagated.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_component")
+        )
+        new_labels = (
+            propagated.join(parent, propagated.component == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("p_component", F.col("component"))
                 ).alias("component"),
             )
         )
@@ -253,6 +280,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); raise max_iterations"
+        )
     return labels
 
 

@@ -49,15 +49,22 @@ def global_row_number(
     local = tagged.withColumn(_LRN, F.row_number().over(w_local))
 
     cnts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
+    # P rows — one task over partition COUNTS only.  The constant partition
+    # key pins the tiny frame to one window group WITHOUT tripping Spark's
+    # unpartitioned-window warning; pmod(_pid, 1) (always 0) is used instead
+    # of lit(0) because Catalyst constant-folds a foldable partition key
+    # away, leaving an empty partition spec that warns on every task.
+    one_group = F.pmod(F.col(_PID), F.lit(1))
     w_off = (
-        Window.orderBy(_PID)  # P rows — one task over partition COUNTS only
+        Window.partitionBy(one_group)
+        .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = cnts.select(
         _PID,
         F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias(_OFF),
         F.sum("_cnt").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
+            Window.partitionBy(one_group).orderBy(_PID).rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).alias(_N),

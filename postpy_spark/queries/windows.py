@@ -126,15 +126,18 @@ def win_moving_avg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="B4",
 )
 def win_ntile_pctrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single global window — fine here (bounded output), but at scale a
-    global ORDER BY window funnels to one task; prefer partitioned windows."""
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+    """Global ntile/percent_rank/cume_dist WITHOUT the single-task global
+    window: routed through the range-partitioned ranking path
+    (operators.ranking.ranked_analytics — same output as ``NTILE(4) OVER
+    (ORDER BY …)``, shuffle-parallel execution).  The naive
+    ``Window.orderBy`` formulation funnels all data through one task; this
+    one survives 100 TB.  ``win_ntile_distributed`` keeps the same routing
+    under its original name."""
+    from postpy_spark.operators.ranking import ranked_analytics
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return ranked_analytics(c, ["c_acctbal", "c_custkey"], n_tiles=4).select(
+        "c_custkey", "quartile", "pct_rank", "cume"
     )
 
 

@@ -70,6 +70,43 @@ def test_clusters_are_consistent(spark, docs):
         assert c == min(nodes)
 
 
+def test_connected_components_long_chain(spark):
+    """A duplicate chain of diameter 50 (0-1, 1-2, …, 49-50) must collapse
+    to ONE component labeled 0 — pointer doubling makes this O(log d)
+    rounds, well inside the default max_iterations=20.  Plain min-label
+    propagation (O(diameter)) would exit the loop at 20 with wrong labels;
+    the implementation must either converge or raise, never return
+    silently-wrong components."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a INT, id_b INT"
+    )
+    comp = dedup.connected_components(chain).collect()
+    assert len(comp) == 51
+    assert {r.component for r in comp} == {0}
+
+
+def test_connected_components_exhaustion_raises(spark):
+    """With an iteration budget too small to converge, the op must raise
+    rather than hand back partial labels."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a INT, id_b INT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=2)
+
+
+def test_connected_components_multiple_components(spark):
+    """Two disjoint chains plus an isolated pair keep distinct min labels."""
+    edges = [(i, i + 1) for i in range(10)]          # component 0
+    edges += [(100 + i, 101 + i) for i in range(10)]  # component 100
+    edges += [(500, 501)]                             # component 500
+    df = spark.createDataFrame(edges, "id_a INT, id_b INT")
+    label = {r.node: r.component for r in dedup.connected_components(df).collect()}
+    assert {label[i] for i in range(11)} == {0}
+    assert {label[100 + i] for i in range(11)} == {100}
+    assert label[500] == 500 and label[501] == 500
+
+
 def test_simhash_detects_exact_dups(spark, docs):
     """Exact duplicate texts must have identical simhash → hamming 0."""
     dups = (

@@ -93,11 +93,13 @@ def test_ivf_no_global_sort_or_unpartitioned_window(spark):
             assert "query_id#" in line or "vec_id#" in line, line
 
 
-def test_ntile_distributed_avoids_global_data_window(spark):
-    """The scalable ntile must range-partition the data and run its
-    full-data window keyed on the partition id — the only unpartitioned
-    window may be the one over the P-row partition-count frame."""
-    plan = executed_plan(spark, "win_ntile_distributed")
+@pytest.mark.parametrize("key", ["win_ntile_distributed", "win_ntile_pctrank"])
+def test_ntile_avoids_global_data_window(spark, key):
+    """The scalable ntile (now also the CONTRACT key win_ntile_pctrank) must
+    range-partition the data and run its full-data window keyed on the
+    partition id — the only unpartitioned window may be the one over the
+    P-row partition-count frame."""
+    plan = executed_plan(spark, key)
     assert "rangepartitioning" in plan
     data_windows = [
         ln for ln in plan.splitlines()

@@ -106,20 +106,20 @@ def compact_parquet(
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
-    summary = fs.getContentSummary(jpath)
-    total = summary.getLength()
-    files_before = summary.getFileCount()
+
+    def _data_stats(p: str) -> tuple[int, int]:
+        # DATA files only: getContentSummary would count _SUCCESS and other
+        # markers in both bytes and file count, skewing n and the metrics
+        jpath = jvm.org.apache.hadoop.fs.Path(p + "/*.parquet")
+        fs = jpath.getFileSystem(hconf)
+        statuses = fs.globStatus(jpath) or []
+        return sum(s.getLen() for s in statuses), len(statuses)
+
+    total, files_before = _data_stats(path)
     n = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
     atomic_overwrite(df.coalesce(int(n)), path)
-    files_after = int(
-        spark._jvm.org.apache.hadoop.fs.Path(path)
-        .getFileSystem(hconf)
-        .getContentSummary(jvm.org.apache.hadoop.fs.Path(path))
-        .getFileCount()
-    )
+    _, files_after = _data_stats(path)
     return {
         "bytes": int(total),
         "files_before": int(files_before),

@@ -65,13 +65,22 @@ def zorder_write(
         )
         for c in cols
     }
-    ranked = df.withColumn(
-        _ZKEY, _interleave([_rank_expr(c, cuts[c]) for c in cols], bits)
+    # Materialize each rank ONCE as a named column before interleaving:
+    # _interleave references every rank `bits` times, and inlining the
+    # (2^bits - 1)-term CASE cascade at each reference multiplies the
+    # expression tree ~bits× (hundreds of when-terms at defaults) — enough
+    # to threaten codegen size limits and slow planning at higher bits.
+    rank_cols = [f"__zrank_{i}" for i in range(len(cols))]
+    ranked = df
+    for rc, c in zip(rank_cols, cols):
+        ranked = ranked.withColumn(rc, _rank_expr(c, cuts[c]))
+    ranked = ranked.withColumn(
+        _ZKEY, _interleave([F.col(rc) for rc in rank_cols], bits)
     )
     writer = (
         ranked.repartitionByRange(num_files, _ZKEY)
         .sortWithinPartitions(_ZKEY)
-        .drop(_ZKEY)
+        .drop(_ZKEY, *rank_cols)
         .write.mode("overwrite")
     )
     if max_records_per_file:

@@ -696,32 +696,20 @@ def dq_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
 
-    def one(name, cnt_df):
-        return cnt_df.select(
+    def one(name, bad_rows):
+        return bad_rows.agg(
             F.lit(name).alias("check_name"),
             F.count(F.lit(1)).alias("n_bad"),
         )
 
     checks = [
-        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
-            F.lit("lineitem_orphans").alias("check_name"),
-            F.count(F.lit(1)).alias("n_bad"),
-        ),
-        o.filter(F.col("o_custkey").isNull()).agg(
-            F.lit("orders_null_custkey").alias("check_name"),
-            F.count(F.lit(1)).alias("n_bad"),
-        ),
-        o.groupBy("o_orderkey").count().filter("count > 1").agg(
-            F.lit("orders_dup_pk").alias("check_name"),
-            F.count(F.lit(1)).alias("n_bad"),
-        ),
-        l.filter(F.col("l_quantity") <= 0).agg(
-            F.lit("lineitem_nonpositive_qty").alias("check_name"),
-            F.count(F.lit(1)).alias("n_bad"),
-        ),
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti").agg(
-            F.lit("customer_bad_nation_fk").alias("check_name"),
-            F.count(F.lit(1)).alias("n_bad"),
+        one("lineitem_orphans", l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")),
+        one("orders_null_custkey", o.filter(F.col("o_custkey").isNull())),
+        one("orders_dup_pk", o.groupBy("o_orderkey").count().filter("count > 1")),
+        one("lineitem_nonpositive_qty", l.filter(F.col("l_quantity") <= 0)),
+        one(
+            "customer_bad_nation_fk",
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti"),
         ),
     ]
     out = checks[0]

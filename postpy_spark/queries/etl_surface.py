@@ -28,8 +28,45 @@ from postpy_spark.schema import (
 
 WORK_ROOT = "/tmp/postpy_spark_work"
 
+_swept = False
+
+
+def _sweep_stale_pid_dirs() -> None:
+    """Remove per-PID scratch dirs (derby_NNN, vt_demo_NNN, …) left by
+    processes that no longer exist.  Per-PID keying is required — Derby
+    locks a database dir per JVM — but without a sweep every gate/pytest
+    run leaves another ~5 MB Derby db behind forever.  Runs once per
+    process, before the first scratch path is handed out."""
+    global _swept
+    if _swept:
+        return
+    _swept = True
+    import re
+    import shutil
+
+    pat = re.compile(r"_(\d+)$")
+    try:
+        tags = os.listdir(WORK_ROOT)
+    except FileNotFoundError:
+        return
+    for tag in tags:
+        tag_dir = os.path.join(WORK_ROOT, tag)
+        if not os.path.isdir(tag_dir):
+            continue
+        for name in os.listdir(tag_dir):
+            m = pat.search(name)
+            if not m or int(m.group(1)) == os.getpid():
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)  # raises if pid is gone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tag_dir, name), ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave it
+
 
 def _workdir(sf_dir: str, name: str) -> str:
+    _sweep_stale_pid_dirs()
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     path = f"{WORK_ROOT}/{tag}/{name}"
     os.makedirs(os.path.dirname(path), exist_ok=True)

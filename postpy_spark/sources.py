@@ -81,12 +81,15 @@ class _SyntheticStreamReader(SimpleDataSourceStreamReader):
         )
 
 
-_registered: set[int] = set()
-
-
 def register(spark) -> None:
-    """Idempotently register the source on a session."""
+    """Idempotently register the source on a session.  Only the
+    duplicate-registration error is swallowed — a genuine failure (API
+    mismatch, bad source class) must surface HERE, not later as a
+    confusing 'format not found' on read."""
     try:
         spark.dataSource.register(SyntheticSource)
-    except Exception:
-        pass  # already registered on this session
+    except Exception as exc:  # noqa: BLE001 — narrowed by message below
+        msg = str(exc)
+        if "already" in msg.lower() and "regist" in msg.lower():
+            return
+        raise

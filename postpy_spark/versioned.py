@@ -67,9 +67,16 @@ class VersionedTable:
     def current_version(self) -> int | None:
         try:
             with open(self._pointer()) as f:
-                return int(f.read().strip()[1:])
+                content = f.read().strip()
         except FileNotFoundError:
             return None
+        # exactly v + digits; a truncated/corrupt pointer must fail loudly,
+        # not surface later as int('') or a bogus version number
+        if not (content.startswith("v") and content[1:].isdigit()):
+            raise ValueError(
+                f"corrupt version pointer {self._pointer()!r}: {content!r}"
+            )
+        return int(content[1:])
 
     def write(self, df: DataFrame) -> int:
         """Commit df as the next version (immutable snapshot + pointer swap)."""
@@ -128,7 +135,10 @@ class VersionedTable:
         current pointer's target.  Returns removed versions."""
         vs = self.versions()
         cur = self.current_version()
-        keep_set = set(vs[-keep:]) | ({cur} if cur is not None else set())
+        # keep<=0 means "only the current pointer's target" — vs[-0:] would
+        # slice the WHOLE list and make vacuum(keep=0) a silent no-op
+        newest = set(vs[-keep:]) if keep > 0 else set()
+        keep_set = newest | ({cur} if cur is not None else set())
         removed = []
         for v in vs:
             if v not in keep_set:

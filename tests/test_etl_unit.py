@@ -327,11 +327,33 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     path = str(tmp_path / "frag")
     spark.range(10_000).selectExpr("id", "id * 2 AS v").repartition(200).write.parquet(path)
     stats = etl.compact_parquet(spark, path, target_file_bytes=1 << 20)
-    assert stats["files_before"] > 100
-    assert stats["files_after"] <= max(stats["target_files"], 1) + 1  # + _SUCCESS
+    assert stats["files_before"] == 200  # data files only, no _SUCCESS skew
+    assert stats["files_after"] == stats["target_files"]
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.selectExpr("sum(v)").collect()[0][0] == 10_000 * (10_000 - 1)
+
+
+def test_stale_pid_scratch_dirs_swept(spark):
+    """Per-PID Derby/demo scratch dirs from dead processes must be removed
+    on the next run's first _workdir call (the accumulated-residue leak)."""
+    import os
+    import shutil
+
+    from postpy_spark.queries import etl_surface
+
+    tag_dir = os.path.join(etl_surface.WORK_ROOT, "deadbeef")
+    stale = os.path.join(tag_dir, "derby_999999")  # no such pid
+    mine = os.path.join(tag_dir, f"derby_{os.getpid()}")
+    os.makedirs(stale, exist_ok=True)
+    os.makedirs(mine, exist_ok=True)
+    try:
+        etl_surface._swept = False
+        etl_surface._workdir("/root/testdata/sf0.001", "sweep_probe")
+        assert not os.path.exists(stale), "dead-pid dir must be swept"
+        assert os.path.exists(mine), "live-pid dir must survive"
+    finally:
+        shutil.rmtree(tag_dir, ignore_errors=True)
 
 
 def test_python_datasource_partition_parallelism(spark):

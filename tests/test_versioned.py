@@ -41,6 +41,24 @@ def test_vacuum_keeps_current_and_recent(spark, vt):
     assert set(removed) == {1, 3}
 
 
+def test_vacuum_keep_zero_keeps_only_current(spark, vt):
+    """keep=0 means 'only the pointer target' — the vs[-0:] whole-list
+    slice bug made it a silent no-op."""
+    for n in (1, 2, 3):
+        vt.write(spark.range(n).selectExpr("id"))
+    removed = vt.vacuum(keep=0)
+    assert set(removed) == {1, 2}
+    assert vt.read(spark).count() == 3
+
+
+def test_corrupt_pointer_raises_clearly(spark, vt):
+    vt.write(spark.range(3).selectExpr("id"))
+    with open(vt._pointer(), "w") as f:
+        f.write("")  # truncated pointer
+    with pytest.raises(ValueError, match="corrupt version pointer"):
+        vt.current_version()
+
+
 def test_failed_write_leaves_table_intact(spark, vt):
     vt.write(spark.range(7).selectExpr("id"))
     bad = spark.range(3).selectExpr("CAST(raise_error('boom') AS STRING) AS x")

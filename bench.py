@@ -15,8 +15,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
+
+RUNS = 3  # timed passes per query; median/spread below derive from this
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -87,14 +90,14 @@ def main() -> None:
     # noise without re-running (the ±25% wall-clock swings documented in
     # CLAUDE.md made single-number rounds unadjudicable).
     samples: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(3):
+    for _ in range(RUNS):
         for name in names:
             t0 = time.perf_counter()
             force(reg[name].fn(spark, sf_dir))
             samples[name].append(round(time.perf_counter() - t0, 3))
 
     timings = {name: min(s) for name, s in samples.items()}
-    medians = {name: sorted(s)[1] for name, s in samples.items()}
+    medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     spreads = {name: round(max(s) - min(s), 3) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
     print(
@@ -107,7 +110,7 @@ def main() -> None:
                 "value_median": round(sum(medians.values()), 3),
                 "queries_median": medians,
                 "queries_spread": spreads,
-                "runs": 3,
+                "runs": RUNS,
                 "sf": sf,
             }
         )

@@ -72,11 +72,16 @@ def upsert_into_path(
     atomic_overwrite(merged, path)
 
 
-def atomic_overwrite(df: DataFrame, path: str) -> None:
+def atomic_overwrite(
+    df: DataFrame, path: str, partition_by: Sequence[str] | None = None
+) -> None:
     """Write to a staging dir, then swap directories — readers never observe
     a half-written table (txn_exec discipline for path-based tables)."""
     staging = f"{path.rstrip('/')}.__staging_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     backup = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
     moved = False
     try:
@@ -99,32 +104,63 @@ def compact_parquet(
 
     The 100 TB maintenance op: streaming/incremental sinks accrete
     thousands of small files per partition, and scan throughput collapses
-    (per-file open + footer read + scheduler overhead dominate).  Sizing is
-    read from the (HDFS-compatible) FileSystem API, the rewrite is
-    ``coalesce(n)`` — narrow, no shuffle — and readers never observe a
+    (per-file open + footer read + scheduler overhead dominate).  Sizing
+    uses a RECURSIVE FileSystem listing (data files only — _SUCCESS and
+    dot-markers excluded), so Hive-partitioned ``key=value`` layouts are
+    sized correctly rather than silently coalescing a large table to one
+    file.  Flat layouts rewrite via ``coalesce(n)`` (narrow, no shuffle);
+    partitioned layouts rewrite with the partition columns preserved
+    (hash-repartition on the partition keys → each key's rows land in one
+    task → one file per partition value).  Readers never observe a
     half-compacted directory.  Returns before/after file counts.
     """
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
 
-    def _data_stats(p: str) -> tuple[int, int]:
-        # DATA files only: getContentSummary would count _SUCCESS and other
-        # markers in both bytes and file count, skewing n and the metrics
-        jpath = jvm.org.apache.hadoop.fs.Path(p + "/*.parquet")
+    def _data_stats(p: str) -> tuple[int, int, list[str]]:
+        # Recursive DATA-file listing: bytes, count, and the partition
+        # columns inferred from key=value path segments (empty for flat).
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
         fs = jpath.getFileSystem(hconf)
-        statuses = fs.globStatus(jpath) or []
-        return sum(s.getLen() for s in statuses), len(statuses)
+        if not fs.exists(jpath):
+            return 0, 0, []
+        root = fs.makeQualified(jpath).toString().rstrip("/")
+        it = fs.listFiles(jpath, True)
+        total = files = 0
+        part_cols: list[str] = []
+        while it.hasNext():
+            st = it.next()
+            fpath = st.getPath()
+            if fpath.getName().startswith(("_", ".")):
+                continue
+            total += st.getLen()
+            files += 1
+            if not part_cols:
+                rel = fs.makeQualified(fpath).toString()[len(root):].strip("/")
+                part_cols = [
+                    seg.split("=", 1)[0]
+                    for seg in rel.split("/")[:-1]
+                    if "=" in seg
+                ]
+        return total, files, part_cols
 
-    total, files_before = _data_stats(path)
+    total, files_before, part_cols = _data_stats(path)
     n = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(path)
-    atomic_overwrite(df.coalesce(int(n)), path)
-    _, files_after = _data_stats(path)
+    if part_cols:
+        # keep the partitioned layout: co-locate each partition value in one
+        # task (n tasks bound concurrent writers; files_after ≈ #values)
+        compacted = df.repartition(int(n), *part_cols)
+        atomic_overwrite(compacted, path, partition_by=part_cols)
+    else:
+        atomic_overwrite(df.coalesce(int(n)), path)
+    _, files_after, _ = _data_stats(path)
     return {
         "bytes": int(total),
         "files_before": int(files_before),
         "files_after": files_after,
         "target_files": int(n),
+        "partition_cols": part_cols,
     }
 
 

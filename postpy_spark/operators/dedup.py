@@ -233,6 +233,10 @@ def connected_components(
     labels changing, this raises rather than returning silently-wrong
     components.  The fixpoint check is an aggregate count (no row collect).
     """
+    if max_iterations < 1:
+        # with no iterations the loop body never runs and the identity
+        # labeling below would be returned as silently-wrong output
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

@@ -28,7 +28,20 @@ from postpy_spark.schema import (
 
 WORK_ROOT = "/tmp/postpy_spark_work"
 
+#: Scratch-dir prefixes that are pid-keyed (`<prefix>_<pid>`) and therefore
+#: safe for the stale sweep to reclaim.  New pid-keyed dirs MUST be created
+#: via _pid_dir(), which enforces membership here — that keeps the sweep from
+#: ever matching an unrelated numeric-suffixed name (e.g. "stage_2024").
+PID_DIR_PREFIXES = ("derby", "vt_demo", "orders_evo", "binfiles")
+
 _swept = False
+
+
+def _pid_dir(prefix: str, sub: str | None = None) -> str:
+    """`<prefix>_<pid>[/sub]` with the prefix registered for sweeping."""
+    assert prefix in PID_DIR_PREFIXES, f"register {prefix!r} in PID_DIR_PREFIXES"
+    name = f"{prefix}_{os.getpid()}"
+    return f"{name}/{sub}" if sub else name
 
 
 def _sweep_stale_pid_dirs() -> None:
@@ -36,7 +49,8 @@ def _sweep_stale_pid_dirs() -> None:
     processes that no longer exist.  Per-PID keying is required — Derby
     locks a database dir per JVM — but without a sweep every gate/pytest
     run leaves another ~5 MB Derby db behind forever.  Runs once per
-    process, before the first scratch path is handed out."""
+    process, before the first scratch path is handed out.  Only names
+    matching a registered pid-keyed prefix are candidates."""
     global _swept
     if _swept:
         return
@@ -44,7 +58,7 @@ def _sweep_stale_pid_dirs() -> None:
     import re
     import shutil
 
-    pat = re.compile(r"_(\d+)$")
+    pat = re.compile(rf"^(?:{'|'.join(map(re.escape, PID_DIR_PREFIXES))})_(\d+)$")
     try:
         tags = os.listdir(WORK_ROOT)
     except FileNotFoundError:
@@ -367,7 +381,7 @@ def _derby_db(sf_dir: str, name: str) -> str:
     processes (driver + pytest) from fighting over db.lck.  (io's JDBC
     helpers point derby.system.home at scratch so derby.log stays out of
     the process cwd.)"""
-    return _workdir(sf_dir, f"derby_{os.getpid()}/{name}")
+    return _workdir(sf_dir, _pid_dir("derby", name))
 
 
 @query(
@@ -573,7 +587,7 @@ def table_versioning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from postpy_spark.versioned import VersionedTable
 
-    root = _workdir(sf_dir, f"vt_demo_{os.getpid()}")
+    root = _workdir(sf_dir, _pid_dir("vt_demo"))
     shutil.rmtree(root, ignore_errors=True)
     vt = VersionedTable(root)
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -683,7 +697,7 @@ def scan_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     o = load_table(spark, sf_dir, "orders")
-    path = _workdir(sf_dir, f"orders_evo_{os.getpid()}")
+    path = _workdir(sf_dir, _pid_dir("orders_evo"))
     shutil.rmtree(path, ignore_errors=True)
     gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
     gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
@@ -805,7 +819,7 @@ def scan_binaryfile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
-    path = _workdir(sf_dir, f"binfiles_{os.getpid()}")
+    path = _workdir(sf_dir, _pid_dir("binfiles"))
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     for r in d.select("doc_id", "text").collect():  # 20 tiny fixture files

@@ -81,15 +81,27 @@ class _SyntheticStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+#: Sessions that already completed a register() call — the primary idempotence
+#: mechanism; message-matching below is only a fallback for the cross-process
+#: case (same session object observed by a fresh import of this module).
+_registered_sessions: set[int] = set()
+
+
 def register(spark) -> None:
     """Idempotently register the source on a session.  Only the
     duplicate-registration error is swallowed — a genuine failure (API
     mismatch, bad source class) must surface HERE, not later as a
-    confusing 'format not found' on read."""
+    confusing 'format not found' on read.
+
+    Idempotence is tracked per session id first (robust to Spark rewording
+    the duplicate-registration message); the message match stays as a
+    fallback when a different module instance registered on this session."""
+    if id(spark) in _registered_sessions:
+        return
     try:
         spark.dataSource.register(SyntheticSource)
     except Exception as exc:  # noqa: BLE001 — narrowed by message below
         msg = str(exc)
-        if "already" in msg.lower() and "regist" in msg.lower():
-            return
-        raise
+        if not ("already" in msg.lower() and "regist" in msg.lower()):
+            raise
+    _registered_sessions.add(id(spark))

@@ -71,7 +71,13 @@ def test_registry_contract_invariants():
 
     reg = registry.load_all()
     names = list(reg)
-    assert names[:93] == list(registry.CONTRACT_ORDER)
+    # the first 93 are exactly the §2 contract, led by the driver-sample
+    # rotation (the ops with no / stale driver attestation — see registry.py)
+    rot = list(registry.DRIVER_SAMPLE_ROTATION)
+    assert len(set(rot)) == len(rot), "rotation has duplicates"
+    assert set(rot) <= set(registry.CONTRACT_ORDER), "rotation must be contract ops"
+    assert names[: len(rot)] == rot
+    assert set(names[:93]) == set(registry.CONTRACT_ORDER)
     assert set(registry.CONTRACT_ORDER) <= set(names)
     for n, rq in reg.items():
         assert rq.name == n

@@ -2,6 +2,8 @@
 "micro-fixtures" list): null join keys, duplicate-key fan-out, empty frames,
 multi-byte encodings, upsert edge semantics, schema model, JDBC plumbing."""
 
+import os
+
 import pytest
 from pyspark.sql import Row
 
@@ -352,6 +354,55 @@ def test_stale_pid_scratch_dirs_swept(spark):
         etl_surface._workdir("/root/testdata/sf0.001", "sweep_probe")
         assert not os.path.exists(stale), "dead-pid dir must be swept"
         assert os.path.exists(mine), "live-pid dir must survive"
+    finally:
+        shutil.rmtree(tag_dir, ignore_errors=True)
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned layout: sizing must see the nested data files (the
+    old flat glob reported 0 bytes → single-file coalesce) and the rewrite
+    must preserve the key=value directory structure."""
+    from postpy_spark import etl
+
+    path = str(tmp_path / "frag_part")
+    (
+        spark.range(8_000)
+        .selectExpr("id", "id % 4 AS part", "id * 2 AS v")
+        .repartition(50)
+        .write.partitionBy("part")
+        .parquet(path)
+    )
+    stats = etl.compact_parquet(spark, path, target_file_bytes=1 << 20)
+    assert stats["files_before"] == 200  # 50 tasks × 4 partition values
+    assert stats["partition_cols"] == ["part"]
+    assert stats["files_after"] == 4  # one file per partition value
+    assert os.path.isdir(os.path.join(path, "part=3")), "layout must survive"
+    back = spark.read.parquet(path)
+    assert back.count() == 8_000
+    assert back.selectExpr("sum(v)").collect()[0][0] == 8_000 * (8_000 - 1)
+    # partition pruning still works on the compacted layout
+    assert back.filter("part = 1").count() == 2_000
+
+
+def test_sweep_ignores_non_pid_numeric_dirs(spark):
+    """A numeric-suffixed dir whose prefix is NOT a registered pid-dir
+    prefix (e.g. stage_2024) must never be swept, even when no process
+    with that pid exists."""
+    import os
+    import shutil
+
+    from postpy_spark.queries import etl_surface
+
+    tag_dir = os.path.join(etl_surface.WORK_ROOT, "cafebabe")
+    bystander = os.path.join(tag_dir, "stage_999999")  # dead pid, wrong prefix
+    stale = os.path.join(tag_dir, "vt_demo_999999")  # dead pid, registered
+    os.makedirs(bystander, exist_ok=True)
+    os.makedirs(stale, exist_ok=True)
+    try:
+        etl_surface._swept = False
+        etl_surface._workdir("/root/testdata/sf0.001", "sweep_probe2")
+        assert os.path.exists(bystander), "unregistered prefix must survive"
+        assert not os.path.exists(stale), "registered dead-pid dir is swept"
     finally:
         shutil.rmtree(tag_dir, ignore_errors=True)
 

@@ -95,6 +95,15 @@ def test_connected_components_exhaustion_raises(spark):
         dedup.connected_components(chain, max_iterations=2)
 
 
+def test_connected_components_rejects_zero_iterations(spark):
+    """max_iterations <= 0 must raise up front — the loop would be skipped
+    entirely and identity labels (every node its own component) returned
+    without tripping the convergence guard."""
+    pair = spark.createDataFrame([(1, 2)], "id_a INT, id_b INT")
+    with pytest.raises(ValueError, match="max_iterations"):
+        dedup.connected_components(pair, max_iterations=0)
+
+
 def test_connected_components_multiple_components(spark):
     """Two disjoint chains plus an isolated pair keep distinct min labels."""
     edges = [(i, i + 1) for i in range(10)]          # component 0

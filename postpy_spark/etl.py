@@ -207,6 +207,46 @@ def describe_table(spark: SparkSession, name: str) -> DataFrame:
     )
 
 
+def analyze_table(
+    spark: SparkSession,
+    name: str,
+    columns: Sequence[str] | None = None,
+) -> dict:
+    """``ANALYZE TABLE`` helper: collect table-level statistics (row count,
+    size) and optionally per-column stats (ndv, min/max, null count) so the
+    cost-based optimizer can join-reorder (SURVEY.md §4.1 — PG's planner
+    reorders via pg_statistic; Spark's CBO is the analog but needs an
+    explicit ANALYZE).
+
+    On a 100 TB warehouse this runs as a scheduled maintenance job after
+    load: without stats Spark estimates from file sizes only (no ndv/row
+    counts through joins), so a star query written fact-first keeps its
+    written join order; with column stats + ``spark.sql.cbo.enabled`` +
+    ``spark.sql.cbo.joinReorder.enabled`` the planner joins the selective
+    dimensions first (plan-asserted in
+    tests/test_plan_shapes.py::test_cbo_join_reorder_with_stats).
+
+    Returns the collected table stats {row_count, size_bytes} for logging.
+    """
+    ensure_runtime_confs(spark)
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    out: dict = {}
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+        if r["col_name"] == "Statistics":
+            # e.g. "120013 bytes, 1500 rows"
+            parts = r["data_type"].split(",")
+            for p in parts:
+                p = p.strip()
+                if p.endswith("bytes"):
+                    out["size_bytes"] = int(p.split()[0])
+                elif p.endswith("rows"):
+                    out["row_count"] = int(p.split()[0])
+    return out
+
+
 def get_primary_keys(spark: SparkSession, name: str) -> list[str]:
     """Informational primary key recorded at CREATE time (upstream
     ``get_primary_keys`` [U]; Spark does not enforce PKs)."""

@@ -122,14 +122,91 @@ def minhash_signature(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _cap_hot_buckets(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int | None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Bound a pathological LSH-style bucket's quadratic self-join blowup.
+
+    A hot (band, hash) bucket — boilerplate that survives exact dedup —
+    generates |bucket|² candidates in the band self-join, the classic
+    100 TB scale-killer.  Buckets larger than ``max_bucket`` are
+    SALT-SPLIT: each member is deterministically assigned to one of
+    ``ceil(|bucket|/max_bucket)`` sub-buckets by hashing its id, and the
+    self-join key gains the salt, so only same-salt pairs are generated.
+    Candidate count per bucket drops from O(|b|²) to O(|b|·max_bucket) —
+    linear in bucket size.  The salt hash mixes the BUCKET KEY with the id,
+    so a pair sharing several hot buckets gets an independent salt draw in
+    each one; recall cost is bounded (miss probability ≈
+    (1−1/splits)^matching_buckets) and only ever applies to members of
+    pathological buckets.
+
+    Returns the frame with a ``_salt`` column appended (0 for cold
+    buckets).  When ``stats`` is a dict, one small eager aggregate fills
+    in ``hot_buckets`` / ``dropped_candidates_est`` — opt-in so the lazy
+    path adds no extra job.
+    """
+    if max_bucket is None:
+        return banded.withColumn("_salt", F.lit(0))
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    from pyspark import StorageLevel
+
+    # Two consumers below (the sizing aggregate and the join) — persist so
+    # the upstream signature aggregation runs once, not twice.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # Only the HOT buckets come back: their count is bounded by
+    # total_rows / max_bucket and in a real (post-exact-dedup) corpus is
+    # tiny, so the left join below broadcasts (AQE) and the cold-bucket
+    # common path never shuffles for salting.  The sizing aggregate itself
+    # partially aggregates map-side — shuffle volume is distinct buckets
+    # per partition, not rows.
+    hot = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket)
+    )
+    if stats is not None:
+        nsplit = F.ceil(F.col("_bsz") / F.lit(max_bucket))
+        total_pairs = F.col("_bsz") * (F.col("_bsz") - 1) / 2
+        kept_pairs = F.col("_bsz") * F.col("_bsz") / (2 * nsplit)
+        row = hot.agg(
+            F.count(F.lit(1)).alias("hot"),
+            F.coalesce(F.sum(total_pairs - kept_pairs), F.lit(0.0)).alias("dropped"),
+        ).collect()[0]
+        stats["hot_buckets"] = int(row["hot"])
+        stats["dropped_candidates_est"] = int(row["dropped"])
+        stats["max_bucket"] = max_bucket
+    return (
+        banded.join(hot, key_cols, "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_bsz").isNull(), F.lit(0)).otherwise(
+                F.pmod(
+                    F.xxhash64(F.col(id_col), *[F.col(c) for c in key_cols]),
+                    F.ceil(F.col("_bsz") / F.lit(max_bucket)).cast("long"),
+                ).cast("int")
+            ),
+        )
+        .drop("_bsz")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    max_bucket: int | None = 1024,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Band the signature and equi-join on (band_id, band_hash) →
-    candidate pairs (a < b).  The join is the ONLY shuffle; no n² scan."""
+    """Band the signature and equi-join on (band_id, band_hash, salt) →
+    candidate pairs (a < b).  The join is the ONLY shuffle; no n² scan.
+    Buckets above ``max_bucket`` are salt-split (see _cap_hot_buckets) so
+    one pathological bucket cannot go quadratic."""
     rows_per_band = num_hashes // bands
     band_structs = [
         F.struct(
@@ -143,6 +220,7 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+    banded = _cap_hot_buckets(banded, ["band_id", "band_hash"], id_col, max_bucket, stats)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -150,6 +228,7 @@ def lsh_candidate_pairs(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -192,6 +271,8 @@ def minhash_dedup_pairs(
     k: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket: int | None = 1024,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands → verified
     Jaccard pairs."""
@@ -199,7 +280,7 @@ def minhash_dedup_pairs(
 
     sh_df = shingled(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signature(df, id_col, text_col, num_hashes, k, seed, shingles=sh_df)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket, stats)
     return jaccard_verify(cand, df, id_col, text_col, k, threshold, shingles=sh_df)
 
 
@@ -345,10 +426,13 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket: int | None = 1024,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block the 64 bits into ``blocks`` chunks
     (pigeonhole: ≤ max_hamming differing bits → at least one identical
-    chunk), equi-join per chunk, verify Hamming distance ≤ max_hamming."""
+    chunk), equi-join per chunk, verify Hamming distance ≤ max_hamming.
+    Chunk buckets above ``max_bucket`` are salt-split (_cap_hot_buckets)."""
     sh = simhash(df, id_col, text_col)
     width = 64 // blocks
     chunked = sh.select(
@@ -368,12 +452,14 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    chunked = _cap_hot_buckets(chunked, ["chunk_id", "chunk_val"], id_col, max_bucket, stats)
     a, b = chunked.alias("a"), chunked.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

@@ -753,3 +753,239 @@ def tpch_q22_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@query(
+    "tpch_q17_shape",
+    oracle="""
+    WITH half_avg AS (
+        SELECT l_partkey, 0.5 * AVG(l_quantity) AS threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN half_avg h ON l.l_partkey = h.l_partkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < h.threshold
+    GROUP BY p_brand
+    """,
+    group="B2",
+)
+def tpch_q17_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    per-part AVG subquery decorrelated into one groupBy on l_partkey joined
+    back to the fact — both sides hash-partition on l_partkey so the join
+    is co-located with the aggregate's own shuffle; the part dim
+    broadcasts.  The avg threshold compares exactly cross-engine because
+    l_quantity is small-integer (double sums are exact below 2^53).
+
+    Scale note: the per-part aggregate's map-side partial MIN/SUM collapses
+    the fact before the shuffle; no window over the whole fact table."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    half_avg = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("threshold")
+    )
+    return (
+        l.join(half_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_shape",
+    oracle="""
+    WITH le AS (
+        SELECT l_orderkey, l_suppkey,
+               CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_os AS (
+        SELECT l_orderkey, l_suppkey, MAX(late) AS sup_late
+        FROM le GROUP BY l_orderkey, l_suppkey
+    ),
+    per_o AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(sup_late) AS n_late
+        FROM per_os GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_os
+    JOIN per_o   USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE sup_late = 1 AND n_supp >= 2 AND n_late = 1
+    GROUP BY s_name
+    """,
+    group="B2",
+)
+def tpch_q21_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+    schema's columns: "late" is l_shipdate > o_orderdate + 60 days (the
+    testdata has no receipt/commit dates).  The original's EXISTS (another
+    supplier on the order) + NOT EXISTS (no OTHER supplier late) double
+    correlation is decorrelated into two stacked aggregates — per
+    (order, supplier) lateness, then per-order supplier/late-supplier
+    counts — joined back; a supplier qualifies when it is late, shares the
+    order, and is the ONLY late supplier.  The second aggregate reuses the
+    first's hash partitioning (orderkey prefix); supplier broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    le = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        ).cast("int").alias("late"),
+    )
+    per_os = le.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("sup_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("sup_late").alias("n_late")
+    )
+    qual = (
+        per_os.filter(F.col("sup_late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        qual.join(broadcast(s), qual.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q15_shape",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    group="B2",
+)
+def tpch_q15_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier, then
+    the MAX-equality scalar subquery as a broadcast one-row join (ties kept,
+    like the original).  Equality compares the ROUNDED revenue on both
+    engines so the scalar max selection is stable cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    revenue = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q8_shape",
+    oracle="""
+    SELECT yr,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share,
+           ROUND(SUM(volume), 4) AS total_volume
+    FROM (
+        SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    GROUP BY yr
+    """,
+    group="B2",
+)
+def tpch_q8_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the full 8-relation star —
+    fact chain lineitem→orders shuffled on keys, every dimension (part
+    filtered, supplier, customer, nation×2, region) broadcast, then a
+    conditional-share rollup by year.  The share divides two co-grouped
+    sums, so no second pass over the data."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(
+            F.year("o_orderdate").cast("bigint").alias("yr"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("volume"), 4).alias("total_volume"),
+        )
+    )

@@ -46,6 +46,35 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+# Streaming state-store provider (SURVEY.md §4.2 / docs/SCALE.md).  The
+# default HDFS-backed provider keeps every stateful operator's state on the
+# executor HEAP — at 100 TB-scale streaming (millions of session/dedup/agg
+# keys per executor) that is an OOM, GC-pause, and recovery-time hazard.
+# RocksDB spills state to local disk with bounded memory and incremental
+# (changelog) checkpoints.  Opt-in rather than default because at local test
+# scale the JNI round-trips are pure overhead, and batch-only users never
+# touch a state store.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+ROCKSDB_STATE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+    # Changelog checkpointing uploads per-batch deltas instead of full
+    # RocksDB snapshots — the difference between O(state) and O(delta)
+    # checkpoint latency on large state.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def rocksdb_state_requested() -> bool:
+    """Env-level opt-in: ``SPARK_GRAFT_ROCKSDB_STATE=1`` (or true/yes)."""
+    return os.environ.get("SPARK_GRAFT_ROCKSDB_STATE", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    )
+
+
 def default_parallelism() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus:
@@ -90,6 +119,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
@@ -115,6 +145,13 @@ def get_spark(
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # Session-level RocksDB state store: explicit param wins, else env
+    # opt-in (SPARK_GRAFT_ROCKSDB_STATE=1).  The transformWithState path
+    # (streaming.py) additionally pins the provider itself because that
+    # operator REQUIRES RocksDB regardless of the session default.
+    if rocksdb_state if rocksdb_state is not None else rocksdb_state_requested():
+        for k, v in ROCKSDB_STATE_CONFS.items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

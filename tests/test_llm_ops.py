@@ -249,3 +249,90 @@ def test_sample_weighted_rate_and_determinism(spark, docs):
     d = docs.selectExpr("least(cast(n_chars as double)/400.0, 1.0) AS p")
     expect = d.agg(F.sum("p")).collect()[0][0]
     assert abs(len(a) - expect) / expect < 0.25
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket cap (adversarial boilerplate): one pathological LSH bucket must
+# not go quadratic, and the cap must not break the recall/precision gates.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def boilerplate(spark):
+    """500 docs with IDENTICAL text (the worst case that survives upstream
+    stages when exact dedup is skipped): every LSH band puts all 500 ids in
+    ONE (band_id, band_hash) bucket."""
+    text = "terms of service apply to all users of this site please read carefully"
+    return spark.createDataFrame(
+        [(i, text) for i in range(500)], "doc_id INT, text STRING"
+    )
+
+
+def test_hot_bucket_cap_bounds_candidates(spark, boilerplate):
+    sigs = dedup.minhash_signature(boilerplate)
+    n = 500
+    uncapped_pairs = n * (n - 1) // 2  # 124_750 per bucket without the cap
+
+    stats = {}
+    capped = dedup.lsh_candidate_pairs(
+        sigs, max_bucket=50, stats=stats
+    ).count()
+    # Every band's bucket splits into ceil(500/50)=10 salt groups of ~50, so
+    # per band ≈ 10·C(50,2) = 12_250 pairs — the quantity the cap bounds is
+    # the PER-BUCKET join size (task memory / skew), which drops 124_750 →
+    # ~12k (10×).  The distinct union across 8 bands with independent salts
+    # can approach 8× the per-band count, still strictly below quadratic.
+    per_band_bound = 10 * (50 * 49 // 2)
+    assert capped <= 8 * per_band_bound, f"cap failed to bound candidates: {capped}"
+    assert capped < uncapped_pairs
+    assert capped > 0, "salt groups must still self-join"
+    assert stats["hot_buckets"] == 8, stats  # all 8 band buckets were hot
+    assert stats["dropped_candidates_est"] > 0
+    assert stats["max_bucket"] == 50
+
+    # cap disabled → the full quadratic candidate set (ground truth check)
+    full = dedup.lsh_candidate_pairs(sigs, max_bucket=None).count()
+    assert full == uncapped_pairs
+
+
+def test_hot_bucket_cap_noop_on_cold_buckets(spark, docs):
+    """Real sf0.001 corpus has no bucket near 1024 — candidates must be
+    identical with and without the cap."""
+    sigs = dedup.minhash_signature(docs)
+    with_cap = {
+        (r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs).collect()
+    }
+    without = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket=None).collect()
+    }
+    assert with_cap == without
+
+
+def test_hot_bucket_cap_pipeline_still_verifies(spark, boilerplate):
+    """End-to-end on the adversarial corpus: surviving candidates are all
+    true duplicates (jaccard 1.0) and every doc appears in some pair."""
+    out = dedup.minhash_dedup_pairs(boilerplate, max_bucket=50, threshold=0.9)
+    rows = out.collect()
+    assert rows, "cap must not kill all candidates"
+    assert all(r.jaccard == 1.0 for r in rows)
+    ids = {r.id_a for r in rows} | {r.id_b for r in rows}
+    # salt-split keeps every member pairable within its salt group
+    assert len(ids) == 500
+
+
+def test_hot_bucket_cap_rejects_degenerate_cap(spark, boilerplate):
+    sigs = dedup.minhash_signature(boilerplate)
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.lsh_candidate_pairs(sigs, max_bucket=1).count()
+
+
+def test_simhash_hot_bucket_cap(spark, boilerplate):
+    """Identical docs → identical simhash → one bucket per chunk; capped
+    run still finds (hamming=0) pairs but generates bounded candidates."""
+    stats = {}
+    got = dedup.simhash_near_pairs(boilerplate, max_bucket=50, stats=stats)
+    rows = got.collect()
+    assert rows and all(r.hamming == 0 for r in rows)
+    assert stats["hot_buckets"] == 4  # one hot bucket per 16-bit chunk
+    assert stats["dropped_candidates_est"] > 0

@@ -3,6 +3,7 @@
 reads).  A refactor that silently loses one of these still passes
 correctness — these tests are the performance contract."""
 
+import os
 import re
 
 import pytest
@@ -11,6 +12,15 @@ from postpy_spark import registry
 from tests.conftest import SF_SMOKE
 
 REG = registry.load_all()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _uncached_scans(spark):
+    """Plan assertions inspect parquet SCAN nodes (PushedFilters/ReadSchema);
+    a table left .cache()d by an earlier module substitutes an
+    InMemoryRelation and silently changes every plan under test."""
+    spark.catalog.clearCache()
+    yield
 
 
 def executed_plan(spark, name):
@@ -159,3 +169,141 @@ def test_rebalance_hint_reaches_planner(spark):
     df = load_table(spark, SF_SMOKE, "lineitem").hint("rebalance")
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "RebalancePartitions" in plan
+
+
+# ---------------------------------------------------------------------------
+# Group D scale paths (the least driver-attested code): pin the plan shapes
+# the 100 TB posture depends on — equi-join candidate generation (never a
+# cartesian/BNLJ), map-side partial aggregation, broadcast-bounded rerank.
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    from postpy_spark.io import load_table
+
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def _plan_of(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_signature_single_shuffle_with_partial_min(spark):
+    """signature = explode + groupBy: exactly ONE exchange (hashpartitioning
+    on doc_id), and the MIN must partially aggregate BEFORE the shuffle so
+    shuffle volume is |docs|×num_hashes, not |shingles|×num_hashes."""
+    from postpy_spark.operators import dedup
+
+    plan = _plan_of(dedup.minhash_signature(_docs(spark)))
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_candidate_pairs_equi_join_only(spark):
+    """Banding must make candidate generation an EQUI self-join on
+    (band_id, band_hash, _salt) — any cartesian/BNLJ here is the O(n²)
+    scan LSH exists to avoid."""
+    from postpy_spark.operators import dedup
+
+    sigs = dedup.minhash_signature(_docs(spark))
+    plan = _plan_of(dedup.lsh_candidate_pairs(sigs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_simhash_near_pairs_equi_join_only(spark):
+    from postpy_spark.operators import dedup
+
+    plan = _plan_of(dedup.simhash_near_pairs(_docs(spark)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_ann_lsh_rerank_is_broadcast_bounded(spark):
+    """ann_lsh_topk: the bucket join against the (small) query side must be
+    a broadcast — the corpus is streamed linearly, never shuffled into a
+    cartesian — and the final top-k window must be partitioned per query."""
+    plan = executed_plan(spark, "sim_ann_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "query_id#" in line, line
+
+
+def test_cbo_join_reorder_with_stats(spark, tmp_path):
+    """SURVEY §4.1: PG's planner join-reorders from pg_statistic; Spark's
+    CBO is the analog but needs ANALYZE-collected stats.  A star query
+    deliberately written fact-first (orders, customer, nation, region) must
+    keep its written order without CBO, and join the selective dimensions
+    FIRST once column stats + cbo + joinReorder are on."""
+    import re as _re
+
+    from postpy_spark.etl import analyze_table
+    from postpy_spark.io import load_table
+
+    tables = {
+        "orders": ["o_custkey"],
+        "customer": ["c_custkey", "c_nationkey"],
+        "nation": ["n_nationkey", "n_regionkey"],
+        "region": ["r_regionkey", "r_name"],
+    }
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t, cols in tables.items():
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        # DROP of a metastore-unknown table leaves an orphan location behind
+        shutil.rmtree(os.path.join(warehouse, f"cbo_{t}"), ignore_errors=True)
+        load_table(spark, SF_SMOKE, t).write.mode("overwrite").saveAsTable(f"cbo_{t}")
+        stats = analyze_table(spark, f"cbo_{t}", cols)
+        assert stats["row_count"] > 0 and stats["size_bytes"] > 0, (t, stats)
+
+    q = """
+    SELECT o.o_orderpriority, count(*) AS cnt
+    FROM cbo_orders o, cbo_customer c, cbo_nation n, cbo_region r
+    WHERE o.o_custkey = c.c_custkey
+      AND c.c_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+    GROUP BY o.o_orderpriority
+    """
+
+    def leaves(plan):
+        seen = []
+        for m in _re.findall(r"cbo_(\w+)", plan):
+            if m not in seen:
+                seen.append(m)
+        return seen
+
+    confs = {
+        "spark.sql.cbo.enabled": None,
+        "spark.sql.cbo.joinReorder.enabled": None,
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k in confs:
+            spark.conf.set(k, "false")
+        baseline = leaves(spark.sql(q)._jdf.queryExecution().optimizedPlan().toString())
+        assert baseline[0] == "orders", baseline  # written order kept
+        for k in confs:
+            spark.conf.set(k, "true")
+        reordered = leaves(spark.sql(q)._jdf.queryExecution().optimizedPlan().toString())
+        # stats-informed: the selective dim side is joined before the fact
+        assert reordered != baseline, reordered
+        assert reordered.index("orders") > 0, reordered
+        assert reordered.index("region") < reordered.index("orders"), reordered
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")

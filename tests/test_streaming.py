@@ -286,3 +286,68 @@ def test_foreachbatch_two_sink_fanout(spark, chunks, tmp_path):
     expect = {r.event_type: r.n for r in
               e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert {r.event_type: r.n for r in per_type} == expect
+
+
+# ---------------------------------------------------------------------------
+# RocksDB state store (session-level opt-in, docs/SCALE.md)
+# ---------------------------------------------------------------------------
+
+
+def test_rocksdb_state_confs_land_on_builder(spark):
+    """get_spark(rocksdb_state=True) must set the provider + changelog
+    checkpointing confs.  getOrCreate() reuses the live test session, so we
+    assert the confs landed there (providerClass is runtime-settable) and
+    restore the defaults afterwards."""
+    from postpy_spark import session as S
+
+    before = {
+        k: spark.conf.get(k, None) for k in S.ROCKSDB_STATE_CONFS
+    }
+    try:
+        s2 = S.get_spark(rocksdb_state=True)
+        assert s2 is spark  # same JVM → same session; confs applied to it
+        for k, v in S.ROCKSDB_STATE_CONFS.items():
+            assert s2.conf.get(k) == v, k
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_rocksdb_env_opt_in_parsing(monkeypatch):
+    from postpy_spark import session as S
+
+    for raw, want in [("1", True), ("true", True), ("YES", True),
+                      ("0", False), ("", False), ("no", False)]:
+        monkeypatch.setenv("SPARK_GRAFT_ROCKSDB_STATE", raw)
+        assert S.rocksdb_state_requested() is want, raw
+    monkeypatch.delenv("SPARK_GRAFT_ROCKSDB_STATE")
+    assert S.rocksdb_state_requested() is False
+
+
+def test_streaming_agg_under_rocksdb_state_store(spark, chunks):
+    """The tumbling-window agg must produce identical results when its
+    state lives in RocksDB instead of the default HDFS-backed heap store —
+    the run-both-ways check for the session-level opt-in."""
+    from postpy_spark.session import ROCKSDB_STATE_CONFS
+
+    before = {k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONFS}
+    try:
+        for k, v in ROCKSDB_STATE_CONFS.items():
+            spark.conf.set(k, v)
+        stream = STR.read_event_stream(spark, chunks)
+        got = STR.run_stream_to_memory(
+            STR.tumbling_counts(STR.with_watermark(stream, "1 hour")),
+            "t_tumbling_rocksdb",
+            output_mode="complete",
+        )
+        batch = STR.tumbling_counts(load_table(spark, SF_SMOKE, "events"))
+        assert_same(got, batch)
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

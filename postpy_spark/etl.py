@@ -26,8 +26,10 @@ from __future__ import annotations
 import shutil
 import uuid
 from collections.abc import Iterable, Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
 
 from postpy_spark.schema import Table
 from postpy_spark.session import ensure_runtime_confs
@@ -52,6 +54,88 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> D
     src = source.dropDuplicates(keys)
     kept = target.join(src, on=keys, how="left_anti")
     return kept.unionByName(src)
+
+
+def merge_scd2(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    change_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: history rows are immutable;
+    a source row whose ``compare_cols`` differ from the CURRENT version
+    closes that version (``valid_to = change_ts``) and opens a new one;
+    brand-new keys open their first version; unchanged keys pass through.
+
+    ``target`` must carry (keys, compare_cols, valid_from, valid_to,
+    is_current); ``source`` carries (keys, compare_cols).  Comparison is
+    null-safe (NULL ≡ NULL is "unchanged", like ``IS NOT DISTINCT FROM``).
+
+    Plan shape: ONE shuffle on the key — the current slice left-joins the
+    (deduped) source, every branch (closed / unchanged / new-version /
+    new-key) derives from that single join, and history is a union passed
+    through untouched.  With AQE the join broadcasts when the change batch
+    is small, the common nightly-dimension-feed case; the dimension's
+    history never re-shuffles.
+    """
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    src = source.dropDuplicates(keys).select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"_src_{c}") for c in compare_cols],
+    )
+    cur = target.filter(F.col(is_current))
+    hist = target.filter(~F.col(is_current))
+
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.col(f"_src_{c}")) for c in compare_cols],
+    )
+    # presence flags that survive all-NULL attribute values
+    src_marked = src.withColumn("_in_src", F.lit(True))
+    cur_marked = cur.withColumn("_in_cur", F.lit(True))
+    joined = cur_marked.join(src_marked, on=keys, how="full_outer")
+
+    out_cols = keys + compare_cols + [valid_from, valid_to, is_current]
+
+    changed = joined.filter(
+        F.col("_in_cur") & F.col("_in_src") & differs
+    )
+    closed = changed.select(
+        *keys,
+        *compare_cols,
+        F.col(valid_from),
+        F.lit(change_ts).cast("timestamp_ntz").alias(valid_to),
+        F.lit(False).alias(is_current),
+    )
+    reopened = changed.select(
+        *keys,
+        *[F.col(f"_src_{c}").alias(c) for c in compare_cols],
+        F.lit(change_ts).cast("timestamp_ntz").alias(valid_from),
+        F.lit(None).cast("timestamp_ntz").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    unchanged = joined.filter(
+        F.col("_in_cur") & (F.col("_in_src").isNull() | ~differs)
+    ).select(*out_cols)
+    new_keys = joined.filter(F.col("_in_cur").isNull() & F.col("_in_src")).select(
+        *keys,
+        *[F.col(f"_src_{c}").alias(c) for c in compare_cols],
+        F.lit(change_ts).cast("timestamp_ntz").alias(valid_from),
+        F.lit(None).cast("timestamp_ntz").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(closed)
+        .unionByName(reopened)
+        .unionByName(unchanged)
+        .unionByName(new_keys)
+    )
 
 
 def upsert_into_path(

@@ -284,6 +284,76 @@ def minhash_dedup_pairs(
     return jaccard_verify(cand, df, id_col, text_col, k, threshold, shingles=sh_df)
 
 
+def minhash_dedup_pairs_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int | None = 1024,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: verified pairs where AT LEAST ONE
+    side is in ``new_docs`` — the shape a daily ingest runs against a 100 TB
+    historical corpus.  The candidate band join is (all × new), never
+    (all × all): old×old pairs were found when the old batches arrived, so
+    re-generating them is the quadratic-over-history cost this avoids.
+    Candidate volume scales with |new| × collision rate, independent of
+    history size.
+
+    Signatures/bands/salts are computed identically to
+    :func:`minhash_dedup_pairs` over the union, so the result equals the
+    full pipeline's pairs restricted to those touching a new id
+    (equivalence-tested in tests/test_llm_ops.py).  In production the old
+    side's signatures come from a signature store (e.g. a versioned table)
+    instead of being recomputed; recompute here keeps the operator
+    self-contained."""
+    from pyspark import StorageLevel
+
+    docs = old_docs.unionByName(new_docs)
+    sh_df = shingled(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signature(docs, id_col, text_col, num_hashes, k, seed, shingles=sh_df)
+
+    rows_per_band = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    # salt from the FULL frame so both join sides agree per (id, bucket)
+    banded = _cap_hot_buckets(banded, ["band_id", "band_hash"], id_col, max_bucket, stats)
+    new_ids = new_docs.select(id_col)
+    banded_new = banded.join(F.broadcast(new_ids), id_col, "left_semi")
+    a = banded.alias("a")
+    b = banded_new.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._salt") == F.col("b._salt"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_verify(cand, docs, id_col, text_col, k, threshold, shingles=sh_df)
+
+
 # ---------------------------------------------------------------------------
 # Connected components (duplicate clusters)
 # ---------------------------------------------------------------------------

@@ -77,6 +77,48 @@ def global_row_number(
     return out.drop(_PID, _LRN, _OFF, _N)
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + inclusive global prefix sum of ``value_col`` under
+    ``order_cols`` (a total order), via the same range-partitioned
+    two-phase scheme as :func:`global_row_number`: local per-partition
+    cumsum, then an exclusive prefix over the P partition TOTALS (a window
+    over P rows) broadcast-joined back.  Two full-data shuffles, no
+    single-task stage over the data — the scalable form of
+    ``SUM(v) OVER (ORDER BY ...)``, which would otherwise funnel the whole
+    frame through one task."""
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
+    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = tagged.withColumn(_LRN, F.sum(value_col).over(w_local))
+
+    totals = tagged.groupBy(_PID).agg(F.sum(value_col).alias("_tot"))
+    one_group = F.pmod(F.col(_PID), F.lit(1))  # see global_row_number note
+    w_off = (
+        Window.partitionBy(one_group)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias(_OFF)
+    )
+    return (
+        local.join(broadcast(offsets), _PID)
+        .withColumn(sum_col, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
+        .drop(_PID, _LRN, _OFF)
+    )
+
+
 def ntile_expr(rn: Column, total: Column, n: int) -> Column:
     """SQL NTILE(n) from a 1-based global row number: the first
     ``total % n`` buckets get ``ceil(total/n)`` rows, the rest get

@@ -167,6 +167,92 @@ def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return etl.merge_upsert(target, source, keys=["o_orderkey"])
 
 
+@query(
+    "merge_scd2",
+    oracle="""
+    WITH tgt AS (
+        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS c_acctbal,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current
+        FROM customer
+    ),
+    src AS (
+        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal + 100, 2) AS c_acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2)
+        FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW', 0.0
+        FROM customer WHERE c_custkey % 25 = 0
+    ),
+    chg AS (
+        SELECT t.c_custkey, t.c_mktsegment AS t_seg, t.c_acctbal AS t_bal,
+               s.c_mktsegment AS s_seg, s.c_acctbal AS s_bal, t.valid_from
+        FROM tgt t JOIN src s USING (c_custkey)
+        WHERE t.c_acctbal IS DISTINCT FROM s.c_acctbal
+           OR t.c_mktsegment IS DISTINCT FROM s.c_mktsegment
+    )
+    SELECT c_custkey, t_seg AS c_mktsegment, t_bal AS c_acctbal, valid_from,
+           TIMESTAMP '2026-01-01 00:00:00' AS valid_to, FALSE AS is_current
+    FROM chg
+    UNION ALL
+    SELECT c_custkey, s_seg, s_bal, TIMESTAMP '2026-01-01 00:00:00',
+           CAST(NULL AS TIMESTAMP), TRUE
+    FROM chg
+    UNION ALL
+    SELECT t.* FROM tgt t
+    WHERE NOT EXISTS (SELECT 1 FROM chg c WHERE c.c_custkey = t.c_custkey)
+    UNION ALL
+    SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal,
+           TIMESTAMP '2026-01-01 00:00:00', CAST(NULL AS TIMESTAMP), TRUE
+    FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.c_custkey = s.c_custkey)
+    """,
+    group="A",
+)
+def merge_scd2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge on a customer-dimension snapshot: the change feed
+    carries value changes (%10: acctbal bumped), no-op resends (%7: same
+    values — must pass through untouched), and brand-new keys (%25 +
+    1_000_000).  Changed keys get their current version closed at the
+    change timestamp and a new open version; history is immutable.
+    postpy upstream analog: dml.py::upsert_records [U] (type-1 only; the
+    versioned-history semantics are the warehouse-native extension)."""
+    c = load_table(spark, sf_dir, "customer")
+    tgt = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changed = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+    )
+    resend = c.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 10 != 0)
+    ).select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal"))
+    new = c.filter(F.col("c_custkey") % 25 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    src = changed.unionByName(resend).unionByName(new)
+    return etl.merge_scd2(
+        tgt,
+        src,
+        keys=["c_custkey"],
+        compare_cols=["c_mktsegment", "c_acctbal"],
+        change_ts="2026-01-01 00:00:00",
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # DDL + catalog reflection
 # ---------------------------------------------------------------------------

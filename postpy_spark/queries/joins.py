@@ -378,3 +378,31 @@ def join_asof_strict_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         strict=True,
     )
     return out.select("event_id", "user_id", "day_total")
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, p_brand, p_size
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 20
+    """,
+    group="B2",
+)
+def join_skew_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): the fact side scattered over 16
+    sub-keys, the dimension replicated per salt — the planning-time hot-key
+    cure when AQE's runtime split can't apply.  The salt changes ONLY the
+    shuffle distribution; the result is exactly the plain join, which is
+    what the oracle checks."""
+    from postpy_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 20)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")
+    )
+    return salted_join(l, p, "l_partkey", n_salts=16)

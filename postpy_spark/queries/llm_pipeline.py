@@ -993,3 +993,89 @@ def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@query(
+    "shard_by_token_budget",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(LEN(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id) AS cum
+        FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 20000 AS BIGINT) AS shard_id
+    FROM c
+    """,
+    group="D",
+)
+def shard_by_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into training shards by cumulative token budget
+    (20k tokens/shard): each doc goes to the shard its global token OFFSET
+    falls in — the deterministic contiguous packing a dataloader needs for
+    epoch-stable sharding.  The global prefix sum runs on the
+    range-partitioned two-phase path (operators/ranking.py), NOT a
+    single-task ``SUM OVER (ORDER BY)`` window — two shuffles, no
+    one-task stage, so the packing itself scales to corpus size."""
+    from postpy_spark.operators.ranking import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.n_words(F.col("text")).alias("n_tokens")
+    )
+    c = global_running_sum(d, ["doc_id"], "n_tokens", "cum")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(cum - n_tokens) div 20000").cast("bigint").alias("shard_id"),
+    )
+
+
+@query("dedup_incremental", oracle=None, group="D")
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest near-dup detection: the 20% "new batch" (doc_id % 5 = 0)
+    LSH-checked against the 80% historical corpus WITHOUT regenerating
+    old×old candidates — the band join is (all × new), so candidate volume
+    scales with the batch, not the history.  Rows-only: pytest asserts
+    exact equality with the full pipeline's pairs restricted to new ids."""
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_dedup_pairs_incremental(old, new)
+
+
+@query("embed_pca", oracle=None, group="D")
+def embed_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embedding column (dimensionality reduction /
+    whitening before clustering or ANN): two Arrow passes + a d²-bounded
+    moment reduction, driver eig only on the d×d covariance
+    (operators/linalg.py).  Rows-only: pytest gates orthonormality,
+    variance ordering, and reconstruction error."""
+    from postpy_spark.operators.linalg import pca_project
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(e, k=8)
+    return out.select(
+        "vec_id", F.transform("pca", lambda x: F.round(x, 4)).alias("pca")
+    )
+
+
+@query("sample_mixture_stable", oracle=None, group="D")
+def sample_mixture_stable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing with RETRY-SAFE sampling: per-lang
+    keep-rates steer the corpus toward a uniform language mix, and the
+    keep/drop draw is a content-hash function of doc_id
+    (operators/sampling.py) — invariant under repartition, AQE coalesce,
+    and speculative task retries, unlike rand(seed) whose draws move with
+    the partition layout.  Rows-only: pytest gates mixture accuracy,
+    determinism, and the repartition-invariance rand() lacks."""
+    from postpy_spark.operators.sampling import sample_mixture
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_mixture(d, "doc_id", "lang", seed=11).select(
+        "doc_id", "lang", "source"
+    )

@@ -330,3 +330,68 @@ def stream_session_dynamic_gap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_start",
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    group="C",
+)
+def stream_static_enrich_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event firehose joined to a broadcast
+    customer-dimension snapshot (segment/nation attributes).  Batch form
+    here; the pytest suite replays the SAME builder against a real file
+    stream — Spark's stream-static join is stateless on the stream side
+    (no watermark, no join state), the canonical attach-dimensions shape."""
+    e = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer")
+    return STR.static_enrich(e, dim)
+
+
+@query(
+    "stream_scd2_dimension",
+    oracle="""
+    SELECT user_id, event_type AS cur_type, value AS cur_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    group="C",
+)
+def stream_scd2_dimension_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD dimension maintained FROM a real stream replay: each
+    micro-batch's per-key latest row event-time-effectively merges into a
+    versioned dimension (closed/opened versions; late data discarded by
+    the (ts, event_id) anchor).  The chunking is by event_id % n — NOT
+    time-ordered — so out-of-order arrival is genuinely exercised.  The
+    oracle checks the CURRENT slice equals the global latest-per-key
+    state; history-chain invariants live in tests/test_streaming.py."""
+    tag = hashlib.sha1(f"scd2:{sf_dir}".encode()).hexdigest()[:8]
+    base = f"/tmp/postpy_spark_stream/{tag}"
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    STR.write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=3)
+    stream = STR.read_event_stream(spark, f"{base}/chunks", files_per_trigger=1)
+    STR.stream_scd2_to_path(
+        spark,
+        stream,
+        target_path=f"{base}/dim",
+        keys=["user_id"],
+        compare_cols=["event_type", "value"],
+        ts_col="ts",
+        id_col="event_id",
+        checkpoint=f"{base}/ckpt",
+    )
+    dim = spark.read.parquet(f"{base}/dim")
+    return dim.filter(F.col("is_current")).select(
+        "user_id",
+        F.col("event_type").alias("cur_type"),
+        F.col("value").alias("cur_value"),
+    )

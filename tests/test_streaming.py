@@ -351,3 +351,48 @@ def test_streaming_agg_under_rocksdb_state_store(spark, chunks):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_stream_static_enrich_converges(spark, chunks):
+    from postpy_spark.io import load_table as LT
+
+    dim = LT(spark, SF_SMOKE, "customer")
+    stream = STR.read_event_stream(spark, chunks)
+    got = STR.run_stream_to_memory(
+        STR.static_enrich(stream, dim), "t_static_enrich", output_mode="append"
+    )
+    batch = STR.static_enrich(LT(spark, SF_SMOKE, "events"), dim)
+    assert_same(got, batch)
+
+
+def test_stream_scd2_dimension_history_and_idempotence(spark, chunks, tmp_path):
+    """Beyond the oracle's current-slice check: one current row per key,
+    interval chains link (closed.valid_to == successor.valid_from),
+    adjacent versions differ in attributes, and replaying the whole stream
+    into the existing dimension (fresh checkpoint) is a no-op."""
+    base = str(tmp_path / "scd2")
+    stream = STR.read_event_stream(spark, chunks)
+    STR.stream_scd2_to_path(
+        spark, stream, f"{base}/dim", ["user_id"], ["event_type", "value"],
+        "ts", "event_id", f"{base}/ckpt1",
+    )
+    dim = spark.read.parquet(f"{base}/dim").collect()
+    by_key = {}
+    for r in dim:
+        by_key.setdefault(r.user_id, []).append(r)
+    for uid, rows in by_key.items():
+        cur = [r for r in rows if r.is_current]
+        assert len(cur) == 1, (uid, rows)
+        assert cur[0].valid_to is None
+        chain = sorted(rows, key=lambda r: r.valid_from)
+        for a, b in zip(chain, chain[1:]):
+            assert a.valid_to == b.valid_from, (uid, a, b)
+            assert (a.event_type, a.value) != (b.event_type, b.value)
+    # idempotent under full replay (fresh checkpoint, same target)
+    stream2 = STR.read_event_stream(spark, chunks)
+    STR.stream_scd2_to_path(
+        spark, stream2, f"{base}/dim", ["user_id"], ["event_type", "value"],
+        "ts", "event_id", f"{base}/ckpt2",
+    )
+    again = spark.read.parquet(f"{base}/dim").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, dim))

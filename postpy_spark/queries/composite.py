@@ -989,3 +989,115 @@ def tpch_q8_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("volume"), 4).alias("total_volume"),
         )
     )
+
+
+@query(
+    "tpch_q6_shape",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    group="B2",
+)
+def tpch_q6_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change shape (TPC-H Q6): pure scan→filter→global agg.
+    The cheapest TPC-H query and the purest pushdown test: all three
+    predicates reach the parquet scan (PushedFilters), only 4 columns are
+    read (ReadSchema), and the aggregate is a two-phase partial/final with
+    no shuffle beyond the single-row exchange."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q12_shape",
+    oracle="""
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+    group="B2",
+)
+def tpch_q12_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-modes-and-priority shape (TPC-H Q12, adapted: this schema
+    has no l_shipmode/commitdate, so "late" is shipdate ≥ orderdate+60d and
+    the grouping dim is l_linestatus).  Exercises a fact-fact join with a
+    correlated-column residual predicate (shipdate vs orderdate crosses the
+    join, so it can't push below it) plus conditional aggregation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_shape",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    group="B2",
+)
+def tpch_q13_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-distribution shape (TPC-H Q13): LEFT join with the filter in
+    the ON clause (NOT the WHERE — moving it there would drop order-less
+    customers), then a two-level aggregation.  The second groupBy is over
+    the already-tiny (c_count, n) frame, so its shuffle is trivial; the
+    first aggregates on the join key, so AQE can reuse the join exchange."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderstatus") != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

@@ -319,3 +319,39 @@ def test_token_shard_running_sum_is_distributed(spark):
         if "Window [" in line and "sum(" in line and "__rank_pid#" not in line:
             # the only non-pid window is the P-row offsets frame (pmod group)
             assert "pmod(" in line, line
+
+
+def test_tpch_q6_full_pushdown_and_pruned_read(spark):
+    """Q6's whole selectivity lives in the scan: all three predicates must
+    reach PushedFilters and only the 4 touched columns may be read."""
+    plan = executed_plan(spark, "tpch_q6_shape")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1), f"{col} not pushed: {pushed.group(1)}"
+    read = re.search(r"ReadSchema: (\S+)", plan)
+    assert read and "l_orderkey" not in read.group(1)
+    assert "l_partkey" not in read.group(1)
+
+
+def test_tpch_q12_residual_predicate_stays_hash_join(spark):
+    """The shipdate-vs-orderdate predicate crosses the join, so it cannot be
+    pushed below it — but the o_orderkey equi-key must still carry a hash
+    join (never a nested loop), with the cross-table comparison as a
+    residual filter above/inside it."""
+    plan = executed_plan(spark, "tpch_q12_shape")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q13_left_join_keeps_on_clause_filter(spark):
+    """Q13's o_orderstatus filter lives in the LEFT join's ON clause; the
+    optimizer may push it to the orders scan (preserved side is customer),
+    but it must never convert the join to inner or a nested loop."""
+    plan = executed_plan(spark, "tpch_q13_shape")
+    assert "LeftOuter" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -572,6 +572,29 @@ def frequent_terms(
     with a |candidates|-sized one.
     """
     toks = docs.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+    candidates = mg_candidates(toks, capacity)
+    recount = (
+        toks.join(F.broadcast(candidates), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # The rank window is global but runs over the CANDIDATE frame only,
+    # which mg_candidates bounds at partitions x capacity rows — never the
+    # vocabulary (tests/test_llm_ops.py pins the bound).
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w"))
+    return (
+        recount.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("w", "cnt", "rank")
+    )
+
+
+def mg_candidates(toks: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate terms over a one-column ``w``
+    token frame.  At most ``capacity`` rows per input partition by
+    construction: the summary is trimmed back to ``capacity`` entries after
+    every Arrow batch, so the global candidate frame is bounded at
+    partitions x capacity regardless of vocabulary size."""
 
     def mg_sketch(batches):
         import pandas as pd
@@ -592,15 +615,4 @@ def frequent_terms(
                 counters = counters[counters > 0]
         yield pd.DataFrame({"w": counters.index.astype(str)})
 
-    candidates = toks.mapInPandas(mg_sketch, "w STRING").distinct()
-    recount = (
-        toks.join(F.broadcast(candidates), "w")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("w"))
-    return (
-        recount.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("w", "cnt", "rank")
-    )
+    return toks.mapInPandas(mg_sketch, "w STRING").distinct()

@@ -75,10 +75,25 @@ def decode_real(payload: bytes, kind: str):
     raise NotImplementedError("real decode path not wired in this build")
 
 
-def fake_pixels(payload: bytes) -> list[int]:
-    """Deterministic stand-in 'pixel' stream: unicode codepoints of the
-    payload text — stable across engines and languages, so oracle-checkable."""
-    return [ord(c) for c in payload.decode("utf-8", errors="replace")]
+def _make_fake_pixels():
+    """Factory for the stand-in decoder.  UDF closures must capture the
+    RETURNED function, not a module-level one: cloudpickle serializes
+    module-level globals by reference (workers would need ``postpy_spark``
+    importable — only true when the driver's cwd is the repo root), but a
+    factory-nested function by VALUE, making the shipped UDF
+    self-contained under any driver cwd/PYTHONPATH."""
+
+    def fake_pixels(payload: bytes) -> list[int]:
+        # Deterministic stand-in 'pixel' stream: unicode codepoints of the
+        # payload text — stable across engines and languages, so
+        # oracle-checkable.
+        return [ord(c) for c in payload.decode("utf-8", errors="replace")]
+
+    return fake_pixels
+
+
+#: Driver-side convenience alias (tests/oracles); UDFs use the factory.
+fake_pixels = _make_fake_pixels()
 
 
 def decoder_availability() -> list[tuple[str, str, bool]]:
@@ -105,10 +120,11 @@ STATS_SCHEMA = (
 
 def image_stats(media: DataFrame) -> DataFrame:
     """Per-asset decode → feature-extract over Arrow batches."""
+    decode = _make_fake_pixels()  # closure-captured, pickled by value
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            px = pdf["payload"].map(fake_pixels)
+            px = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -186,15 +202,17 @@ def audio_stats(media: DataFrame) -> DataFrame:
     soundfile-backed decoder plugs into; raw floats cross back JVM-side
     un-rounded (python round is banker's)."""
     audio = media.filter(F.col("kind") == "audio")
+    decode = _make_fake_pixels()  # closure-captured, pickled by value
+    rate = SAMPLE_RATE  # local bind: module globals don't ship with the UDF
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            px = pdf["payload"].map(fake_pixels)
+            px = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_samples": px.map(len).astype("int64"),
-                    "duration_s": px.map(lambda v: len(v) / SAMPLE_RATE),
+                    "duration_s": px.map(lambda v: len(v) / rate),
                     "rms": px.map(lambda v: (sum(x * x for x in v) / len(v)) ** 0.5),
                     "peak": px.map(max).astype("int64"),
                 }

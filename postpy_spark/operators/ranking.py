@@ -119,6 +119,48 @@ def global_running_sum(
     )
 
 
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    max_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + inclusive global running max of ``value_col`` under
+    ``order_cols`` (a total order) — the scalable form of
+    ``MAX(v) OVER (ORDER BY ...)``, which funnels the whole frame through
+    ONE task.  Running max is associative, so the same range-partitioned
+    two-phase scheme as :func:`global_running_sum` applies: local
+    per-partition running max, then an exclusive prefix-max over the P
+    partition MAXes (a window over P rows) broadcast-joined back and
+    combined with ``greatest`` (which skips the NULL offset of the first
+    partition).  Preserves ``value_col``'s type (no numeric cast) so it
+    works on timestamps."""
+    cols = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
+    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = tagged.withColumn(_LRN, F.max(value_col).over(w_local))
+
+    totals = tagged.groupBy(_PID).agg(F.max(value_col).alias("_tot"))
+    one_group = F.pmod(F.col(_PID), F.lit(1))  # see global_row_number note
+    w_off = (
+        Window.partitionBy(one_group)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(_PID, F.max("_tot").over(w_off).alias(_OFF))
+    return (
+        local.join(broadcast(offsets), _PID)
+        .withColumn(max_col, F.greatest(F.col(_OFF), F.col(_LRN)))
+        .drop(_PID, _LRN, _OFF)
+    )
+
+
 def ntile_expr(rn: Column, total: Column, n: int) -> Column:
     """SQL NTILE(n) from a 1-based global row number: the first
     ``total % n`` buckets get ``ceil(total/n)`` rows, the rest get

@@ -32,9 +32,9 @@ _NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
                FROM documents)
     SELECT lang, source,
            COUNT(*)                    AS n_docs,
-           SUM(n_chars)                AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(AVG(n_chars), 4)      AS avg_chars,
-           SUM(n_words)                AS total_words,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
            ROUND(AVG(n_words), 4)      AS avg_words
     FROM d GROUP BY lang, source
     """,
@@ -829,7 +829,7 @@ def text_unicode_nfc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            ROUND(l2, 6)      AS l2_norm,
-           list_sum(qv)      AS q_sum,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
            list_min(qv)      AS q_min,
            list_max(qv)      AS q_max
     FROM q
@@ -1078,4 +1078,212 @@ def sample_mixture_stable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return sample_mixture(d, "doc_id", "lang", seed=11).select(
         "doc_id", "lang", "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: cross-doc duplicate-ngram filter, quality filter chain,
+# corpus mixture report, prefix-hash dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_dup_ratio",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct({_grams_sql(5)})) AS gram
+        FROM documents
+    ),
+    c AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE nd > 1) AS BIGINT) AS dup_grams,
+           ROUND(CAST(COUNT(*) FILTER (WHERE nd > 1) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_ratio
+    FROM g JOIN c USING (gram)
+    GROUP BY doc_id
+    """,
+    group="D",
+)
+def text_ngram_dup_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate n-gram fraction (the RefinedWeb/Gopher-style
+    boilerplate filter): share of a doc's DISTINCT 5-grams that also occur
+    in at least one other document.
+
+    Scale: explode distinct shingles once, one shuffle to count docs per
+    gram, one shuffle to join the counts back — candidate volume is the
+    shingle set, never doc pairs.  All JVM-side."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(dedup.shingles_col(F.col("text"), k=5))).alias(
+            "gram"
+        ),
+    )
+    per_gram = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    joined = grams.join(per_gram, "gram")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.count(F.when(F.col("nd") > 1, 1)).cast("bigint").alias("dup_grams"),
+        F.round(
+            F.count(F.when(F.col("nd") > 1, 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_ratio"),
+    )
+
+
+@query(
+    "docs_quality_filter_chain",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               LEN(toks) AS n_words,
+               ROUND(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS DOUBLE)
+                     / CAST(GREATEST(LEN(toks), 1) AS DOUBLE), 6) AS mean_word_len,
+               ROUND(LEN(list_filter(toks, w -> list_contains(['the','and','of','to','a'], w)))
+                     / GREATEST(LEN(toks), 1), 6) AS stopword_ratio,
+               ROUND(LENGTH(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / GREATEST(LENGTH(text), 1), 6) AS punct_ratio
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, stopword_ratio, punct_ratio,
+           CASE WHEN n_words < 5 OR n_words > 1000       THEN 'n_words'
+                WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_len'
+                WHEN stopword_ratio < 0.02                THEN 'stopword'
+                WHEN punct_ratio > 0.1                    THEN 'punct'
+                ELSE 'ok' END AS verdict,
+           CASE WHEN n_words BETWEEN 5 AND 1000
+                 AND mean_word_len BETWEEN 2 AND 12
+                 AND stopword_ratio >= 0.02
+                 AND punct_ratio <= 0.1 THEN TRUE ELSE FALSE END AS keep
+    FROM f
+    """,
+    group="D",
+)
+def docs_quality_filter_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter CHAIN with first-fail attribution: each
+    doc gets a keep flag plus the name of the first rule it violates —
+    the per-rule drop accounting every production corpus pipeline reports.
+
+    All rules are expressions over the shared quality_features struct, so
+    the whole chain is one narrow projection — no shuffle at any scale.
+    Thresholds compare the ROUNDED features (6 dp) so the cut is
+    cross-engine reproducible."""
+    d = load_table(spark, sf_dir, "documents")
+    f = TX.quality_features(F.col("text"))
+    base = d.select(
+        "doc_id",
+        f.n_words.alias("n_words"),
+        f.mean_word_len.alias("mean_word_len"),
+        f.stopword_ratio.alias("stopword_ratio"),
+        f.punct_ratio.alias("punct_ratio"),
+    )
+    nw, mwl = F.col("n_words"), F.col("mean_word_len")
+    swr, pr = F.col("stopword_ratio"), F.col("punct_ratio")
+    verdict = (
+        F.when((nw < 5) | (nw > 1000), "n_words")
+        .when((mwl < 2) | (mwl > 12), "word_len")
+        .when(swr < 0.02, "stopword")
+        .when(pr > 0.1, "punct")
+        .otherwise("ok")
+    )
+    return base.select(
+        "doc_id", "n_words", "mean_word_len", "stopword_ratio", "punct_ratio",
+        verdict.alias("verdict"),
+        (verdict == "ok").alias("keep"),
+    )
+
+
+@query(
+    "corpus_mixture_report",
+    oracle="""
+    WITH per AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang, source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS token_share,
+           ROUND(CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, lang, source) AS DOUBLE)
+                 / total, 6) AS cum_share
+    FROM per, tot
+    """,
+    group="D",
+)
+def corpus_mixture_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix design report: per (lang, source) document and token
+    counts, corpus token share, and cumulative share in descending-token
+    order — the table a data-mixture ablation starts from.
+
+    Scale: one partial-agg shuffle to (lang, source) grain; the window and
+    the total join run over the tiny GROUP frame (|langs| x |sources|
+    rows), broadcast back — never over documents."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(TX.n_words(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    # window over the aggregated frame only; constant pmod key avoids the
+    # unpartitioned-window warning (see operators/ranking.py)
+    one_group = F.pmod(F.col("n_docs"), F.lit(1))
+    w = (
+        Window.partitionBy(one_group)
+        .orderBy(F.col("n_tokens").desc(), "lang", "source")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        per.withColumn("_cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(tot))
+        .select(
+            "lang", "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("total"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.col("_cum").cast("double") / F.col("total"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )
+
+
+@query(
+    "dedup_doc_prefix",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               md5(array_to_string((string_split({_NORM_SQL}, ' '))[1:16], ' '))
+                 AS prefix_hash
+        FROM documents
+    )
+    SELECT prefix_hash,
+           MIN(doc_id) AS doc_id,
+           COUNT(*)    AS n_copies
+    FROM t GROUP BY prefix_hash
+    """,
+    group="D",
+)
+def dedup_doc_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-hash dedup (CommonCrawl-style cheap near-dup pass): documents
+    sharing their first 16 normalized tokens collapse to one survivor (min
+    doc_id).  Catches boilerplate-prefixed and truncated-tail duplicates
+    that exact full-text hashing misses, at exactly the cost of
+    dedup_exact: hash projection + one groupBy shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.md5(
+        F.concat_ws(" ", F.slice(dedup.tokens_col(F.col("text")), 1, 16))
+    )
+    return (
+        d.select("doc_id", prefix.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )

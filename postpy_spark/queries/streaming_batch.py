@@ -107,10 +107,18 @@ def stream_session_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_watermark_late_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics made batch-deterministic: arrival order =
     event_id, watermark = max event time seen so far minus 10m; an event
-    whose ts trails the watermark is late (dropped by a streaming agg)."""
+    whose ts trails the watermark is late (dropped by a streaming agg).
+
+    The running max goes through the range-partitioned two-phase path
+    (:func:`postpy_spark.operators.ranking.global_running_max`) — an
+    unpartitioned ``MAX(ts) OVER (ORDER BY event_id)`` would funnel the
+    whole events table through ONE task."""
+    from postpy_spark.operators.ranking import global_running_max
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    a = e.select("event_type", "ts", F.max("ts").over(w).alias("wm"))
+    a = global_running_max(
+        e.select("event_type", "ts", "event_id"), ["event_id"], "ts", "wm"
+    )
     late = F.col("ts") < F.col("wm") - F.expr("INTERVAL 10 MINUTES")
     return a.groupBy("event_type").agg(
         F.count(F.when(late, 1)).alias("n_late"),
@@ -165,7 +173,7 @@ def stream_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            COUNT(*)      AS n_sessions,
            MAX(n)        AS max_session_events,
-           SUM(n)        AS total_events
+           CAST(SUM(n) AS BIGINT) AS total_events
     FROM g GROUP BY user_id
     """,
     group="C",
@@ -302,7 +310,8 @@ def stream_two_level_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM o
     )
-    SELECT user_id, sid, COUNT(*) AS n_events, MIN(ts) AS session_start
+    SELECT user_id, CAST(sid AS BIGINT) AS sid,
+           COUNT(*) AS n_events, MIN(ts) AS session_start
     FROM s GROUP BY user_id, sid
     """,
     group="C",

@@ -97,27 +97,36 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # never driver-sampled: B4 tail (4)
-    "win_moving_avg", "win_ntile_pctrank", "win_first_last", "topk_per_group",
-    # never driver-sampled: B5 (8)
-    "sort_multi", "limit_n", "topk_global", "union_all", "union_distinct",
-    "intersect_ab", "except_ab", "sample_frac",
-    # only driver row is the round-1 FAIL (fixed in round 2)
-    "fn_cast",
-    # never driver-sampled: C (7)
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark_late", "stream_dedup", "stream_stateful_sessionize",
-    "stream_sink_upsert",
-    # never driver-sampled: D (10)
-    "text_stats", "text_tokenize_tf", "text_tfidf", "dedup_exact",
-    "dedup_fuzzy_minhash", "dedup_clusters", "sim_cosine_pairs",
-    "sim_topk_per_query", "sim_ann_lsh", "multimodal_join",
-    # never driver-sampled: E (5)
-    "udf_scalar_py", "udf_scalar_pandas", "udaf_pandas",
-    "udtf_apply_in_pandas", "udtf_map_in_pandas",
-    # round-1-vintage attestations: B6 minus fn_cast (8)
-    "fn_string", "fn_regex", "fn_date", "fn_math", "fn_conditional",
-    "fn_array", "fn_map", "fn_json",
+    # -- round-6 rotation.  The driver samples the FIRST ~50 registry
+    # entries; rounds 1-5 together attested every contract op, so this
+    # round leads with (a) the 5 oracles fixed for the HUGEINT hash class +
+    # the rewritten stream_watermark_late — all need fresh green rows — and
+    # (b) 44 sql-checked EXTRAS that have never been driver-sampled.
+    # re-attest after this round's fixes (6)
+    "text_stats", "stream_stateful_sessionize", "stream_watermark_late",
+    "tpch_q12_shape", "embed_norm_quant", "stream_session_dynamic_gap",
+    # LLM-pipeline extras, never sampled (19)
+    "text_langid", "text_quality", "text_token_count", "doc_fingerprint",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "text_bigram_lm",
+    "text_heavy_hitters", "text_pii_redact", "text_decontaminate",
+    "text_repetition", "text_unicode_nfc", "multimodal_ingest",
+    "multimodal_image_stats", "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_dedup", "multimodal_audio_stats", "shard_by_token_budget",
+    # streaming extras (5)
+    "stream_stream_join", "stream_two_level_agg", "stream_static_enrich",
+    "stream_scd2_dimension", "merge_scd2",
+    # TPC-H shapes (6)
+    "tpch_q3_shape", "tpch_q6_shape", "tpch_q13_shape", "tpch_q15_shape",
+    "tpch_q17_shape", "tpch_q21_shape",
+    # join/window scale paths (4)
+    "join_asof_strict", "join_skew_salted", "join_bucketed_colocated",
+    "win_ntile_distributed",
+    # UDF-surface extras (5)
+    "udtf_python", "udtf_map_in_arrow", "udtf_cogroup_pandas",
+    "udf_scalar_pandas_iter", "udaf_pandas_window",
+    # agg/scan extras (5)
+    "agg_decimal_exact", "agg_null_semantics", "agg_bitmap_distinct",
+    "scan_json", "scan_partitioned_pruned",
 )
 
 

@@ -24,61 +24,75 @@ from pyspark.sql.datasource import (
 N_PARTITIONS = 4
 
 
-class _SyntheticReader(DataSourceReader):
-    def __init__(self, options: dict) -> None:
-        self.n = int(options.get("n", 100))
+def _build_synthetic_source():
+    """Factory producing the source classes at FUNCTION scope.
 
-    def partitions(self) -> list[InputPartition]:
-        return [InputPartition(i) for i in range(N_PARTITIONS)]
+    ``spark.dataSource.register`` cloudpickles the DataSource class to the
+    data-source worker process.  A module-level class pickles by REFERENCE
+    (worker must be able to ``import postpy_spark`` — only true when the
+    driver's cwd happens to be the repo root); function-scope classes pickle
+    by VALUE, with all cross-references closure-captured, so registration
+    works under any driver cwd/PYTHONPATH."""
+    n_partitions = N_PARTITIONS
 
-    def read(self, partition: InputPartition):
-        # round-robin striping: each partition yields its residue class,
-        # so the union over partitions is exactly range(n)
-        for k in range(partition.value, self.n, N_PARTITIONS):
-            yield (k, f"r{k}", float(k) * 1.5)
+    class _SyntheticReader(DataSourceReader):
+        def __init__(self, options: dict) -> None:
+            self.n = int(options.get("n", 100))
+
+        def partitions(self) -> list[InputPartition]:
+            return [InputPartition(i) for i in range(n_partitions)]
+
+        def read(self, partition: InputPartition):
+            # round-robin striping: each partition yields its residue class,
+            # so the union over partitions is exactly range(n)
+            for k in range(partition.value, self.n, n_partitions):
+                yield (k, f"r{k}", float(k) * 1.5)
+
+    class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+        """Offset-tracked micro-batch reader over the same synthetic rows:
+        each batch serves ``batch_size`` rows and advances the committed
+        offset, so restarts resume exactly where the checkpoint left off —
+        the custom-source analog of a Kafka offset range."""
+
+        def __init__(self, options: dict) -> None:
+            self.n = int(options.get("n", 100))
+            self.batch_size = int(options.get("batch_size", 10))
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def read(self, start: dict):
+            pos = int(start["pos"])
+            end = min(pos + self.batch_size, self.n)
+            rows = [(k, f"r{k}", float(k) * 1.5) for k in range(pos, end)]
+            return iter(rows), {"pos": end}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(
+                (k, f"r{k}", float(k) * 1.5)
+                for k in range(int(start["pos"]), int(end["pos"]))
+            )
+
+    class SyntheticSource(DataSource):
+        """``spark.read.format("pp_synth").option("n", 1000)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pp_synth"
+
+        def schema(self) -> str:
+            return "id BIGINT, tag STRING, score DOUBLE"
+
+        def reader(self, schema) -> DataSourceReader:
+            return _SyntheticReader(self.options)
+
+        def simpleStreamReader(self, schema) -> "_SyntheticStreamReader":
+            return _SyntheticStreamReader(self.options)
+
+    return SyntheticSource
 
 
-class SyntheticSource(DataSource):
-    """``spark.read.format("pp_synth").option("n", 1000)``."""
-
-    @classmethod
-    def name(cls) -> str:
-        return "pp_synth"
-
-    def schema(self) -> str:
-        return "id BIGINT, tag STRING, score DOUBLE"
-
-    def reader(self, schema) -> DataSourceReader:
-        return _SyntheticReader(self.options)
-
-    def simpleStreamReader(self, schema) -> "_SyntheticStreamReader":
-        return _SyntheticStreamReader(self.options)
-
-
-class _SyntheticStreamReader(SimpleDataSourceStreamReader):
-    """Offset-tracked micro-batch reader over the same synthetic rows:
-    each batch serves ``batch_size`` rows and advances the committed
-    offset, so restarts resume exactly where the checkpoint left off —
-    the custom-source analog of a Kafka offset range."""
-
-    def __init__(self, options: dict) -> None:
-        self.n = int(options.get("n", 100))
-        self.batch_size = int(options.get("batch_size", 10))
-
-    def initialOffset(self) -> dict:
-        return {"pos": 0}
-
-    def read(self, start: dict):
-        pos = int(start["pos"])
-        end = min(pos + self.batch_size, self.n)
-        rows = [(k, f"r{k}", float(k) * 1.5) for k in range(pos, end)]
-        return iter(rows), {"pos": end}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(
-            (k, f"r{k}", float(k) * 1.5)
-            for k in range(int(start["pos"]), int(end["pos"]))
-        )
+SyntheticSource = _build_synthetic_source()
 
 
 #: Sessions that already completed a register() call — the primary idempotence

@@ -363,31 +363,48 @@ SESSION_SUMMARY_SCHEMA = (
 )
 
 
-def _summarize_user_sessions(pdf, gap_minutes: int = 30):
-    """Pure-pandas sessionization of one user's events (shared by the batch
-    applyInPandas path and the streaming applyInPandasWithState path)."""
-    import pandas as pd
+def _make_session_summarizer(gap_minutes: int = 30):
+    """Factory returning the pure-pandas sessionizer for one user's events
+    (shared by the batch applyInPandas path and the streaming
+    applyInPandasWithState path).
 
-    pdf = pdf.sort_values(["ts", "event_id"])
-    # strict >: session_window merges an event at exactly prev+gap
-    gaps = pdf["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-    session_ids = gaps.cumsum()
-    sizes = session_ids.groupby(session_ids).size()
-    return pd.DataFrame(
-        {
-            "user_id": [pdf["user_id"].iloc[0]],
-            "n_sessions": [int(sizes.shape[0])],
-            "max_session_events": [int(sizes.max())],
-            "total_events": [int(len(pdf))],
-        }
-    )
+    Deliberately a CLOSURE, not a module-level function: cloudpickle
+    serializes module-level functions by reference (workers would need
+    ``postpy_spark`` importable — true only when the driver's cwd is the
+    repo root), but nested functions by VALUE, so the shipped UDF is
+    self-contained under any driver cwd/PYTHONPATH."""
+
+    def summarize(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        # strict >: session_window merges an event at exactly prev+gap
+        gaps = pdf["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        session_ids = gaps.cumsum()
+        sizes = session_ids.groupby(session_ids).size()
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_sessions": [int(sizes.shape[0])],
+                "max_session_events": [int(sizes.max())],
+                "total_events": [int(len(pdf))],
+            }
+        )
+
+    return summarize
+
+
+def _summarize_user_sessions(pdf, gap_minutes: int = 30):
+    """Driver-side convenience wrapper (tests); UDF paths must capture the
+    factory's closure instead, see :func:`_make_session_summarizer`."""
+    return _make_session_summarizer(gap_minutes)(pdf)
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Custom per-user session summaries via applyInPandas (group E surface
     reused); deterministic, sql-checkable via the lag/gap-island oracle."""
     return events.select("user_id", "ts", "event_id").groupBy("user_id").applyInPandas(
-        lambda pdf: _summarize_user_sessions(pdf, gap_minutes), SESSION_SUMMARY_SCHEMA
+        _make_session_summarizer(gap_minutes), SESSION_SUMMARY_SCHEMA
     )
 
 
@@ -395,6 +412,8 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming flavor: per-user running state via applyInPandasWithState.
     State = pending event times; emission on timeout/availableNow drain."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    summarize = _make_session_summarizer(gap_minutes)
 
     def fn(key, pdf_iter, state: GroupState):
         import json
@@ -417,7 +436,7 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 "event_id": ids,
             }
         )
-        yield _summarize_user_sessions(all_rows, gap_minutes)
+        yield summarize(all_rows)
 
     return (
         events.select("user_id", "ts", "event_id")
@@ -456,6 +475,8 @@ def sessionize_stream_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame
         StatefulProcessorHandle,
     )
 
+    summarize = _make_session_summarizer(gap_minutes)
+
     class SessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("packed", "packed STRING")
@@ -481,7 +502,7 @@ def sessionize_stream_tws(events: DataFrame, gap_minutes: int = 30) -> DataFrame
                     "event_id": ids,
                 }
             )
-            yield _summarize_user_sessions(all_rows, gap_minutes)
+            yield summarize(all_rows)
 
         def close(self) -> None:
             pass

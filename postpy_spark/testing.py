@@ -64,8 +64,55 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def type_parity_errors(spark_schema, duck_types: dict[str, str]) -> list[str]:
+    """Cross-engine hash-type parity between a Spark schema and DuckDB
+    ``DESCRIBE <oracle>`` column types.
+
+    The driver's value-hash is width-sensitive: DuckDB ``SUM(BIGINT)``
+    returns HUGEINT (int128) which hashes differently from Spark's BIGINT
+    even though the values compare equal as Python ints — ``canon()``
+    collapses the width, so the value diff can NEVER catch this class
+    (round 4 shipped two driver hash fails exactly this way).  Rules:
+
+    - HUGEINT/UHUGEINT anywhere in a DuckDB column type is always an error;
+      fix the oracle with ``CAST(... AS BIGINT)``.
+    - Top-level numeric-family mismatch (DECIMAL vs double, DOUBLE vs
+      decimal) is an error.
+    """
+    errs: list[str] = []
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    for col, dt in duck_types.items():
+        du = dt.upper()
+        st = spark_types.get(col, "")
+        if "HUGEINT" in du:
+            errs.append(
+                f"{col}: duckdb {dt} (int128) vs spark {st} — "
+                "CAST the oracle to BIGINT"
+            )
+            continue
+        d_fam = (
+            "decimal"
+            if du.startswith("DECIMAL")
+            else "float" if du in ("DOUBLE", "FLOAT", "REAL") else None
+        )
+        s_fam = (
+            "decimal"
+            if st.startswith("decimal")
+            else "float" if st in ("double", "float") else None
+        )
+        if d_fam and s_fam and d_fam != s_fam:
+            errs.append(f"{col}: duckdb {dt} vs spark {st} — numeric family mismatch")
+    return errs
+
+
 def compare_spark_duckdb(df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = equivalent)."""
+    t_errs = type_parity_errors(
+        df.schema,
+        {r[0]: r[1] for r in con.execute("DESCRIBE " + sql).fetchall()},
+    )
+    if t_errs:
+        return ["type parity: " + "; ".join(t_errs)]
     s_cols, s_rows = canon_rows(df.columns, df.collect())
     res = con.execute(sql)
     d_cols = [d[0] for d in res.description]

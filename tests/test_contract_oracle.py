@@ -75,10 +75,14 @@ def test_registry_contract_invariants():
     # rotation (the ops with no / stale driver attestation — see registry.py)
     rot = list(registry.DRIVER_SAMPLE_ROTATION)
     assert len(set(rot)) == len(rot), "rotation has duplicates"
-    assert set(rot) <= set(registry.CONTRACT_ORDER), "rotation must be contract ops"
+    assert set(rot) <= set(names), "rotation must be registered queries"
     assert names[: len(rot)] == rot
-    assert set(names[:93]) == set(registry.CONTRACT_ORDER)
+    # every contract op registers, and all of them sit directly after the
+    # rotation prefix (rotation may include extras the driver has never
+    # sampled — the contract itself was fully attested over rounds 1-5)
     assert set(registry.CONTRACT_ORDER) <= set(names)
+    n_lead = len(set(rot) | set(registry.CONTRACT_ORDER))
+    assert set(names[:n_lead]) == set(rot) | set(registry.CONTRACT_ORDER)
     for n, rq in reg.items():
         assert rq.name == n
         if rq.oracle is not None:
@@ -89,3 +93,40 @@ def test_registry_contract_invariants():
 
     assert set(e.queries()) == set(names)
     assert set(e.oracle_sql()) == {n for n, rq in reg.items() if rq.oracle is not None}
+
+
+def test_type_parity_detector():
+    """The gate must flag DuckDB int128/decimal widths that Spark can't
+    produce — the class behind the round-4 driver hash fails, invisible to
+    value comparison because canon() collapses int width."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from postpy_spark.testing import type_parity_errors
+
+    schema = StructType(
+        [StructField("total", LongType()), StructField("avg", DoubleType())]
+    )
+    assert type_parity_errors(schema, {"total": "BIGINT", "avg": "DOUBLE"}) == []
+    # DuckDB SUM(BIGINT) -> HUGEINT: must fail even though values compare equal
+    assert type_parity_errors(schema, {"total": "HUGEINT", "avg": "DOUBLE"})
+    # nested int128 (e.g. list_sum results inside arrays) is flagged too
+    assert type_parity_errors(schema, {"total": "HUGEINT[]", "avg": "DOUBLE"})
+    # numeric-family mismatch: DECIMAL oracle vs double Spark column
+    assert type_parity_errors(schema, {"total": "BIGINT", "avg": "DECIMAL(18,2)"})
+
+
+def test_type_parity_catches_prefixed_sum(duck):
+    """End-to-end: the exact pre-fix text_stats oracle shape (bare SUM of an
+    integer column) is caught by DESCRIBE-based parity before any rows are
+    compared."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from postpy_spark.testing import type_parity_errors
+
+    bad_sql = "SELECT CAST(SUM(n_chars) AS BIGINT) AS ok, SUM(n_chars) AS bad FROM documents"
+    d_types = {r[0]: r[1] for r in duck.execute("DESCRIBE " + bad_sql).fetchall()}
+    schema = StructType(
+        [StructField("ok", LongType()), StructField("bad", LongType())]
+    )
+    errs = type_parity_errors(schema, d_types)
+    assert len(errs) == 1 and "bad" in errs[0]

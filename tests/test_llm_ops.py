@@ -499,3 +499,23 @@ def test_sample_mixture_explicit_targets(spark, docs):
     out = sample_mixture(docs, "doc_id", "lang", target_share=share, seed=3)
     assert out.count() > 0
     assert out.count() <= docs.count()
+
+
+def test_heavy_hitters_candidate_frame_is_bounded(spark, docs):
+    """The final rank window in frequent_terms runs over the Misra-Gries
+    candidate frame ONLY — pin the partitions x capacity bound so a
+    capacity bump or sketch refactor can't quietly turn it into a
+    full-vocabulary one-task window."""
+    toks = docs.select(F.explode(dedup.tokens_col(F.col("text"))).alias("w"))
+    cap = 16
+    cands = dedup.mg_candidates(toks, cap)
+    n_parts = toks.rdd.getNumPartitions()
+    assert cands.count() <= n_parts * cap
+
+
+def test_heavy_hitters_small_capacity_still_exact_head(spark, docs):
+    """With a tiny capacity the sketch must still surface the very top
+    terms (Zipf head clears the n/m error bound)."""
+    full = dedup.frequent_terms(docs, k=3, capacity=4096).collect()
+    tight = dedup.frequent_terms(docs, k=3, capacity=64).collect()
+    assert [r["w"] for r in full] == [r["w"] for r in tight]

@@ -24,6 +24,11 @@ def _uncached_scans(spark):
 
 
 def executed_plan(spark, name):
+    # Default spark.sql.maxMetadataStringLength (100) truncates long
+    # PushedFilters lists mid-bracket, which silently breaks the
+    # `\[([^\]]*)\]` regexes below (Q6 pushes 7 filters). Raise it so the
+    # plan string is complete; plan *shape* is unaffected.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     df = REG[name].fn(spark, SF_SMOKE)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -321,6 +326,20 @@ def test_token_shard_running_sum_is_distributed(spark):
             assert "pmod(" in line, line
 
 
+def test_watermark_running_max_is_distributed(spark):
+    """stream_watermark_late's watermark (global running max of ts) must use
+    the range-partitioned two-phase path: rangepartitioning present, and
+    every full-data window keyed on the partition id — never an
+    unpartitioned MAX OVER (ORDER BY) that funnels events through one
+    task."""
+    plan = executed_plan(spark, "stream_watermark_late")
+    assert "rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "Window [" in line and "max(" in line and "__rank_pid#" not in line:
+            # the only non-pid window is the P-row partition-max frame
+            assert "pmod(" in line, line
+
+
 def test_tpch_q6_full_pushdown_and_pruned_read(spark):
     """Q6's whole selectivity lives in the scan: all three predicates must
     reach PushedFilters and only the 4 touched columns may be read."""
@@ -332,6 +351,41 @@ def test_tpch_q6_full_pushdown_and_pruned_read(spark):
     read = re.search(r"ReadSchema: (\S+)", plan)
     assert read and "l_orderkey" not in read.group(1)
     assert "l_partkey" not in read.group(1)
+
+
+def test_tpch_q17_colocated_agg_join_and_broadcast_dim(spark):
+    """Q17's decorrelated per-part AVG joins back to the fact on l_partkey:
+    both sides hash-partition on the key (no extra exchange cascade into a
+    nested loop), and the part dim must stay broadcast."""
+    plan = executed_plan(spark, "tpch_q17_shape")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # no full-fact window snuck in during decorrelation
+    assert "Window [" not in plan
+
+
+def test_tpch_q21_stacked_aggregates_no_nested_loop(spark):
+    """Q21's double-EXISTS decorrelation = two stacked aggregates joined
+    back; supplier broadcasts.  A regression to BNLJ/cartesian (the shape a
+    naive correlated rewrite produces) must fail."""
+    plan = executed_plan(spark, "tpch_q21_shape")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan
+
+
+def test_tpch_q15_scalar_max_broadcast_only(spark):
+    """Q15's MAX-equality scalar subquery is a broadcast ONE-ROW join — the
+    only acceptable nested-loop in the plan; supplier must broadcast-hash
+    and nothing may fall back to a cartesian product."""
+    plan = executed_plan(spark, "tpch_q15_shape")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the 1-row max join may appear as BroadcastNestedLoopJoin — that's the
+    # intended shape; but there must be at most one such node
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_tpch_q12_residual_predicate_stays_hash_join(spark):

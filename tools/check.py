@@ -55,6 +55,9 @@ def canon(v):
     return v
 
 
+from postpy_spark.testing import type_parity_errors  # noqa: E402
+
+
 def canon_rows(cols: list[str], rows) -> tuple[list[str], list]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
@@ -120,6 +123,10 @@ def main() -> int:
             res = con.execute(rq.oracle)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
+            d_types = {
+                r[0]: r[1]
+                for r in con.execute("DESCRIBE " + rq.oracle).fetchall()
+            }
         except Exception as exc:
             print(f"FAIL  {name}: duckdb raised: {exc}")
             n_fail += 1
@@ -129,7 +136,11 @@ def main() -> int:
         sc, sr = canon_rows(s_cols, s_rows)
         dc, dr = canon_rows(d_cols, d_rows)
         ok = True
-        if sc != dc:
+        t_errs = type_parity_errors(df.schema, d_types)
+        if t_errs:
+            print(f"FAIL  {name}: type parity: " + "; ".join(t_errs))
+            ok = False
+        elif sc != dc:
             print(f"FAIL  {name}: columns spark={sc} duckdb={dc}")
             ok = False
         elif len(sr) != len(dr):

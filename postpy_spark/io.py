@@ -119,6 +119,21 @@ def sink_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",",
     w.csv(path)
 
 
+def scan_text(spark: SparkSession, path: str, whole_text: bool = False) -> DataFrame:
+    """Line-oriented text ingest (raw-log / jsonl-before-parse shape): one
+    ``value: string`` row per line, or one row per FILE with
+    ``wholetext=true``.  Parsing stays declarative downstream (split /
+    from_json / regexp_extract), so pushdown-friendly projections apply."""
+    ensure_runtime_confs(spark)
+    return spark.read.option("wholetext", whole_text).text(path)
+
+
+def sink_text(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Text sink: exactly one string column becomes one line per row (the
+    export shape for line-delimited corpora); one file per partition."""
+    df.write.mode(mode).text(path)
+
+
 def sink_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                  partition_by: list[str] | None = None) -> None:
     w = df.write.mode(mode)

@@ -587,6 +587,37 @@ def scan_json_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_text",
+    oracle="SELECT doc_id, lang, n_chars FROM documents",
+    group="A",
+)
+def scan_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text roundtrip (the raw-corpus export/ingest shape):
+    documents flattened to TAB-joined lines via the text sink, re-read as
+    ``value`` lines, and parsed back declaratively with split+cast — the
+    parse stays JVM-side, so column pruning and pushdown apply to the
+    downstream plan exactly as with a structured source."""
+    from postpy_spark.io import scan_text, sink_text
+
+    path = _workdir(sf_dir, "documents_txt")
+    lines = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t",
+            F.col("doc_id").cast("string"),
+            F.col("lang"),
+            F.col("n_chars").cast("string"),
+        ).alias("value")
+    )
+    sink_text(lines, path)
+    parts = F.split(F.col("value"), "\t")
+    return scan_text(spark, path).select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        parts.getItem(2).cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
     "sink_jdbc_append",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS total_bal

@@ -1287,3 +1287,73 @@ def dedup_doc_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prefix_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+@query(
+    "text_lm_ppl_buckets",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w,
+               generate_subscripts(string_split(norm, ' '), 1) AS i
+        FROM d
+    ),
+    big AS (
+        SELECT doc_id, w AS w1, LEAD(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        FROM tok
+    ),
+    big2 AS (SELECT * FROM big WHERE w2 IS NOT NULL),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big2 GROUP BY w1, w2),
+    uc AS (SELECT w1, COUNT(*) AS c1 FROM big2 GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab FROM tok),
+    s AS (
+        SELECT doc_id, ROUND(AVG(LN((c12 + 1.0) / (c1 + vocab))), 6) AS avg_logprob
+        FROM big2 JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        GROUP BY doc_id
+    ),
+    b AS (
+        SELECT doc_id, avg_logprob,
+               NTILE(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS bucket
+        FROM s
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           ROUND(AVG(avg_logprob), 4) AS mean_lp,
+           MAX(avg_logprob) AS best_lp,
+           MIN(avg_logprob) AS worst_lp
+    FROM b GROUP BY bucket
+    """,
+    group="D",
+)
+def text_lm_ppl_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split: per-doc bigram-LM fluency
+    scores bucketed into terciles by NTILE over (score DESC, doc_id).
+
+    The global NTILE goes through the range-partitioned two-phase ranking
+    path (operators/ranking.py) — an unpartitioned NTILE window would
+    funnel every scored doc through ONE task at corpus scale."""
+    from postpy_spark.operators.ranking import global_row_number, ntile_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    s = TX.bigram_lm_scores(d).withColumn("_neg", -F.col("avg_logprob"))
+    r = global_row_number(s, ["_neg", "doc_id"], rn_col="_rn", total_col="_n")
+    b = r.withColumn("bucket", ntile_expr(F.col("_rn"), F.col("_n"), 3))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("avg_logprob"), 4).alias("mean_lp"),
+        F.max("avg_logprob").alias("best_lp"),
+        F.min("avg_logprob").alias("worst_lp"),
+    )
+
+
+@query("sim_pq_topk", oracle=None, group="D")
+def sim_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): per-subspace codebooks →
+    byte codes → JVM-side ADC scan → exact rerank of the shortlist.  The
+    memory-compression scale path (d floats -> m bytes per vector).
+    Rows-only (codebook/sample dependent); pytest gates recall vs brute
+    force."""
+    from postpy_spark.operators.pq import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return pq_topk(queries, e, k=5)

@@ -83,11 +83,10 @@ def _seed_codebook(
     return sample.reshape(ks, m, sub).transpose(1, 0, 2).copy()
 
 
-def _encode_udf(codebook: np.ndarray):
-    """Vectorized encoder: vec array<float> -> array<int> of m codes.
-    The codebook array is captured IN the closure (pickled by value)."""
-    from pyspark.sql.functions import pandas_udf
-
+def _encode_fn(codebook: np.ndarray):
+    """Vectorized encoder body: pd.Series of vectors -> pd.Series of m-code
+    lists.  The codebook array is captured IN the closure (pickled by
+    value — tests/test_pickle_isolation.py pins this)."""
     cb = codebook.copy()  # (m, ks, sub)
     m, ks, sub = cb.shape
 
@@ -103,7 +102,13 @@ def _encode_udf(codebook: np.ndarray):
             out.append(d2.argmin(axis=1).astype("int32").tolist())
         return pd.Series(out)
 
-    return pandas_udf(encode, "array<int>")
+    return encode
+
+
+def _encode_udf(codebook: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_encode_fn(codebook), "array<int>")
 
 
 def pq_train(

@@ -1,0 +1,116 @@
+"""Worker-payload self-containment: every function/class shipped to Python
+workers must cloudpickle BY VALUE, because the external driver may run with
+any cwd/PYTHONPATH — ``import postpy_spark`` is not guaranteed to work in
+the worker process.  (Round 6 found three by-reference payloads this way:
+the session summarizer, the fake-pixel decoder, and the Python data source
+classes.)
+
+Each payload is pickled here, then unpickled AND CALLED in a subprocess
+whose sys.path cannot resolve postpy_spark — exactly the worker's view."""
+
+import base64
+import os
+import subprocess
+import sys
+import textwrap
+
+from pyspark import cloudpickle
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_DRIVER = textwrap.dedent(
+    """
+    import base64, sys
+    # simulate a worker that cannot import the repo: drop repo/cwd entries
+    sys.path = [p for p in sys.path if not p.rstrip('/').endswith('repo')
+                and p not in ('', '.')]
+    sys.modules.pop('postpy_spark', None)
+    from pyspark import cloudpickle
+    payload = base64.b64decode(sys.stdin.buffer.read())
+    obj, probe = cloudpickle.loads(payload)
+    probe(obj)
+    print('PAYLOAD_OK')
+    """
+)
+
+
+def _roundtrip_in_clean_subprocess(obj, probe):
+    """cloudpickle (obj, probe) and execute probe(obj) where postpy_spark is
+    unimportable; probe must exercise the payload, not just unpickle it."""
+    blob = base64.b64encode(cloudpickle.dumps((obj, probe)))
+    res = subprocess.run(
+        [sys.executable, "-c", _DRIVER],
+        input=blob,
+        capture_output=True,
+        cwd="/",
+        timeout=120,
+    )
+    assert res.returncode == 0 and b"PAYLOAD_OK" in res.stdout, (
+        res.stdout.decode()[-2000:] + res.stderr.decode()[-2000:]
+    )
+
+
+def test_session_summarizer_pickles_by_value():
+    from postpy_spark.streaming import _make_session_summarizer
+
+    def probe(fn):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00"]
+                ),
+                "event_id": [1, 2, 3],
+            }
+        )
+        out = fn(pdf)
+        assert out["n_sessions"].iloc[0] == 2, out
+
+    _roundtrip_in_clean_subprocess(_make_session_summarizer(30), probe)
+
+
+def test_fake_pixels_decoder_pickles_by_value():
+    from postpy_spark.operators.multimodal import _make_fake_pixels
+
+    def probe(fn):
+        assert fn(b"ab") == [97, 98]
+
+    _roundtrip_in_clean_subprocess(_make_fake_pixels(), probe)
+
+
+def test_python_datasource_classes_pickle_by_value():
+    from postpy_spark.sources import SyntheticSource
+
+    def probe(cls):
+        src = cls(options={"n": 8})
+        reader = src.reader(None)
+        parts = reader.partitions()
+        rows = [r for p in parts for r in reader.read(p)]
+        assert sorted(r[0] for r in rows) == list(range(8)), rows
+        sr = src.simpleStreamReader(None)
+        it, off = sr.read(sr.initialOffset())
+        assert off == {"pos": 8} and len(list(it)) == 8
+
+    _roundtrip_in_clean_subprocess(SyntheticSource, probe)
+
+
+def test_pq_encoder_pickles_by_value():
+    import numpy as np
+
+    from postpy_spark.operators.pq import _encode_fn
+
+    cb = np.zeros((2, 2, 2))
+    cb[0, 1] = [5.0, 5.0]
+    cb[1, 1] = [5.0, 5.0]
+
+    udf_fn = _encode_fn(cb)
+
+    def probe(fn):
+        import pandas as pd
+
+        codes = fn(pd.Series([[0.1, 0.1, 4.9, 4.9]]))
+        assert codes.iloc[0] == [0, 1], codes.iloc[0]
+
+    _roundtrip_in_clean_subprocess(udf_fn, probe)

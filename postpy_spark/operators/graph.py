@@ -1,0 +1,97 @@
+"""Iterative graph analytics over pair lists (SURVEY.md §2.D extras).
+
+PageRank as pure DataFrame iterations — the second iterative-algorithm
+class next to connected components (operators/dedup.py): per-iteration a
+rank-contribution shuffle keyed on the edge source and one aggregate keyed
+on the destination, ``localCheckpoint`` every few rounds to truncate the
+lineage (same discipline as the CC loop).
+
+The pipeline use here is CANONICAL-DOCUMENT SELECTION: within a near-dup
+cluster, the survivor should be the most central duplicate (the template
+every variant derives from), not min-doc-id.  PageRank on the undirected
+near-dup graph gives exactly that centrality, cheaply: the dup graph's
+components are tiny (cluster-sized), so ranks converge in a handful of
+iterations regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 10,
+    beta: float = 0.85,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, rank) over the undirected graph given as a pair list.
+
+    Standard damped power iteration, normalized per connected graph (ranks
+    sum to |nodes|·(1)/… the classic formulation: rank := (1-β) + β·Σ
+    in-contributions with uniform teleport mass 1 per node).  Dangling
+    nodes cannot occur — the symmetrized edge list gives every node
+    out-degree ≥ 1.
+
+    Scale: each iteration is ONE join of ranks to edges (shuffle on src —
+    reusable partitioning round over round) and one groupBy(dst) aggregate;
+    state is a (node, rank) frame, never adjacency materialization beyond
+    the input edges.  ``localCheckpoint`` every ``checkpoint_every`` rounds
+    keeps the plan from growing linearly with iterations.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # cache the (small relative to corpus) edge+degree frame: reused n_iter times
+    withdeg = edges.join(out_deg, "src").persist()
+    ranks = out_deg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+    for i in range(n_iter):
+        contribs = (
+            withdeg.join(ranks, withdeg.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            (F.lit(1.0 - beta) + F.lit(beta) * F.col("in_sum")).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    withdeg.unpersist()
+    return ranks
+
+
+def canonical_by_centrality(
+    pairs: DataFrame,
+    components: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 10,
+) -> DataFrame:
+    """(component, canonical_id, rank): per near-dup cluster, the member
+    with the highest PageRank centrality (ties → min id) — the survivor a
+    template-aware dedup keeps.  ``components`` is the (node, component)
+    output of connected_components on the same pairs."""
+    from pyspark.sql import Window
+
+    ranks = pagerank(pairs, id_a, id_b, n_iter=n_iter)
+    joined = components.join(ranks, "node")
+    w = Window.partitionBy("component").orderBy(F.col("rank").desc(), F.col("node"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("canonical_id"),
+            F.round("rank", 6).alias("rank"),
+        )
+    )

@@ -1357,3 +1357,19 @@ def sim_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return pq_topk(queries, e, k=5)
+
+
+@query("dedup_canonical_rank", oracle=None, group="D")
+def dedup_canonical_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-aware survivor selection: PageRank centrality on the
+    near-dup graph (operators/graph.py), keeping the most central member
+    of each cluster — the template variants derive from — instead of
+    min-doc-id.  Rows-only (minhash-pair dependent); pytest gates the
+    power-iteration math against a numpy reference and the hub-selection
+    property."""
+    from postpy_spark.operators.graph import canonical_by_centrality
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(d, threshold=0.6)
+    comps = dedup.connected_components(pairs)
+    return canonical_by_centrality(pairs, comps)

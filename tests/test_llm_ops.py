@@ -552,3 +552,41 @@ def test_pq_codes_shape_and_determinism(spark, embeddings):
         for r in pq.pq_encode(embeddings, cb).select("vec_id", "codes").collect()
     }
     assert a == b
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from postpy_spark.operators.graph import pagerank
+
+    # fixed small graph: star (0 hub of 1..4) + a 3-cycle (10,11,12)
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (12, 10)]
+    pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    got = {r["node"]: r["rank"] for r in pagerank(pairs, n_iter=20).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    und = set(edges) | {(b, a) for a, b in edges}
+    deg = {n: sum(1 for s, _ in und if s == n) for n in nodes}
+    r = np.ones(len(nodes))
+    for _ in range(20):
+        nxt = np.full(len(nodes), 0.15)
+        for s, d in und:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / deg[s]
+        r = nxt
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-9, (n, got[n], r[idx[n]])
+
+
+def test_canonical_by_centrality_prefers_hub(spark):
+    from postpy_spark.operators.dedup import connected_components
+    from postpy_spark.operators.graph import canonical_by_centrality
+
+    # hub 5 connected to 1..4 (star): canonical must be the hub, NOT min id
+    edges = [(5, 1), (5, 2), (5, 3), (5, 4)]
+    pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+    comps = connected_components(pairs)
+    out = canonical_by_centrality(pairs, comps).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_id"] == 5
+    assert out[0]["component"] == 1  # min-id component label

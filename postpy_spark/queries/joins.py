@@ -406,3 +406,60 @@ def join_skew_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_size")
     )
     return salted_join(l, p, "l_partkey", n_salts=16)
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[-1] AS block
+        FROM part
+    )
+    SELECT a.block,
+           CAST(COUNT(*) AS BIGINT)             AS n_pairs,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
+           ROUND(AVG(levenshtein(a.p_name, b.p_name)), 4)       AS avg_dist
+    FROM p a JOIN p b
+      ON a.block = b.block
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    GROUP BY a.block
+    """,
+    group="B2",
+)
+def join_fuzzy_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string self-join (entity-resolution shape): candidate
+    pairs come from an EQUI-join on a cheap blocking key (the name's last
+    token), and the expensive edit-distance predicate runs only inside
+    blocks — never all-pairs.  The classic record-linkage tradeoff:
+    work is Σ block² instead of n²; skewed blocks are the salted-join /
+    AQE-skew problem, already handled by the session defaults.
+
+    Both engines implement classic Levenshtein, so the residual compares
+    exactly; result aggregated per block to a stable grain."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "block",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("block").alias("block_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    pairs = a.join(
+        b,
+        (F.col("block") == F.col("block_b")) & (F.col("key_a") < F.col("key_b")),
+    ).filter(dist <= 4)
+    return pairs.groupBy("block").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min(dist).cast("bigint").alias("min_dist"),
+        F.round(F.avg(dist), 4).alias("avg_dist"),
+    )

@@ -388,6 +388,20 @@ def test_tpch_q15_scalar_max_broadcast_only(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_fuzzy_blocked_join_is_hash_not_nested_loop(spark):
+    """The blocking key must carry a HASH join with levenshtein as a
+    residual — a regression to BroadcastNestedLoopJoin/cartesian means the
+    blocking stopped working and the join went all-pairs."""
+    plan = executed_plan(spark, "join_fuzzy_blocked")
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_tpch_q12_residual_predicate_stays_hash_join(spark):
     """The shipdate-vs-orderdate predicate crosses the join, so it cannot be
     pushed below it — but the o_orderkey equi-key must still carry a hash

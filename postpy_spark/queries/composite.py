@@ -1101,3 +1101,49 @@ def tpch_q13_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               AVG(value)         AS mu,
+               STDDEV_SAMP(value) AS sigma,
+               COUNT(*)           AS n
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           ROUND(e.value, 4) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN s USING (user_id)
+    WHERE s.n >= 5 AND s.sigma > 0
+      AND ABS(ROUND((e.value - s.mu) / s.sigma, 4)) > 3
+    """,
+    group="B3",
+)
+def events_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity anomaly detection (data-quality / outlier triage): events
+    whose value sits more than 3 sample standard deviations from the
+    user's mean.  One partial-agg shuffle to user grain, stats joined back
+    on the same key (co-located with the aggregate's partitioning) — the
+    scan stays one pass + one broadcast-able stats frame.  The threshold
+    compares the ROUNDED z so the cut is cross-engine reproducible."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        e.join(s, "user_id")
+        .filter((F.col("n") >= 5) & (F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            z.alias("z"),
+        )
+    )

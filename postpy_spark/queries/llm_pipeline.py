@@ -1373,3 +1373,46 @@ def dedup_canonical_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.6)
     comps = dedup.connected_components(pairs)
     return canonical_by_centrality(pairs, comps)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+        FROM documents
+    ),
+    c AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    v AS (SELECT w FROM c ORDER BY cnt DESC, w LIMIT 16)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE w NOT IN (SELECT w FROM v)) AS BIGINT)
+               AS n_oov,
+           ROUND(CAST(COUNT(*) FILTER (WHERE w NOT IN (SELECT w FROM v)) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM tok GROUP BY doc_id
+    """,
+    group="D",
+)
+def text_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV analysis (tokenizer sizing): build the
+    top-16 corpus vocabulary and report each document's out-of-vocabulary
+    token rate.
+
+    Scale: the vocab selection is ``orderBy(...).limit(V)`` — compiles to
+    TakeOrderedAndProject (per-partition partial top-V, driver merges V
+    rows; no global sort, no one-task window even with a 100M-term
+    vocabulary) — then broadcasts V rows against the token stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = counts.orderBy(F.col("cnt").desc(), "w").limit(16).select("w")
+    tagged = tok.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "w", "left"
+    )
+    oov = F.count(F.when(F.col("_in").isNull(), 1))
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )

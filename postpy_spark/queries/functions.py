@@ -706,3 +706,43 @@ def fn_binary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "roundtrip_ok"
         ),
     )
+
+
+@query(
+    "fn_collation",
+    oracle="""
+    WITH m AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                    ELSE LOWER(c_mktsegment) END AS seg,
+               c_acctbal
+        FROM customer
+    )
+    SELECT LOWER(seg) AS segment,
+           COUNT(*) AS n,
+           ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM m GROUP BY LOWER(seg)
+    """,
+    group="B6",
+)
+def fn_collation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 collation surface (postgres COLLATE analog): market segments
+    mixed-cased by key parity, then grouped under the UTF8_LCASE collation
+    — the engine folds case in the GROUP BY itself (hash/compare happen on
+    collation keys JVM-side), no pre-lowering of the data.  Output is
+    canonicalized to lower + plain string so the result is deterministic
+    (a collated group's representative string is first-seen-arbitrary)."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper(F.col("c_mktsegment"))
+    ).otherwise(F.lower(F.col("c_mktsegment")))
+    return (
+        c.select(seg.alias("seg"), "c_acctbal")
+        .groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("cseg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+        .select(
+            F.lower(F.col("cseg")).cast("string").alias("segment"), "n", "total_bal"
+        )
+    )

@@ -388,6 +388,38 @@ def test_tpch_q15_scalar_max_broadcast_only(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_vocab_coverage_takeordered_and_broadcast(spark):
+    """Vocab selection must be TakeOrderedAndProject (partial per-partition
+    top-V, no global sort / one-task window even at 100M-term vocabulary),
+    and the V-row vocab must broadcast against the token stream."""
+    plan = executed_plan(spark, "text_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan
+
+
+def test_ngram_dup_ratio_no_pairs_blowup(spark):
+    """Cross-doc duplicate-ngram ratio joins gram COUNTS back to grams —
+    never doc pairs: no nested loop, no cartesian, no window."""
+    plan = executed_plan(spark, "text_ngram_dup_ratio")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window [" not in plan
+
+
+def test_corpus_mixture_window_is_partitioned(spark):
+    """The cumulative-share window runs over the (lang, source) aggregate
+    frame with the pmod partition key — an unpartitioned spec (first
+    windowspecdefinition arg = the DESC sort column) means the tiny-frame
+    discipline regressed; the only BNLJ is the broadcast 1-row total."""
+    plan = executed_plan(spark, "corpus_mixture_report")
+    assert "windowspecdefinition(n_tokens" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+
+
 def test_fuzzy_blocked_join_is_hash_not_nested_loop(spark):
     """The blocking key must carry a HASH join with levenshtein as a
     residual — a regression to BroadcastNestedLoopJoin/cartesian means the
@@ -423,3 +455,37 @@ def test_tpch_q13_left_join_keeps_on_clause_filter(spark):
     assert "LeftOuter" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_plan_audit_detector_patterns():
+    """Unit-pin the repo-wide plan linter's pattern rules
+    (tools/plan_audit.py) so refactors can't silently blind it."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py")
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    # unpartitioned window: first windowspecdefinition arg is the sort spec
+    bad_win = "+- Window [sum(x#1L) windowspecdefinition(x#1L ASC NULLS FIRST, specifiedwindowframe(...))]"
+    good_win = "+- Window [sum(x#1L) windowspecdefinition(_w0#9L, x#1L DESC NULLS LAST, specifiedwindowframe(...))]"
+    assert ("UNPARTITIONED_WIN", bad_win.strip()[:120]) in pa.flags_for(bad_win)
+    assert not any(f == "UNPARTITIONED_WIN" for f, _ in pa.flags_for(good_win))
+
+    # SinglePartition over a partial aggregate is the correct global-agg
+    # shape; over anything else it's a funnel
+    good_agg = (
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- HashAggregate(keys=[], functions=[partial_count(1)])"
+    )
+    bad_funnel = (
+        "+- Exchange SinglePartition, REPARTITION_BY_NUM\n"
+        "   +- FileScan parquet [a#1L]"
+    )
+    assert not any(f == "SINGLE_PARTITION" for f, _ in pa.flags_for(good_agg))
+    assert any(f == "SINGLE_PARTITION" for f, _ in pa.flags_for(bad_funnel))
+
+    assert any(f == "CARTESIAN" for f, _ in pa.flags_for("CartesianProduct"))
+    assert any(f == "PY_ROW_UDF" for f, _ in pa.flags_for("BatchEvalPython"))

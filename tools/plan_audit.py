@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Repo-wide physical-plan lint: scan EVERY registered query's executed
+plan for scale anti-patterns.  tests/test_plan_shapes.py pins a hand-picked
+set; this sweeps all of them so a new query can't quietly ship a cartesian
+product or a one-task window.
+
+Flags (each reported as ``query: FLAG detail``):
+
+- CARTESIAN           CartesianProduct anywhere
+- NESTED_LOOP         BroadcastNestedLoopJoin (legit only for broadcast
+                      one-row/scalar joins — whitelist below)
+- UNPARTITIONED_WIN   windowspecdefinition whose first argument is already
+                      the sort spec (no partition key): the whole input
+                      funnels through ONE task (legit only over provably
+                      tiny frames — whitelist)
+- PY_ROW_UDF          BatchEvalPython (row-at-a-time Python; the Arrow path
+                      is ArrowEvalPython / mapInPandas) — legit only for the
+                      contract op that IS this surface
+- SINGLE_PARTITION    Exchange SinglePartition whose child is NOT a
+                      partial aggregate.  (Global aggregates correctly
+                      exchange P partial-agg rows to one partition for the
+                      final merge — that is the distributed shape, not a
+                      funnel.  A SinglePartition exchange over raw rows —
+                      repartition(1)/coalesce(1)/unpartitioned sort — IS.)
+
+Usage: python tools/plan_audit.py [--sf DIR] [names...]
+Exit 1 if any NON-WHITELISTED flag fires.  The whitelist is the audited,
+justified set — grow it only with a reason string.
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from postpy_spark import registry  # noqa: E402
+from postpy_spark.session import get_spark  # noqa: E402
+
+# (query, flag) -> why it's acceptable.  Every entry must argue a BOUND on
+# the data the flagged node sees.
+WHITELIST: dict[tuple[str, str], str] = {
+    # --- broadcast scalar/one-row joins (BNLJ over <= a few rows) ---
+    ("tpch_q15_shape", "NESTED_LOOP"): "broadcast 1-row MAX-equality scalar",
+    ("corpus_mixture_report", "NESTED_LOOP"): "broadcast 1-row corpus total",
+    ("text_tfidf", "NESTED_LOOP"): "broadcast 1-row corpus size",
+    ("text_bigram_lm", "NESTED_LOOP"): "broadcast 1-row vocab size",
+    ("text_lm_ppl_buckets", "NESTED_LOOP"): "broadcast 1-row vocab size (LM stage)",
+    ("tpch_q22_shape", "NESTED_LOOP"): "broadcast 1-row avg-balance scalar",
+    ("tpch_q14_shape", "NESTED_LOOP"): "broadcast 1-row promo-share denominator",
+    ("tpch_q8_shape", "NESTED_LOOP"): "broadcast 1-row year volume totals",
+    ("agg_hll_mergeable", "NESTED_LOOP"): "broadcast 1-row merged-HLL grand total",
+    ("scalar_subquery", "NESTED_LOOP"): "the op IS the broadcast scalar subquery",
+    ("join_theta", "NESTED_LOOP"): "the op IS a non-equi theta join; inputs pre-filtered small",
+    ("join_cross", "NESTED_LOOP"): "the op IS a cross join over two broadcast-small dims",
+    ("sim_cosine_pairs", "NESTED_LOOP"): "documented O(n²) verification oracle, never the scale path",
+    ("dedup_ngram_jaccard", "NESTED_LOOP"): "documented exact-Jaccard oracle over capped candidates",
+    ("sim_topk_per_query", "NESTED_LOOP"): "broadcast SMALL query set vs corpus — linear, documented",
+    ("sim_ann_lsh", "NESTED_LOOP"): "broadcast query band signatures (small query set)",
+    ("sim_pq_topk", "NESTED_LOOP"): "broadcast query LUTs (small query set)",
+    ("dedup_embedding_cosine", "NESTED_LOOP"): "bucketed candidates; BNLJ side is broadcast-bounded",
+    ("kmeans_clusters", "NESTED_LOOP"): "broadcast k centroids",
+    ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",
+    ("join_cross", "CARTESIAN"): "the op IS a cross join (pre-filtered dims)",
+    # --- windows over provably bounded frames ---
+    ("win_ntile_pctrank", "UNPARTITIONED_WIN"):
+        "the CONTRACT op documents the naive global window; the distributed "
+        "variant is win_ntile_distributed",
+    ("text_heavy_hitters", "UNPARTITIONED_WIN"):
+        "rank over MG candidates: <= partitions x capacity rows (test-pinned)",
+    ("text_tokenize_tf", "UNPARTITIONED_WIN"):
+        "rank within per-lang term counts: vocab-bounded per language",
+    # --- the contract ops that ARE the row-at-a-time surface ---
+    ("udf_scalar_py", "PY_ROW_UDF"): "group-E contract op for the classic UDF path",
+    ("udtf_python", "PY_ROW_UDF"): "the op IS the classic Python UDTF surface",
+    ("sample_mixture_stable", "NESTED_LOOP"): "broadcast per-lang keep-rate frame (|langs| rows)",
+}
+
+_UNPART_WIN = re.compile(r"windowspecdefinition\([^,()]*(?: ASC| DESC)")
+
+
+def flags_for(plan: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    if "CartesianProduct" in plan:
+        out.append(("CARTESIAN", ""))
+    if "BroadcastNestedLoopJoin" in plan:
+        out.append(("NESTED_LOOP", ""))
+    for line in plan.splitlines():
+        if "Window [" in line and _UNPART_WIN.search(line):
+            out.append(("UNPARTITIONED_WIN", line.strip()[:120]))
+            break
+    if "BatchEvalPython" in plan:
+        out.append(("PY_ROW_UDF", ""))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the exchange's child prints on the following line(s); a partial
+        # aggregate there means only P partial rows cross — the correct
+        # global-agg shape, not a data funnel
+        child = " ".join(lines[i + 1 : i + 3])
+        if "partial" not in child:
+            out.append(("SINGLE_PARTITION", line.strip()[:120]))
+            break
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_spark("postpy-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    reg = registry.load_all()
+    names = args.names or sorted(reg)
+
+    bad = 0
+    for name in names:
+        try:
+            df = reg[name].fn(spark, args.sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover - build failure is its own bug
+            print(f"ERROR {name}: {type(exc).__name__}: {exc}")
+            bad += 1
+            continue
+        for flag, detail in flags_for(plan):
+            why = WHITELIST.get((name, flag))
+            if why:
+                print(f"ok    {name}: {flag} (whitelisted: {why})")
+            else:
+                print(f"FLAG  {name}: {flag} {detail}")
+                bad += 1
+    print(f"\n{'FAIL' if bad else 'PASS'}: {bad} non-whitelisted flags")
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

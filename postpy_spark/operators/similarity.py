@@ -277,3 +277,56 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style embedding dedup (Abbas et al. 2023, arXiv:2303.09540):
+    cluster with the coarse k-means quantizer, compare pairs ONLY within a
+    cluster, drop every vector whose cosine to a lower-id cluster-mate
+    clears ``threshold``.
+
+    Returns (vec_id, cell_id, keep, dup_of) — ``dup_of`` is the lowest-id
+    near-identical cluster-mate (null when kept; in a duplicate chain it
+    may itself be dropped — survivors are exactly the vectors with no
+    near-identical LOWER-id mate, so no close pair survives).
+
+    Scale: the quadratic pair comparison is bounded per cluster — total
+    work Σ cell² instead of n², the same blocking argument as the LSH/
+    simhash paths; cluster assignment is a broadcast argmax (no shuffle),
+    and the pair join is an equi-join on cell_id.  Oversized cells are the
+    salted-join/AQE-skew problem, not an algorithmic one."""
+    centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col, seed)
+    if refine_iters:
+        centroids, assigned = ivf_refine(
+            corpus, centroids, refine_iters, id_col, vec_col
+        )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("cell_id").alias("cell_b"),
+    )
+    dup_pairs = (
+        a.join(b, (F.col("cell_id") == F.col("cell_b")) & (F.col("id_b") < F.col("id_a")))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .groupBy("id_a")
+        .agg(F.min("id_b").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_pairs, assigned[id_col] == dup_pairs.id_a, "left")
+        .select(
+            F.col(id_col),
+            "cell_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -1416,3 +1416,14 @@ def text_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.cast("bigint").alias("n_oov"),
         F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+@query("dedup_semantic", oracle=None, group="D")
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over embeddings: k-means blocking,
+    within-cluster cosine >= 0.95, keep = no near-identical lower-id mate
+    (operators/similarity.py::semantic_dedup).  Rows-only (centroid
+    dependent); pytest gates partition consistency and the
+    no-near-identical-survivor-pair property."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(e, threshold=0.95)

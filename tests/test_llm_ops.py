@@ -590,3 +590,34 @@ def test_canonical_by_centrality_prefers_hub(spark):
     assert len(out) == 1
     assert out[0]["canonical_id"] == 5
     assert out[0]["component"] == 1  # min-id component label
+
+
+def test_semantic_dedup_properties(spark, embeddings):
+    """Every vector appears exactly once; dropped vectors name a LOWER-id
+    cluster-mate as dup_of; surviving pairs within a cluster are below the
+    threshold (no near-identical pair survives)."""
+    out = similarity.semantic_dedup(embeddings, threshold=0.95).cache()
+    n = embeddings.count()
+    assert out.count() == n
+    assert out.select("vec_id").distinct().count() == n
+    bad = out.filter((~F.col("keep")) & (F.col("dup_of") >= F.col("vec_id"))).count()
+    assert bad == 0
+    # survivors: no within-cluster pair at/above threshold
+    keep = out.filter("keep").select("vec_id", "cell_id")
+    kept_vec = keep.join(
+        embeddings.select("vec_id", "embedding"), "vec_id"
+    )
+    a = kept_vec.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("va"), "cell_id"
+    )
+    b = kept_vec.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"),
+        F.col("cell_id").alias("cb"),
+    )
+    surviving_close = (
+        a.join(b, (F.col("cell_id") == F.col("cb")) & (F.col("ib") < F.col("ia")))
+        .filter(similarity.cosine_expr(F.col("va"), F.col("vb")) >= 0.95)
+        .count()
+    )
+    assert surviving_close == 0
+    out.unpersist()

@@ -63,6 +63,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("dedup_embedding_cosine", "NESTED_LOOP"): "bucketed candidates; BNLJ side is broadcast-bounded",
     ("kmeans_clusters", "NESTED_LOOP"): "broadcast k centroids",
     ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",
+    ("dedup_semantic", "NESTED_LOOP"): "broadcast n_cells centroids (cluster assignment argmax)",
     ("join_cross", "CARTESIAN"): "the op IS a cross join (pre-filtered dims)",
     # --- windows over provably bounded frames ---
     ("win_ntile_pctrank", "UNPARTITIONED_WIN"):

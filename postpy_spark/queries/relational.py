@@ -640,23 +640,29 @@ def agg_null_semantics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_decimal_exact",
     oracle="""
     SELECT o_orderstatus,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS exact_total,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS exact_total_cents,
            COUNT(*) AS n
     FROM orders GROUP BY o_orderstatus
     """,
     group="B3",
 )
 def agg_decimal_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact decimal aggregation: summing DECIMAL(18,2) is associative and
-    order-independent — the no-rounding-games alternative to double sums
-    (postpy's `numeric` money path).  Both engines produce the same decimal
-    VALUE; scales differ (Spark 28,2 vs DuckDB 38,2), so both sides cast to
-    a common scale for the comparison."""
+    """Exact money aggregation: sum integer CENTS (BIGINT), which is
+    associative, order-independent, and hash-identical across engines —
+    the no-rounding-games alternative to double sums (postpy's `numeric`
+    money path).
+
+    Round-6 driver lesson: DECIMAL output hashes differently across engines
+    even when DESCRIBE shows the same logical type on both sides (physical
+    int64 vs int128 payloads), so decimals are banned from hashed oracle
+    output entirely (testing.type_parity_errors enforces this); exact money
+    lives in the integer class instead."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2)))
-        .cast(T.DecimalType(18, 2))
-        .alias("exact_total"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "exact_total_cents"
+        ),
         F.count(F.lit(1)).alias("n"),
     )
 

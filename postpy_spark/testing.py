@@ -76,11 +76,20 @@ def type_parity_errors(spark_schema, duck_types: dict[str, str]) -> list[str]:
 
     - HUGEINT/UHUGEINT anywhere in a DuckDB column type is always an error;
       fix the oracle with ``CAST(... AS BIGINT)``.
-    - Top-level numeric-family mismatch (DECIMAL vs double, DOUBLE vs
-      decimal) is an error.
+    - ANY top-level DECIMAL column (either engine) is an error: round 6
+      proved DECIMAL payloads hash differently across engines even when
+      DESCRIBE shows the identical logical type on both sides (DuckDB's
+      int64 vs Spark's int128 physical decimal width — invisible to any
+      type- or value-level compare).  Re-express exact money as BIGINT
+      cents, or ROUND to double.
+    - Top-level numeric-family mismatch (decimal vs float vs integer, any
+      direction) is an error.
     """
     errs: list[str] = []
     spark_types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    _INT_DU = ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "INT", "UBIGINT",
+               "UINTEGER", "USMALLINT", "UTINYINT")
+    _INT_ST = ("tinyint", "smallint", "int", "bigint", "long", "short", "byte")
     for col, dt in duck_types.items():
         du = dt.upper()
         st = spark_types.get(col, "")
@@ -93,13 +102,24 @@ def type_parity_errors(spark_schema, duck_types: dict[str, str]) -> list[str]:
         d_fam = (
             "decimal"
             if du.startswith("DECIMAL")
-            else "float" if du in ("DOUBLE", "FLOAT", "REAL") else None
+            else "float"
+            if du in ("DOUBLE", "FLOAT", "REAL")
+            else "int" if du in _INT_DU else None
         )
         s_fam = (
             "decimal"
             if st.startswith("decimal")
-            else "float" if st in ("double", "float") else None
+            else "float"
+            if st in ("double", "float")
+            else "int" if st in _INT_ST else None
         )
+        if d_fam == "decimal" or s_fam == "decimal":
+            errs.append(
+                f"{col}: duckdb {dt} vs spark {st} — DECIMAL is banned from "
+                "hashed oracle output (physical-width hash mismatch class); "
+                "use BIGINT cents or ROUND(...) double"
+            )
+            continue
         if d_fam and s_fam and d_fam != s_fam:
             errs.append(f"{col}: duckdb {dt} vs spark {st} — numeric family mismatch")
     return errs

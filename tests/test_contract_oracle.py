@@ -113,6 +113,33 @@ def test_type_parity_detector():
     assert type_parity_errors(schema, {"total": "HUGEINT[]", "avg": "DOUBLE"})
     # numeric-family mismatch: DECIMAL oracle vs double Spark column
     assert type_parity_errors(schema, {"total": "BIGINT", "avg": "DECIMAL(18,2)"})
+    # DECIMAL oracle vs integer Spark column (round-6 ADVICE gap)
+    assert type_parity_errors(schema, {"total": "DECIMAL(18,2)", "avg": "DOUBLE"})
+
+
+def test_type_parity_bans_decimal_outright():
+    """Round-6 driver lesson (agg_decimal_exact): DECIMAL-on-BOTH-sides still
+    hash-fails at the driver (DuckDB int64 vs Spark int128 physical payloads,
+    invisible to DESCRIBE), so the gate rejects ANY top-level DECIMAL — the
+    exact pre-fix agg_decimal_exact shape must now fail the gate."""
+    from pyspark.sql.types import DecimalType, LongType, StructField, StructType
+
+    from postpy_spark.testing import type_parity_errors
+
+    # pre-fix shape: DECIMAL(18,2) on both engines, identical DESCRIBE output
+    schema = StructType(
+        [StructField("exact_total", DecimalType(18, 2)), StructField("n", LongType())]
+    )
+    errs = type_parity_errors(schema, {"exact_total": "DECIMAL(18,2)", "n": "BIGINT"})
+    assert len(errs) == 1 and "DECIMAL is banned" in errs[0]
+    # post-fix shape (BIGINT cents) is clean
+    schema_ok = StructType(
+        [StructField("exact_total_cents", LongType()), StructField("n", LongType())]
+    )
+    assert (
+        type_parity_errors(schema_ok, {"exact_total_cents": "BIGINT", "n": "BIGINT"})
+        == []
+    )
 
 
 def test_type_parity_catches_prefixed_sum(duck):

@@ -24,6 +24,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
+# Cache hygiene
+# ---------------------------------------------------------------------------
+
+_LIVE_CACHE: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """``persist()`` with session-hygiene tracking: the handle is recorded so
+    :func:`release_dedup_cache` can drop it later.  Pipeline-level operators
+    release the PREVIOUS invocation's generation at entry, so a long-lived
+    session holds at most one generation of dedup scratch frames instead of
+    leaking one persisted RDD per call."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHE.append(df)
+    return df
+
+
+def release_dedup_cache() -> None:
+    """Unpersist every scratch frame the dedup/similarity operators have
+    persisted.  Called automatically at the entry of each pipeline-level
+    operator; call it directly after consuming results to free executor
+    storage immediately.  Always correctness-safe — a still-referenced lazy
+    result simply recomputes."""
+    while _LIVE_CACHE:
+        _LIVE_CACHE.pop().unpersist(blocking=False)
+
+
+# ---------------------------------------------------------------------------
 # Normalization / exact dedup
 # ---------------------------------------------------------------------------
 
@@ -153,11 +183,10 @@ def _cap_hot_buckets(
         return banded.withColumn("_salt", F.lit(0))
     if max_bucket < 2:
         raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
-    from pyspark import StorageLevel
-
     # Two consumers below (the sizing aggregate and the join) — persist so
-    # the upstream signature aggregation runs once, not twice.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    # the upstream signature aggregation runs once, not twice.  Tracked:
+    # released by the next pipeline-level invocation or release_dedup_cache().
+    banded = _persist_tracked(banded)
     # Only the HOT buckets come back: their count is bounded by
     # total_rows / max_bucket and in a real (post-exact-dedup) corpus is
     # tiny, so the left join below broadcasts (AQE) and the cold-bucket
@@ -276,9 +305,8 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands → verified
     Jaccard pairs."""
-    from pyspark import StorageLevel
-
-    sh_df = shingled(df, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    release_dedup_cache()
+    sh_df = _persist_tracked(shingled(df, id_col, text_col, k))
     sigs = minhash_signature(df, id_col, text_col, num_hashes, k, seed, shingles=sh_df)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket, stats)
     return jaccard_verify(cand, df, id_col, text_col, k, threshold, shingles=sh_df)
@@ -312,10 +340,9 @@ def minhash_dedup_pairs_incremental(
     side's signatures come from a signature store (e.g. a versioned table)
     instead of being recomputed; recompute here keeps the operator
     self-contained."""
-    from pyspark import StorageLevel
-
+    release_dedup_cache()
     docs = old_docs.unionByName(new_docs)
-    sh_df = shingled(docs, id_col, text_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_df = _persist_tracked(shingled(docs, id_col, text_col, k))
     sigs = minhash_signature(docs, id_col, text_col, num_hashes, k, seed, shingles=sh_df)
 
     rows_per_band = num_hashes // bands
@@ -503,6 +530,7 @@ def simhash_near_pairs(
     (pigeonhole: ≤ max_hamming differing bits → at least one identical
     chunk), equi-join per chunk, verify Hamming distance ≤ max_hamming.
     Chunk buckets above ``max_bucket`` are salt-split (_cap_hot_buckets)."""
+    release_dedup_cache()
     sh = simhash(df, id_col, text_col)
     width = 64 // blocks
     chunked = sh.select(

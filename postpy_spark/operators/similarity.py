@@ -287,6 +287,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_cell: int | None = 4096,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding dedup (Abbas et al. 2023, arXiv:2303.09540):
     cluster with the coarse k-means quantizer, compare pairs ONLY within a
@@ -296,27 +298,44 @@ def semantic_dedup(
     Returns (vec_id, cell_id, keep, dup_of) — ``dup_of`` is the lowest-id
     near-identical cluster-mate (null when kept; in a duplicate chain it
     may itself be dropped — survivors are exactly the vectors with no
-    near-identical LOWER-id mate, so no close pair survives).
+    near-identical LOWER-id mate).  The no-close-pair-survives guarantee
+    holds WITHIN a k-means cell (and, for cells above ``max_cell``, within
+    a salt-split sub-cell): near-identical vectors that k-means assigns to
+    DIFFERENT cells both survive — inherent to SemDeDup blocking.
 
     Scale: the quadratic pair comparison is bounded per cluster — total
     work Σ cell² instead of n², the same blocking argument as the LSH/
     simhash paths; cluster assignment is a broadcast argmax (no shuffle),
-    and the pair join is an equi-join on cell_id.  Oversized cells are the
-    salted-join/AQE-skew problem, not an algorithmic one."""
+    and the pair join is an equi-join on (cell_id, salt).  A pathological
+    dense cell (boilerplate embeddings clumping onto one centroid) is the
+    same scale-killer as an LSH hot bucket, so cells above ``max_cell``
+    are salt-split by the shared :func:`_cap_hot_buckets` machinery —
+    per-cell candidate work drops from O(|cell|²) to O(|cell|·max_cell),
+    at a bounded recall cost reported via ``stats``
+    (``hot_buckets`` / ``dropped_candidates_est``)."""
+    from .dedup import _cap_hot_buckets, release_dedup_cache
+
+    release_dedup_cache()
     centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col, seed)
     if refine_iters:
         centroids, assigned = ivf_refine(
             corpus, centroids, refine_iters, id_col, vec_col
         )
+    assigned = _cap_hot_buckets(assigned, ["cell_id"], id_col, max_cell, stats)
     a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell_id"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell_id", "_salt"
     )
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("cell_id").alias("cell_b"),
+        F.col("cell_id").alias("cell_b"), F.col("_salt").alias("salt_b"),
     )
     dup_pairs = (
-        a.join(b, (F.col("cell_id") == F.col("cell_b")) & (F.col("id_b") < F.col("id_a")))
+        a.join(
+            b,
+            (F.col("cell_id") == F.col("cell_b"))
+            & (F.col("_salt") == F.col("salt_b"))
+            & (F.col("id_b") < F.col("id_a")),
+        )
         .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
         .groupBy("id_a")
         .agg(F.min("id_b").alias("dup_of"))

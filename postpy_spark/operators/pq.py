@@ -75,6 +75,12 @@ def _seed_codebook(
         .limit(ks)
         .collect()
     )
+    if not rows:
+        raise ValueError("PQ codebook seeding needs a non-empty corpus")
+    # A corpus smaller than ks (small scale tiers, aggressively filtered
+    # inputs) simply trains fewer centroids — downstream reads ks from the
+    # codebook's shape, so clamping here is the whole fix.
+    ks = min(ks, len(rows))
     sample = np.array([r["v"] for r in rows], dtype="float64")  # (ks, d)
     d = sample.shape[1]
     assert d % m == 0, f"dim {d} not divisible by m={m}"

@@ -596,24 +596,38 @@ def scan_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents flattened to TAB-joined lines via the text sink, re-read as
     ``value`` lines, and parsed back declaratively with split+cast — the
     parse stays JVM-side, so column pruning and pushdown apply to the
-    downstream plan exactly as with a structured source."""
+    downstream plan exactly as with a structured source.
+
+    NULL discipline: ``concat_ws`` silently DROPS null fields, which would
+    shift every later column on parse — so each field is coalesced to the
+    PostgreSQL COPY sentinel ``\\N`` on write and mapped back via
+    ``nullif`` on read, preserving NULLs positionally."""
     from postpy_spark.io import scan_text, sink_text
+
+    NULL_TOKEN = "\\N"
+
+    def _w(col):  # write-side: sentinel-encode NULLs
+        return F.coalesce(col.cast("string"), F.lit(NULL_TOKEN))
 
     path = _workdir(sf_dir, "documents_txt")
     lines = load_table(spark, sf_dir, "documents").select(
         F.concat_ws(
             "\t",
-            F.col("doc_id").cast("string"),
-            F.col("lang"),
-            F.col("n_chars").cast("string"),
+            _w(F.col("doc_id")),
+            _w(F.col("lang")),
+            _w(F.col("n_chars")),
         ).alias("value")
     )
     sink_text(lines, path)
-    parts = F.split(F.col("value"), "\t")
+    parts = F.split(F.col("value"), "\t", -1)
+
+    def _r(i):  # read-side: sentinel-decode back to NULL
+        return F.nullif(parts.getItem(i), F.lit(NULL_TOKEN))
+
     return scan_text(spark, path).select(
-        parts.getItem(0).cast("bigint").alias("doc_id"),
-        parts.getItem(1).alias("lang"),
-        parts.getItem(2).cast("bigint").alias("n_chars"),
+        _r(0).cast("bigint").alias("doc_id"),
+        _r(1).alias("lang"),
+        _r(2).cast("bigint").alias("n_chars"),
     )
 
 

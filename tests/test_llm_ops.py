@@ -554,6 +554,23 @@ def test_pq_codes_shape_and_determinism(spark, embeddings):
     assert a == b
 
 
+def test_pq_small_corpus_clamps_ks(spark, embeddings):
+    """A corpus smaller than ks must train a smaller codebook, not raise an
+    opaque numpy reshape error (r6 ADVICE); empty corpora fail loud."""
+    import pytest as _pytest
+
+    from postpy_spark.operators import pq
+
+    tiny = embeddings.limit(7)
+    cb = pq.pq_train(tiny, m=8, ks=32, n_iter=1)
+    assert cb.shape[0] == 8 and cb.shape[1] <= 7
+    enc = pq.pq_encode(tiny, cb)
+    assert enc.count() == 7
+    empty = embeddings.limit(0)
+    with _pytest.raises(ValueError, match="non-empty corpus"):
+        pq.pq_train(empty, m=8, ks=32, n_iter=1)
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     import numpy as np
 

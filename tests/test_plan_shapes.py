@@ -487,5 +487,26 @@ def test_plan_audit_detector_patterns():
     assert not any(f == "SINGLE_PARTITION" for f, _ in pa.flags_for(good_agg))
     assert any(f == "SINGLE_PARTITION" for f, _ in pa.flags_for(bad_funnel))
 
+    # AQE wrappers between the exchange and the partial aggregate must not
+    # false-flag (r6 ADVICE: fixed 2-line window missed this)
+    aqe_wrapped = (
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS\n"
+        "   +- ShuffleQueryStage 1\n"
+        "      +- WholeStageCodegen (2)\n"
+        "         +- HashAggregate(keys=[], functions=[partial_count(1)])"
+    )
+    assert not any(f == "SINGLE_PARTITION" for f, _ in pa.flags_for(aqe_wrapped))
+    # ...and an unrelated 'partial' in a SIBLING node must not suppress a
+    # real funnel (the old substring window scanned past the subtree)
+    funnel_with_sibling_partial = (
+        ":- Exchange SinglePartition, REPARTITION_BY_NUM\n"
+        ":  +- FileScan parquet [a#1L]\n"
+        "+- HashAggregate(keys=[], functions=[partial_count(1)])"
+    )
+    assert any(
+        f == "SINGLE_PARTITION"
+        for f, _ in pa.flags_for(funnel_with_sibling_partial)
+    )
+
     assert any(f == "CARTESIAN" for f, _ in pa.flags_for("CartesianProduct"))
     assert any(f == "PY_ROW_UDF" for f, _ in pa.flags_for("BatchEvalPython"))

@@ -98,14 +98,51 @@ def flags_for(plan: str) -> list[tuple[str, str]]:
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
-        # the exchange's child prints on the following line(s); a partial
-        # aggregate there means only P partial rows cross — the correct
-        # global-agg shape, not a data funnel
-        child = " ".join(lines[i + 1 : i + 3])
-        if "partial" not in child:
+        # a partial aggregate feeding the exchange means only P partial
+        # rows cross — the correct global-agg shape, not a data funnel
+        if not _exchange_feeds_partial_agg(lines, i):
             out.append(("SINGLE_PARTITION", line.strip()[:120]))
             break
     return out
+
+
+# AQE / codegen wrapper nodes that may sit between an exchange and its real
+# child in the printed tree — transparent for the funnel question.
+_WRAPPER_NODES = (
+    "ShuffleQueryStage",
+    "AQEShuffleRead",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "ReusedExchange",
+    "TableCacheQueryStage",
+)
+
+
+def _tree_depth(line: str) -> int:
+    """Indentation depth of a plan-tree line: where the node text starts,
+    past the tree-drawing / codegen-id prefix (``+-``, ``:-``, ``*(3) ``)."""
+    return len(line) - len(line.lstrip(" :+-*()0123456789"))
+
+
+def _exchange_feeds_partial_agg(lines: list[str], i: int) -> bool:
+    """True when the first real (non-wrapper) node UNDER the exchange at
+    ``lines[i]`` is a partial aggregate.  Scans by tree depth instead of a
+    fixed 2-line window: AQE wrappers between the exchange and the partial
+    aggregate no longer false-flag, and an unrelated 'partial' elsewhere no
+    longer suppresses a real funnel."""
+    d0 = _tree_depth(lines[i])
+    for line in lines[i + 1 :]:
+        if not line.strip():
+            break
+        if _tree_depth(line) <= d0:
+            return False  # sibling or parent — no deeper child to inspect
+        if any(w in line for w in _WRAPPER_NODES):
+            continue
+        is_agg = "HashAggregate" in line or "SortAggregate" in line or (
+            "ObjectHashAggregate" in line
+        )
+        return is_agg and "partial_" in line
+    return False
 
 
 def main() -> int:

@@ -97,36 +97,42 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # -- round-6 rotation.  The driver samples the FIRST ~50 registry
-    # entries; rounds 1-5 together attested every contract op, so this
-    # round leads with (a) the 5 oracles fixed for the HUGEINT hash class +
-    # the rewritten stream_watermark_late — all need fresh green rows — and
-    # (b) 44 sql-checked EXTRAS that have never been driver-sampled.
-    # re-attest after this round's fixes (6)
-    "text_stats", "stream_stateful_sessionize", "stream_watermark_late",
-    "tpch_q12_shape", "embed_norm_quant", "stream_session_dynamic_gap",
-    # LLM-pipeline extras, never sampled (19)
-    "text_langid", "text_quality", "text_token_count", "doc_fingerprint",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "text_bigram_lm",
-    "text_heavy_hitters", "text_pii_redact", "text_decontaminate",
-    "text_repetition", "text_unicode_nfc", "multimodal_ingest",
-    "multimodal_image_stats", "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_dedup", "multimodal_audio_stats", "shard_by_token_budget",
-    # streaming extras (5)
-    "stream_stream_join", "stream_two_level_agg", "stream_static_enrich",
-    "stream_scd2_dimension", "merge_scd2",
-    # TPC-H shapes (6)
-    "tpch_q3_shape", "tpch_q6_shape", "tpch_q13_shape", "tpch_q15_shape",
-    "tpch_q17_shape", "tpch_q21_shape",
-    # join/window scale paths (4)
-    "join_asof_strict", "join_skew_salted", "join_bucketed_colocated",
-    "win_ntile_distributed",
-    # UDF-surface extras (5)
-    "udtf_python", "udtf_map_in_arrow", "udtf_cogroup_pandas",
-    "udf_scalar_pandas_iter", "udaf_pandas_window",
-    # agg/scan extras (5)
-    "agg_decimal_exact", "agg_null_semantics", "agg_bitmap_distinct",
-    "scan_json", "scan_partitioned_pruned",
+    # -- round-7 rotation.  The driver samples the FIRST ~50 registry
+    # entries; rounds 1-6 attested 156 of 213 queries (every contract op
+    # ≥1×).  This round leads with (a) agg_decimal_exact — r6's only hash
+    # FAIL, re-expressed as BIGINT cents and needing a fresh green row —
+    # and the two ops whose implementation changed this round
+    # (dedup_semantic cell cap, scan_text NULL sentinel), then (b) the
+    # remaining never-driver-sampled queries, sql-checked first (stronger
+    # attestation per slot), rows-only tail last.
+    # re-attest after this round's fixes (3)
+    "agg_decimal_exact", "dedup_semantic", "scan_text",
+    # never-sampled, sql-checked: set ops / agg / sort-limit (9)
+    "except_all_ab", "intersect_all_ab", "unpivot_long", "agg_histogram",
+    "agg_group_by_all", "agg_percentile_exact", "sort_nulls_ordering",
+    "limit_offset", "agg_hll_mergeable",
+    # never-sampled TPC-H shapes (6)
+    "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q14_shape",
+    "tpch_q19_shape", "tpch_q22_shape",
+    # never-sampled events/time-series (6)
+    "ts_gapfill", "events_transitions", "events_funnel", "cohort_retention",
+    "events_anomaly_zscore", "dq_check",
+    # never-sampled scans / ETL surface (10)
+    "scan_orc", "scan_xml", "scan_binaryfile",
+    "scan_schema_evolution", "scan_python_datasource", "table_versioning",
+    "sql_execute", "etl_zorder_layout", "catalog_view_roundtrip",
+    "join_fuzzy_blocked",
+    # never-sampled function families (7)
+    "fn_datetime_extra", "fn_url", "fn_struct_nested", "fn_trig",
+    "fn_binary", "fn_collation", "dedup_doc_prefix",
+    # never-sampled LLM-pipeline, sql-checked (5)
+    "text_ngram_dup_ratio", "docs_quality_filter_chain",
+    "corpus_mixture_report", "text_lm_ppl_buckets", "text_vocab_coverage",
+    # never-sampled rows-only tail (12)
+    "sim_pq_topk", "sim_ivf_topk", "dedup_simhash", "dedup_incremental",
+    "dedup_pipeline_end_to_end", "dedup_canonical_rank", "kmeans_clusters",
+    "embed_pca", "sample_weighted", "sample_stratified",
+    "sample_mixture_stable", "agg_approx_topk",
 )
 
 

@@ -27,30 +27,58 @@ from pyspark.sql import functions as F
 # Cache hygiene
 # ---------------------------------------------------------------------------
 
-_LIVE_CACHE: list[DataFrame] = []
+#: (generation, semanticHash, frame) for every scratch persist still alive.
+_LIVE_CACHE: list[tuple[int, int, DataFrame]] = []
+_GENERATION = 0
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
-    """``persist()`` with session-hygiene tracking: the handle is recorded so
-    :func:`release_dedup_cache` can drop it later.  Pipeline-level operators
-    release the PREVIOUS invocation's generation at entry, so a long-lived
-    session holds at most one generation of dedup scratch frames instead of
-    leaking one persisted RDD per call."""
+    """``persist()`` with session-hygiene tracking.
+
+    Spark's CacheManager dedupes plan-identical persists to ONE cache entry
+    (and ``unpersist`` evicts by plan, not by handle), so re-running the
+    same pipeline must NOT eagerly release the prior invocation's frames —
+    that would evict the entry the new run is about to warm-hit (measured
+    +70% on repeated minhash invocations).  Instead each handle is recorded
+    with its semantic hash and generation; same-plan re-persists replace
+    the stale record without touching the cache."""
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHE.append(df)
+    h = df.semanticHash()
+    global _LIVE_CACHE
+    # same plan → same CacheManager entry: refresh the record's generation
+    _LIVE_CACHE = [t for t in _LIVE_CACHE if t[1] != h]
+    _LIVE_CACHE.append((_GENERATION, h, df))
     return df
+
+
+def _advance_generation() -> None:
+    """Entry hook for pipeline-level operators: start a new generation and
+    unpersist scratch frames two or more generations old.  Keeping the
+    immediately-previous generation preserves warm cache reuse for repeated
+    identical invocations (same-plan records refresh their generation in
+    :func:`_persist_tracked`, so a still-hot plan is never evicted), while
+    bounding a long-lived session at two generations of distinct scratch
+    plans instead of leaking one persisted RDD per call."""
+    global _GENERATION, _LIVE_CACHE
+    _GENERATION += 1
+    cutoff = _GENERATION - 1
+    stale = [t for t in _LIVE_CACHE if t[0] < cutoff]
+    _LIVE_CACHE = [t for t in _LIVE_CACHE if t[0] >= cutoff]
+    for _, _, frame in stale:
+        frame.unpersist(blocking=False)
 
 
 def release_dedup_cache() -> None:
     """Unpersist every scratch frame the dedup/similarity operators have
-    persisted.  Called automatically at the entry of each pipeline-level
-    operator; call it directly after consuming results to free executor
-    storage immediately.  Always correctness-safe — a still-referenced lazy
-    result simply recomputes."""
-    while _LIVE_CACHE:
-        _LIVE_CACHE.pop().unpersist(blocking=False)
+    persisted.  Call after consuming results to free executor storage
+    immediately.  Always correctness-safe — a still-referenced lazy result
+    simply recomputes."""
+    global _LIVE_CACHE
+    stale, _LIVE_CACHE = _LIVE_CACHE, []
+    for _, _, frame in stale:
+        frame.unpersist(blocking=False)
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +333,7 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH bands → verified
     Jaccard pairs."""
-    release_dedup_cache()
+    _advance_generation()
     sh_df = _persist_tracked(shingled(df, id_col, text_col, k))
     sigs = minhash_signature(df, id_col, text_col, num_hashes, k, seed, shingles=sh_df)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket, stats)
@@ -340,7 +368,7 @@ def minhash_dedup_pairs_incremental(
     side's signatures come from a signature store (e.g. a versioned table)
     instead of being recomputed; recompute here keeps the operator
     self-contained."""
-    release_dedup_cache()
+    _advance_generation()
     docs = old_docs.unionByName(new_docs)
     sh_df = _persist_tracked(shingled(docs, id_col, text_col, k))
     sigs = minhash_signature(docs, id_col, text_col, num_hashes, k, seed, shingles=sh_df)
@@ -530,7 +558,7 @@ def simhash_near_pairs(
     (pigeonhole: ≤ max_hamming differing bits → at least one identical
     chunk), equi-join per chunk, verify Hamming distance ≤ max_hamming.
     Chunk buckets above ``max_bucket`` are salt-split (_cap_hot_buckets)."""
-    release_dedup_cache()
+    _advance_generation()
     sh = simhash(df, id_col, text_col)
     width = 64 // blocks
     chunked = sh.select(

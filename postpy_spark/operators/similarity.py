@@ -313,9 +313,9 @@ def semantic_dedup(
     per-cell candidate work drops from O(|cell|²) to O(|cell|·max_cell),
     at a bounded recall cost reported via ``stats``
     (``hot_buckets`` / ``dropped_candidates_est``)."""
-    from .dedup import _cap_hot_buckets, release_dedup_cache
+    from .dedup import _advance_generation, _cap_hot_buckets
 
-    release_dedup_cache()
+    _advance_generation()
     centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col, seed)
     if refine_iters:
         centroids, assigned = ivf_refine(

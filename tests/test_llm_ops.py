@@ -682,18 +682,26 @@ def test_semantic_dedup_dense_cell_capped(spark):
 
 def test_dedup_cache_generations_do_not_grow(spark, docs):
     """Repeated pipeline-op invocations in one session must not leak
-    persisted RDDs: each entry releases the previous generation, and
-    release_dedup_cache() drains it entirely (VERDICT r6 hygiene item)."""
+    persisted RDDs (VERDICT r6 hygiene item) — but re-running the SAME
+    pipeline must keep its cache warm (plan-identical persists share one
+    CacheManager entry; evicting it would force a full recompute).  The
+    generation window holds ≤2 generations of distinct scratch plans and
+    release_dedup_cache() drains everything."""
     jsc = spark.sparkContext._jsc
     dedup.release_dedup_cache()
     n0 = jsc.getPersistentRDDs().size()
     dedup.minhash_dedup_pairs(docs, threshold=0.6).count()
     n1 = jsc.getPersistentRDDs().size()
     assert n1 > n0, "pipeline should persist scratch frames"
+    # identical re-run: no growth AND the hot plan survives (warm re-use)
     dedup.minhash_dedup_pairs(docs, threshold=0.6).count()
     n2 = jsc.getPersistentRDDs().size()
     assert n2 == n1, f"persisted-RDD count grew across invocations: {n1} -> {n2}"
+    # a different pipeline adds its own scratch; prior generation kept
     dedup.simhash_near_pairs(docs, max_hamming=0).count()
+    assert jsc.getPersistentRDDs().size() <= n1 + 1
+    # two distinct-plan invocations later, the minhash generation is evicted
+    dedup.simhash_near_pairs(docs.limit(50), max_hamming=0).count()
     assert jsc.getPersistentRDDs().size() <= n1 + 1
     dedup.release_dedup_cache()
     assert jsc.getPersistentRDDs().size() == n0

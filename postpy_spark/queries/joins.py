@@ -463,3 +463,78 @@ def join_fuzzy_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(dist).cast("bigint").alias("min_dist"),
         F.round(F.avg(dist), 4).alias("avg_dist"),
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT event_id AS purchase_id, ts AS a_s, ts + INTERVAL 2 HOUR AS a_e
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT event_id AS view_id, value AS view_value,
+               ts AS b_s, ts + INTERVAL 1 HOUR AS b_e
+        FROM events WHERE event_type = 'view'
+    ),
+    j AS (
+        SELECT purchase_id, view_id, view_value
+        FROM a JOIN b ON a_s < b_e AND b_s < a_e
+    ),
+    agg AS (
+        SELECT purchase_id, COUNT(*) AS n_overlap,
+               CAST(SUM(CAST(ROUND(view_value * 100) AS BIGINT)) AS BIGINT)
+                 AS view_cents
+        FROM j GROUP BY purchase_id
+    )
+    SELECT a.purchase_id,
+           CAST(COALESCE(agg.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(agg.view_cents, 0) AS BIGINT) AS view_cents
+    FROM a LEFT JOIN agg USING (purchase_id)
+    """,
+    group="B2",
+)
+def join_interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS interval-overlap join — purchase attention windows [ts, ts+2h)
+    × view visibility windows [ts, ts+1h), no shared equi key.  The naive
+    form is a theta join (BroadcastNestedLoop → quadratic); the scale path
+    is operators/intervals.overlap_join_binned: explode each interval into
+    the 1h buckets it covers, hash-join on bucket, keep true overlaps, and
+    de-dup by attributing each pair to the bucket of its overlap start.
+    Work is O(|A| + |B| + true_pairs), never |A|·|B|.  Money summed as
+    BIGINT cents (decimal-hash landmine, CLAUDE.md)."""
+    from postpy_spark.operators.intervals import overlap_join_binned
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    hour_us = 3_600 * 1_000_000
+    a = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        us.alias("a_s"),
+        (us + F.lit(2 * hour_us)).alias("a_e"),
+    )
+    b = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+        us.alias("b_s"),
+        (us + F.lit(hour_us)).alias("b_e"),
+    )
+    pairs = overlap_join_binned(
+        a, b, a_start="a_s", a_end="a_e", b_start="b_s", b_end="b_e",
+        bucket_width_us=hour_us,
+    )
+    agg = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.sum(F.round(F.col("view_value") * 100).cast("long"))
+        .cast("bigint")
+        .alias("view_cents"),
+    )
+    return (
+        a.select("purchase_id")
+        .join(agg, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.coalesce("view_cents", F.lit(0)).cast("bigint").alias("view_cents"),
+        )
+    )

@@ -1427,3 +1427,90 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-near-identical-survivor-pair property."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(e, threshold=0.95)
+
+
+@query(
+    "dedup_repeated_spans",
+    oracle=f"""
+    WITH g0 AS (SELECT doc_id, {{grams}} AS gs FROM documents),
+    g AS (
+        SELECT doc_id, unnest(range(len(gs))) AS pos, unnest(gs) AS gram
+        FROM g0
+    ),
+    dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+    d AS (SELECT doc_id, pos FROM g JOIN dupg USING (gram)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM d
+    ),
+    spans AS (
+        SELECT doc_id, grp, COUNT(*) AS run_len
+        FROM isl GROUP BY doc_id, grp
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT)            AS n_spans,
+               CAST(MAX(run_len) + 4 AS BIGINT)    AS max_span_tokens,
+               CAST(SUM(run_len) AS BIGINT)        AS dup_positions
+        FROM spans GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT)         AS n_spans,
+           CAST(COALESCE(max_span_tokens, 0) AS BIGINT) AS max_span_tokens,
+           CAST(COALESCE(dup_positions, 0) AS BIGINT)   AS dup_positions
+    FROM documents LEFT JOIN agg USING (doc_id)
+    """.format(grams=_grams_sql(5)),
+    group="D",
+)
+def dedup_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL repeated spans per document — the positional core of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499), at
+    5-gram granularity instead of a distributed suffix array: a position is
+    duplicated when its 5-gram occurs more than once in the corpus
+    (including within the same doc); consecutive duplicated positions merge
+    into one span (gaps-and-islands window per doc).  Reports span count,
+    longest span in tokens (run + k - 1), and duplicated-position mass —
+    what a span-excision pass would delete.
+
+    Scale: one explode (positions ∝ corpus tokens), one gram-count shuffle,
+    one join back, and a PER-DOC window (bounded by doc length, never
+    global).  text_ngram_dup_ratio gives the unpositioned fraction; this op
+    adds the contiguity structure."""
+    from pyspark.sql import Window
+
+    k = 5
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.posexplode(dedup.shingles_col(F.col("text"), k=k)).alias("pos", "gram"),
+    )
+    dupg = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gram")
+    )
+    d = g.join(dupg, "gram").select("doc_id", F.col("pos").cast("bigint").alias("pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = d.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        (F.max("run_len") + F.lit(k - 1)).cast("bigint").alias("max_span_tokens"),
+        F.sum("run_len").cast("bigint").alias("dup_positions"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_span_tokens", F.lit(0)).cast("bigint")
+            .alias("max_span_tokens"),
+            F.coalesce("dup_positions", F.lit(0)).cast("bigint")
+            .alias("dup_positions"),
+        )
+    )

@@ -705,3 +705,33 @@ def test_dedup_cache_generations_do_not_grow(spark, docs):
     assert jsc.getPersistentRDDs().size() <= n1 + 1
     dedup.release_dedup_cache()
     assert jsc.getPersistentRDDs().size() == n0
+
+
+def test_repeated_spans_golden(spark, tmp_path):
+    """Handcrafted corpus with a known shared 7-token span, a unique doc,
+    and a WITHIN-doc repeat (Lee et al. counts those too): pins span count,
+    longest-span length (run + k - 1), and duplicated-position mass."""
+    from postpy_spark.registry import load_all
+
+    shared = "w1 w2 w3 w4 w5 w6 w7"
+    rows = [
+        (0, f"u01 u02 u03 {shared} u04 u05 u06 u07"),
+        (1, f"v01 v02 {shared} v03 v04 v05 v06"),
+        (2, "x01 x02 x03 x04 x05 x06 x07 x08 x09 x10"),
+        (3, "r1 r2 r3 r4 r5 m1 r1 r2 r3 r4 r5"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: (r.n_spans, r.max_span_tokens, r.dup_positions)
+        for r in load_all()["dedup_repeated_spans"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[0] == (1, 7, 3)   # one span, 7 tokens long, 3 dup 5-gram starts
+    assert out[1] == (1, 7, 3)
+    assert out[2] == (0, 0, 0)   # fully unique doc
+    assert out[3] == (2, 5, 2)   # same 5-gram twice WITHIN one doc

@@ -1147,3 +1147,151 @@ def events_anomaly_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("z"),
         )
     )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT o_totalprice AS price,
+               MIN(DATE_DIFF('second', TIMESTAMP '1970-01-01 00:00:00',
+                             o_orderdate)) AS d
+        FROM orders GROUP BY o_totalprice
+    ),
+    w AS (
+        SELECT price, d,
+               MIN(d) OVER (ORDER BY price
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prevmin
+        FROM pts
+    )
+    SELECT price, CAST(d AS BIGINT) AS d_epoch
+    FROM w WHERE prevmin IS NULL OR d < prevmin
+    """,
+    group="B4",
+)
+def skyline_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): orders where no other order is both
+    cheaper-or-equal AND earlier-or-equal (minimize price, minimize date) —
+    the classic OLAP skyline operator (Börzsönyi et al., ICDE 2001).
+
+    Scale path: the textbook formulation is a NOT EXISTS self-join (O(n²))
+    or a one-task global window.  Here: (1) per-price min-date pre-agg
+    (dominated-within-price rows die in a keyed shuffle), (2) the global
+    exclusive running-min over price order via the range-partitioned
+    two-phase scheme (ranking.global_running_max on the negated value — no
+    single-task stage), (3) a point survives iff it achieves the inclusive
+    running min AND is the first point doing so, where "first" is a cheap
+    KEYED window partitioned by date (equal-date later points are
+    dominated).  Equivalent to the oracle's exclusive-window form."""
+    from postpy_spark.operators.ranking import global_running_max
+
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.expr(
+        "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000 AS BIGINT)"
+    )
+    pts = (
+        o.select(F.col("o_totalprice").alias("price"), epoch.alias("d"))
+        .groupBy("price")
+        .agg(F.min("d").alias("d"))
+        .withColumn("negd", -F.col("d"))
+    )
+    r = global_running_max(pts, ["price"], "negd", "runmax")
+    w_first = Window.partitionBy("d").orderBy("price")
+    return (
+        r.withColumn("rn_d", F.row_number().over(w_first))
+        .filter((F.col("negd") == F.col("runmax")) & (F.col("rn_d") == 1))
+        .select("price", F.col("d").cast("bigint").alias("d_epoch"))
+    )
+
+
+@query(
+    "events_window_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS t1
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t2 AND e.ts <= s1.t1 + INTERVAL 1 DAY
+        GROUP BY e.user_id
+    )
+    SELECT CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     WHEN s1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    GROUP BY 1
+    """,
+    group="B4",
+)
+def events_window_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel (ClickHouse-style): deepest greedily-matched prefix of
+    view → click → purchase within 1 day of the FIRST view (the anchor),
+    histogrammed over users.  Greedy-anchored semantics ≡ the oracle's
+    chained-min CTEs (first view, then first qualifying click, then first
+    qualifying purchase).
+
+    Scale: ONE shuffle — collect each user's event structs, sort in-array,
+    and fold with the aggregate() HOF (JVM-side, no UDF).  The chained-min
+    formulation the oracle uses would be three self-join shuffles over the
+    full event stream; per-user arrays are session-sized, the standard
+    sessionization memory bound."""
+    DAY = 86_400_000_000  # µs
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = (
+        e.select(
+            "user_id",
+            F.struct(
+                us.alias("t"),
+                F.col("event_type").alias("y"),
+                F.col("event_id").alias("i"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("seq"))
+    )
+    init = F.struct(
+        F.lit(0).alias("d"),
+        F.lit(0).cast("long").alias("t1"),
+        F.lit(0).cast("long").alias("tp"),
+    )
+
+    def step(acc, x):
+        d, t1, tp = acc["d"], acc["t1"], acc["tp"]
+        t, y = x["t"], x["y"]
+        in_win = (t > tp) & (t <= t1 + F.lit(DAY))
+        return (
+            F.when(
+                (d == 0) & (y == "view"),
+                F.struct(F.lit(1).alias("d"), t.alias("t1"), t.alias("tp")),
+            )
+            .when(
+                (d == 1) & (y == "click") & in_win,
+                F.struct(F.lit(2).alias("d"), t1.alias("t1"), t.alias("tp")),
+            )
+            .when(
+                (d == 2) & (y == "purchase") & in_win,
+                F.struct(F.lit(3).alias("d"), t1.alias("t1"), t.alias("tp")),
+            )
+            .otherwise(acc)
+        )
+
+    return (
+        g.select(F.aggregate("seq", init, step)["d"].alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(F.col("depth").cast("bigint").alias("depth"), "n_users")
+    )

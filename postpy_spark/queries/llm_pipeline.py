@@ -1514,3 +1514,68 @@ def dedup_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_positions"),
         )
     )
+
+
+@query(
+    "text_chunk_fixed",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    s AS (
+        SELECT doc_id, toks,
+               range(0, GREATEST(LEN(toks), 1), 30) AS starts
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id,
+               unnest(range(len(starts))) AS chunk_idx,
+               unnest(starts) AS start_tok,
+               toks
+        FROM s
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(LEAST(40, LEN(toks) - start_tok) AS BIGINT) AS n_tokens,
+           array_to_string(toks[start_tok + 1 : start_tok + 40], ' ')
+             AS chunk_text
+    FROM c
+    """,
+    group="D",
+)
+def text_chunk_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (the RAG / context-window packing
+    primitive): 40-token chunks on a 30-token stride (10-token overlap),
+    emitted with stable (doc_id, chunk_idx) ids and token offsets so
+    chunks can be traced back to their source span.
+
+    Scale: pure JVM projection — one let-bound tokenize per doc, chunk
+    starts via sequence(), one posexplode; output rows ∝ corpus tokens /
+    stride.  No shuffle at all (verify with .explain: scan → project →
+    generate).  Embedding/indexing stages downstream consume (doc_id,
+    chunk_idx, chunk_text) directly."""
+    k, stride = 40, 30
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_col(F.col("text"))
+
+    def body(t):
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(t), F.lit(1)) - 1, F.lit(stride)
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                s.cast("bigint").alias("start_tok"),
+                F.least(F.lit(k), F.size(t) - s).cast("bigint").alias("n_tokens"),
+                F.array_join(F.slice(t, s + 1, k), " ").alias("chunk_text"),
+            ),
+        )
+
+    chunks = F.element_at(F.transform(F.array(toks), body), 1)
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

@@ -856,3 +856,108 @@ def limit_offset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(100)
         .limit(50)
     )
+
+
+@query(
+    "agg_bitmap_intersect",
+    oracle="""
+    WITH p(type_a, type_b) AS (
+        VALUES ('purchase', 'view'), ('purchase', 'error'),
+               ('click', 'signup')
+    ),
+    u AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM p
+    JOIN u a ON a.event_type = p.type_a
+    JOIN u b ON b.event_type = p.type_b AND b.user_id = a.user_id
+    GROUP BY type_a, type_b
+    """,
+    group="B3",
+)
+def agg_bitmap_intersect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience intersection via distributed BITMAP algebra (the
+    roaring-bitmap pattern, in pure DataFrame ops): users are packed into
+    64-bit words — word_id = user_id div 64, one bit per user — with a
+    single BIT_OR aggregate per (event_type, word_id); an audience pair's
+    overlap is then a word_id equi-join + bitwise AND + BIT_COUNT sum.
+
+    Scale: the bitmap frame is |user_space|/64 rows per audience
+    regardless of event count (the BIT_OR shuffle carries words, not
+    users), repeat events need NO distinct pass (BIT_OR is idempotent),
+    and every pairwise intersection after that touches only word-sized
+    frames.  The same words frame serves any number of pair queries —
+    exactly how audience-overlap engines (e.g. ClickHouse/Druid bitmap
+    datasketches) stay sublinear in raw events.  Oracle = the naive
+    DISTINCT self-join."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = [("purchase", "view"), ("purchase", "error"), ("click", "signup")]
+    types = sorted({t for ab in pairs for t in ab})
+    words = (
+        e.filter(F.col("event_type").isin(types))
+        .select(
+            "event_type",
+            F.expr("user_id div 64").alias("word_id"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "word_id")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    pair_df = spark.createDataFrame(pairs, "type_a string, type_b string")
+    a = words.select(
+        F.col("event_type").alias("type_a"), "word_id", F.col("w").alias("wa")
+    )
+    b = words.select(
+        F.col("event_type").alias("type_b"), "word_id", F.col("w").alias("wb")
+    )
+    return (
+        F.broadcast(pair_df)
+        .join(a, "type_a")
+        .join(b, ["type_b", "word_id"])
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("bigint")
+            .alias("n_both")
+        )
+    )
+
+
+@query(
+    "sample_topk_hash_per_group",
+    oracle="""
+    SELECT event_type, event_id, user_id
+    FROM (
+        SELECT event_type, event_id, user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5(CAST(event_id AS VARCHAR) || ':r7'), event_id
+               ) AS rn
+        FROM events
+    ) WHERE rn <= 50
+    """,
+    group="B5",
+)
+def sample_topk_hash_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC uniform k-per-group sampling: rank by the MD5 of the
+    row key + salt and keep the k smallest per group.  Unlike rand()-based
+    sampling (partition-order dependent → rows-only checks), the hash rank
+    is a pure function of the data, so the sample is reproducible across
+    engines, runs, and partitionings — which is what you want for
+    train/eval splits anyway — and the op is fully sql-checked.  Changing
+    the salt re-draws the sample.
+
+    Scale: per-group window; k-smallest per partition could further prune
+    via AQE, but the rank window already shuffles only (group, hash)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    h = F.md5(F.concat(F.col("event_id").cast("string"), F.lit(":r7")))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        e.select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )

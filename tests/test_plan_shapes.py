@@ -510,3 +510,31 @@ def test_plan_audit_detector_patterns():
 
     assert any(f == "CARTESIAN" for f, _ in pa.flags_for("CartesianProduct"))
     assert any(f == "PY_ROW_UDF" for f, _ in pa.flags_for("BatchEvalPython"))
+
+
+def test_text_chunk_fixed_is_shuffle_free(spark):
+    """Chunking is a pure projection+generate: any Exchange in this plan
+    means someone added an accidental shuffle to a map-only pipeline."""
+    plan = executed_plan(spark, "text_chunk_fixed")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_skyline_has_no_global_window(spark):
+    """The skyline's running min must ride the range-partitioned two-phase
+    scheme: no window whose partition spec funnels the full point set into
+    one task (SinglePartition exchange feeding a Window over the data
+    frame).  The P-row offsets window is fine — it's over partition ids."""
+    plan = executed_plan(spark, "skyline_pareto")
+    # the only SinglePartition exchange allowed is the tiny offsets frame
+    # (input: the P-row groupBy-partition-id aggregate, never the scan)
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.start() : m.start() + 2000]
+        assert "_pid" in tail or "spark_partition_id" in tail, tail
+
+
+def test_bitmap_intersect_pairs_are_broadcast(spark):
+    """The 3-row pair list must broadcast; the words frames hash-join on
+    word_id.  A missing broadcast would shuffle the words frame 3x."""
+    plan = executed_plan(spark, "agg_bitmap_intersect")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan

@@ -179,3 +179,44 @@ def test_approx_topk_exact_on_coarse_domain(spark):
         .collect()
     }
     assert got == exact
+
+
+def test_window_funnel_greedy_anchor_edges(spark, tmp_path):
+    """Handcrafted funnel edge cases: tie at the anchor, step outside the
+    1-day window, purchase BEFORE click (order matters), full-depth user,
+    and a user with no view at all (depth 0)."""
+    import datetime as dt
+
+    from postpy_spark.registry import load_all
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, secs, typ):
+        return (eid, T0 + dt.timedelta(seconds=secs), uid, typ, 1.0, "{}")
+
+    rows = [
+        # u1: full funnel inside window → depth 3
+        ev(1, 1, 0, "view"), ev(2, 1, 10, "click"), ev(3, 1, 20, "purchase"),
+        # u2: click lands 1s past the 1-day window → depth 1
+        ev(4, 2, 0, "view"), ev(5, 2, 86401, "click"),
+        # u3: purchase precedes click → only depth 2 (order is strict)
+        ev(6, 3, 0, "view"), ev(7, 3, 5, "purchase"), ev(8, 3, 10, "click"),
+        # u4: no view at all → depth 0
+        ev(9, 4, 0, "click"), ev(10, 4, 5, "purchase"),
+        # u5: click at EXACTLY the anchor ts is not after it → depth 1;
+        # a later click qualifies, then purchase at window edge (≤) → 3
+        ev(11, 5, 0, "click"), ev(12, 5, 0, "view"),
+        ev(13, 5, 50, "click"), ev(14, 5, 86400, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.depth: r.n_users
+        for r in load_all()["events_window_funnel"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {3: 2, 1: 1, 2: 1, 0: 1}

@@ -1295,3 +1295,310 @@ def events_window_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .select(F.col("depth").cast("bigint").alias("depth"), "n_users")
     )
+
+
+# Exact cross-engine money arithmetic for the round-7 TPC-H shapes: prices
+# carry 2 decimals and discounts 2 decimals, so ROUND(x*100) is an exact
+# integer recovery; "cost4"/"v4" values are dollars*10^4 BIGINTs (cents x
+# (100 - discount_pct)), and the derived per-unit supply cost uses integer
+# floor division — every operation after the initial recovery is integer
+# math, so the driver hash cannot see float noise.  DuckDB mirrors use //
+# (integer floor div) which equals Spark's `div` for positive operands.
+_EXT_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+_DISC_PCT = "CAST(ROUND(l_discount * 100) AS BIGINT)"
+_QTY_INT = "CAST(l_quantity AS BIGINT)"
+
+
+def _ps_cost4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp analog: (partkey, suppkey, min unit cost in
+    dollars*10^4) from lineitem — the testdata has no partsupp table, so
+    the supplier's best observed unit price stands in for ps_supplycost."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cost4 = F.expr(f"({_EXT_CENTS} * 100) div {_QTY_INT}")
+    return (
+        l.select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            cost4.alias("c4"),
+        )
+        .groupBy("partkey", "suppkey")
+        .agg(F.min("c4").alias("cost4"))
+    )
+
+
+_PS_COST4_SQL = """
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100)
+                   // CAST(l_quantity AS BIGINT)) AS cost4
+        FROM lineitem GROUP BY 1, 2
+"""
+
+
+@query(
+    "tpch_q2_shape",
+    oracle=f"""
+    WITH ps AS ({_PS_COST4_SQL}),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT p.p_partkey, e.s_name, e.n_name, e.s_acctbal, ps.cost4
+        FROM ps JOIN part p ON p.p_partkey = ps.partkey
+                JOIN eu e ON e.s_suppkey = ps.suppkey
+        WHERE p.p_size < 15 AND p.p_type = 'LARGE'
+    ),
+    mn AS (SELECT p_partkey, MIN(cost4) AS min4 FROM cand GROUP BY 1)
+    SELECT c.p_partkey, c.s_name, c.n_name, c.s_acctbal,
+           CAST(c.cost4 AS BIGINT) AS cost4
+    FROM cand c JOIN mn ON c.p_partkey = mn.p_partkey AND c.cost4 = mn.min4
+    """,
+    group="B2",
+)
+def tpch_q2_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated MIN subquery
+    over the region-restricted supplier pool, decorrelated into a per-part
+    MIN aggregate joined back on (partkey, cost) equality — exact because
+    cost4 is integer.  Supplier/nation/region dims broadcast; the derived
+    partsupp aggregates before any join, so the min-join is co-partitioned
+    on partkey.  Ties (two suppliers at the min) surface as multiple rows,
+    matching the SQL."""
+    ps = _ps_cost4(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 15) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(broadcast(p), ps.partkey == p.p_partkey)
+        .join(broadcast(eu), ps.suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "n_name", "s_acctbal", "cost4")
+    )
+    mn = (
+        cand.groupBy("p_partkey")
+        .agg(F.min("cost4").alias("min4"))
+        .withColumnRenamed("p_partkey", "mn_partkey")
+    )
+    return cand.join(
+        mn,
+        (F.col("p_partkey") == F.col("mn_partkey"))
+        & (F.col("cost4") == F.col("min4")),
+    ).select(
+        "p_partkey", "s_name", "n_name", "s_acctbal",
+        F.col("cost4").cast("bigint").alias("cost4"),
+    )
+
+
+@query(
+    "tpch_q9_shape",
+    oracle=f"""
+    WITH ps AS ({_PS_COST4_SQL})
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM({_EXT_CENTS} * (100 - {_DISC_PCT})
+                    - ps.cost4 * {_QTY_INT}) AS BIGINT) AS profit4
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN ps         ON ps.partkey = l.l_partkey AND ps.suppkey = l.l_suppkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+    group="B2",
+)
+def tpch_q9_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the classic
+    5-way star around lineitem plus the derived partsupp for unit cost.
+    Profit is computed entirely in integer dollars*10^4.  part filter is
+    pushed to the scan and the dim broadcasts; the ps join co-partitions
+    with lineitem on (partkey, suppkey)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    ps = _ps_cost4(spark, sf_dir)
+    amount4 = F.expr(
+        f"{_EXT_CENTS} * (100 - {_DISC_PCT})"
+    ) - F.col("cost4") * F.expr(_QTY_INT)
+    return (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (l.l_partkey == ps.partkey) & (l.l_suppkey == ps.suppkey),
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount4).cast("bigint").alias("profit4"))
+    )
+
+
+@query(
+    "tpch_q11_shape",
+    oracle=f"""
+    WITH ln AS (
+        SELECT l_partkey,
+               {_EXT_CENTS} * (100 - {_DISC_PCT}) AS v4
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                      JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7')
+    ),
+    per AS (SELECT l_partkey, CAST(SUM(v4) AS BIGINT) AS value4
+            FROM ln GROUP BY 1),
+    tot AS (SELECT CAST(SUM(v4) AS BIGINT) AS total4 FROM ln)
+    SELECT per.l_partkey AS partkey, per.value4
+    FROM per, tot WHERE per.value4 * 1000 > tot.total4
+    """,
+    group="B3",
+)
+def tpch_q11_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value within a nation
+    subset, kept when above a fraction of the GLOBAL value — the
+    HAVING-vs-global-scalar-subquery pattern.  The global total is a 1-row
+    aggregate broadcast-crossed into the per-part frame (the same
+    whitelisted 1-row BNLJ as text_tfidf's corpus size); integer compare
+    via value4*1000 > total4 avoids any float fraction."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    ln = (
+        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            F.expr(f"{_EXT_CENTS} * (100 - {_DISC_PCT})").alias("v4"),
+        )
+    )
+    per = ln.groupBy("l_partkey").agg(F.sum("v4").cast("bigint").alias("value4"))
+    tot = ln.agg(F.sum("v4").cast("bigint").alias("total4"))
+    return (
+        per.crossJoin(broadcast(tot))
+        .filter(F.col("value4") * 1000 > F.col("total4"))
+        .select(F.col("l_partkey").alias("partkey"), "value4")
+    )
+
+
+@query(
+    "tpch_q16_shape",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 <> 0)
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM ps JOIN part ON p_partkey = l_partkey
+            JOIN ok_supp ON ok_supp.s_suppkey = ps.l_suppkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY 1, 2, 3
+    """,
+    group="B3",
+)
+def tpch_q16_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes): distinct
+    (part, supplier) pairs from the fact, an exclusion list on the
+    supplier side (Q16's NOT IN complaints subquery — here a deterministic
+    key predicate), and COUNT(DISTINCT) per part attribute triple.  The
+    distinct-pair aggregate collapses the fact before any join; part and
+    the supplier filter broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    ok = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % 13 != 0
+    ).select("s_suppkey")
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(broadcast(ok), ps.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_shape",
+    oracle="""
+    WITH q AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT l_partkey, SUM(sq) AS tq FROM q GROUP BY 1),
+    wid AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+    excess AS (
+        SELECT DISTINCT q.l_suppkey
+        FROM q JOIN tot ON tot.l_partkey = q.l_partkey
+               JOIN wid ON wid.p_partkey = q.l_partkey
+        WHERE q.sq * 2 > tot.tq
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN excess e ON e.l_suppkey = s.s_suppkey
+    WHERE n.n_regionkey IN (SELECT r_regionkey FROM region
+                            WHERE r_name IN ('ASIA', 'EUROPE'))
+    """,
+    group="B2",
+)
+def tpch_q20_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with dominant share): nested semi-join
+    chain — suppliers shipping >50% of a widget part's 1996 volume, then
+    restricted to two regions.  Both aggregates partition on l_partkey (the
+    share compare is a co-located join, not a window); the part/region
+    filters broadcast; the final supplier restriction is a semi join on the
+    DISTINCT excess-supplier set.  Quantities are integer-valued doubles,
+    so SUM and the 2x compare are exact below 2^53."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    q = l.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    tot = q.groupBy("l_partkey").agg(F.sum("sq").alias("tq"))
+    wid = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    excess = (
+        q.join(tot, "l_partkey")
+        .join(broadcast(wid), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    return (
+        s.join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(excess, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )

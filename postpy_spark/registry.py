@@ -107,10 +107,11 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # attestation per slot), rows-only tail last.
     # re-attest after this round's fixes (3)
     "agg_decimal_exact", "dedup_semantic", "scan_text",
-    # new in round 7, sql-checked (7)
+    # new in round 7, sql-checked (12)
     "join_interval_overlap", "dedup_repeated_spans", "agg_bitmap_intersect",
     "sample_topk_hash_per_group", "skyline_pareto", "text_chunk_fixed",
-    "events_window_funnel",
+    "events_window_funnel", "tpch_q2_shape", "tpch_q9_shape",
+    "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
     # never-sampled, sql-checked: set ops / agg / sort-limit (9)
     "except_all_ab", "intersect_all_ab", "unpivot_long", "agg_histogram",
     "agg_group_by_all", "agg_percentile_exact", "sort_nulls_ordering",

@@ -49,6 +49,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("text_bigram_lm", "NESTED_LOOP"): "broadcast 1-row vocab size",
     ("text_lm_ppl_buckets", "NESTED_LOOP"): "broadcast 1-row vocab size (LM stage)",
     ("tpch_q22_shape", "NESTED_LOOP"): "broadcast 1-row avg-balance scalar",
+    ("tpch_q11_shape", "NESTED_LOOP"): "broadcast 1-row global-value total",
     ("tpch_q14_shape", "NESTED_LOOP"): "broadcast 1-row promo-share denominator",
     ("tpch_q8_shape", "NESTED_LOOP"): "broadcast 1-row year volume totals",
     ("agg_hll_mergeable", "NESTED_LOOP"): "broadcast 1-row merged-HLL grand total",

@@ -27,6 +27,7 @@ _TIME = "__asof_time"
 _KEY = "__asof_key"
 _PAYLOAD = "__asof_payload"
 _BUCKET = "__asof_bucket"
+_TIME_F = "__asof_time_f"
 
 
 def asof_join(
@@ -203,6 +204,99 @@ def _asof_join_bucketed(
         _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
     )
     matched = unioned.filter(F.col(_SIDE) == 1)
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols += [F.col(f"{_PAYLOAD}.{c}").alias(c) for c in rcols]
+    if out_time:
+        out_cols.append(F.col(f"{_PAYLOAD}.{out_time}").alias(out_time))
+    return matched.select(*out_cols)
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str] | None = None,
+    include_right_time: str | None = None,
+    tolerance: int | float | None = None,
+) -> DataFrame:
+    """Nearest-in-either-direction as-of left join (pandas
+    ``merge_asof(direction='nearest')`` semantics).
+
+    Each left row gets the payload of the right row whose ``right_time``
+    is CLOSEST to ``left_time`` in absolute distance within the same key;
+    ties (equidistant backward/forward match) resolve to the BACKWARD row
+    so results are deterministic.  ``tolerance`` (same units as the time
+    columns) discards matches farther than the bound — unmatched rows
+    keep NULL payload.  Time columns must be numeric (cast timestamps to
+    ``unix_micros`` upstream); ``right`` must be unique per (key, time).
+
+    Scale design: ONE shuffle.  Both direction passes share a single
+    window partitioning/sort — ``last(ignorenulls)`` over the preceding
+    frame carries the latest earlier right payload, ``first(ignorenulls)``
+    over the following frame pulls the earliest later one; Spark computes
+    both frames in one WindowExec over one sort.  No self-join, no
+    nested-loop.  Skewed keys: same hazard as any per-key window.
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (right_on, right_time)]
+    out_time = include_right_time
+
+    payload_fields = [F.col(c) for c in rcols]
+    payload_fields.append(F.col(right_time).cast("double").alias(_TIME_F))
+    if out_time:
+        payload_fields.append(F.col(right_time).alias(out_time))
+
+    r = right.select(
+        F.col(right_on).alias(_KEY),
+        F.col(right_time).alias(_TIME),
+        F.lit(0).alias(_SIDE),
+        F.struct(*payload_fields).alias(_PAYLOAD),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(left_on).alias(_KEY),
+        F.col(left_time).alias(_TIME),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c) for c in left.columns],
+    )
+
+    # Equal-time right rows sort BEFORE left rows (side 0 < 1), so an exact
+    # match lands in the backward frame with distance 0 and wins every tie.
+    order = [F.col(_TIME).asc(), F.col(_SIDE).asc()]
+    w_back = (
+        Window.partitionBy(_KEY).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(_KEY).orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    unioned = (
+        r.unionByName(l)
+        .withColumn("__back", F.last(_PAYLOAD, ignorenulls=True).over(w_back))
+        .withColumn("__fwd", F.first(_PAYLOAD, ignorenulls=True).over(w_fwd))
+    )
+
+    t = F.col(_TIME).cast("double")
+    d_back = t - F.col(f"__back.{_TIME_F}")
+    d_fwd = F.col(f"__fwd.{_TIME_F}") - t
+    if tolerance is not None:
+        back_ok = F.col("__back").isNotNull() & (d_back <= F.lit(float(tolerance)))
+        fwd_ok = F.col("__fwd").isNotNull() & (d_fwd <= F.lit(float(tolerance)))
+    else:
+        back_ok = F.col("__back").isNotNull()
+        fwd_ok = F.col("__fwd").isNotNull()
+    # backward wins ties (<=), matching the documented determinism contract
+    pick_back = back_ok & (~fwd_ok | (d_back <= d_fwd))
+    chosen = (
+        F.when(pick_back, F.col("__back"))
+        .when(fwd_ok, F.col("__fwd"))
+        .otherwise(F.lit(None).cast(r.schema[_PAYLOAD].dataType))
+    )
+    matched = unioned.filter(F.col(_SIDE) == 1).withColumn(_PAYLOAD, chosen)
     out_cols = [F.col(c) for c in left.columns]
     out_cols += [F.col(f"{_PAYLOAD}.{c}").alias(c) for c in rcols]
     if out_time:

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from postpy_spark.io import load_table
-from postpy_spark.operators.asof import asof_join
+from postpy_spark.operators.asof import asof_join, asof_nearest_join
 from postpy_spark.registry import query
 
 
@@ -538,3 +538,59 @@ def join_interval_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("view_cents", F.lit(0)).cast("bigint").alias("view_cents"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderdate, ROUND(SUM(o_totalprice), 2) AS day_total
+        FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, l.o_orderdate AS nearest_order_date, l.day_total
+    FROM events e
+    LEFT JOIN LATERAL (
+        SELECT o.o_orderdate, o.day_total
+        FROM o
+        WHERE o.o_custkey = e.user_id
+          AND abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) <= 2592000000000
+        ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate)) ASC, o.o_orderdate ASC
+        LIMIT 1
+    ) l ON TRUE
+    """,
+    group="B2",
+)
+def join_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-either-direction as-of (pandas merge_asof
+    direction='nearest'): each event matched to the customer's CLOSEST
+    order day within a 30-day tolerance, ties resolved backward.
+    Completes the as-of family (backward `join_asof`, strict
+    `join_asof_strict`).  Spark side is the one-shuffle dual-frame window
+    operator (operators/asof.py::asof_nearest_join); the oracle is
+    DuckDB's LATERAL nearest-row formulation with the same tie-break."""
+    tol_us = 30 * 86400 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_total"))
+        .select(
+            "o_custkey", "day_total",
+            F.col("o_orderdate").alias("nearest_order_date"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+        )
+    )
+    out = asof_nearest_join(
+        e,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="t_us",
+        right_time="o_us",
+        right_cols=["nearest_order_date", "day_total"],
+        tolerance=tol_us,
+    )
+    return out.select("event_id", "user_id", "nearest_order_date", "day_total")

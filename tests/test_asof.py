@@ -70,3 +70,50 @@ def test_single_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # key hash partitioning (+AQE read)
+
+
+def test_nearest_picks_closer_side_and_breaks_ties_backward(spark):
+    """asof_nearest_join: closest match either direction; equidistant →
+    backward; tolerance bounds both directions; one fused WindowExec."""
+    from postpy_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [
+            Row(id=1, k="a", t=100),   # back at 90 (d=10), fwd at 130 (d=30) → back
+            Row(id=2, k="a", t=125),   # back at 90 (d=35), fwd at 130 (d=5) → fwd
+            Row(id=3, k="a", t=110),   # back 90 (d=20) vs fwd 130 (d=20) → tie → back
+            Row(id=4, k="a", t=500),   # nearest is 130 (d=370) > tol → NULL
+            Row(id=5, k="b", t=7),     # only fwd at 10 (d=3) → fwd
+            Row(id=6, k="c", t=1),     # no right rows → NULL
+            Row(id=7, k="a", t=130),   # exact match, d=0
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rt=90, v="r90"),
+            Row(k="a", rt=130, v="r130"),
+            Row(k="b", rt=10, v="r10"),
+        ]
+    )
+    out = asof_nearest_join(
+        left, right, left_on="k", right_on="k", left_time="t", right_time="rt",
+        right_cols=["v"], include_right_time="mrt", tolerance=100,
+    )
+    got = {r.id: (r.v, r.mrt) for r in out.collect()}
+    assert got[1] == ("r90", 90)
+    assert got[2] == ("r130", 130)
+    assert got[3] == ("r90", 90)      # tie → backward
+    assert got[4] == (None, None)     # beyond tolerance
+    assert got[5] == ("r10", 10)      # forward-only match
+    assert got[6] == (None, None)     # unmatched key
+    assert got[7] == ("r130", 130)    # exact
+
+    # Both direction frames ride ONE partitioning+sort: a single exchange
+    # and a single sort, never a join (the 100 TB property).  AQE's
+    # toString prints Final + Initial plans; inspect the final one only.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+    assert len(re.findall(r"\bSort \[", final)) == 1, final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "Join" not in final, final

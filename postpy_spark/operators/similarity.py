@@ -349,3 +349,92 @@ def semantic_dedup(
             "dup_of",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98):
+    per query, greedily pick k of the top-``n_candidates`` neighbors
+    maximizing ``lam*sim(q,c) - (1-lam)*max_{s∈S} sim(c,s)`` — relevant
+    results that are NOT near-duplicates of ones already chosen (the RAG
+    context-diversity op).
+
+    Scale design: the candidate stage is the pluggable retrieval path
+    (exact broadcast k-NN here; swap ANN for 100 TB) and does all the
+    corpus-sized work.  The greedy stage is ``applyInPandas`` over groups
+    BOUNDED at n_candidates rows (vectors ride along, so no second corpus
+    join), giving O(k·n_candidates²) work per query distributed across
+    queries — the corpus never enters the Python path.  Ties break on
+    cand_id; scores are rounded to 6 so results are engine-stable.
+    """
+    cands = brute_force_topk(queries, corpus, k=n_candidates, id_col=id_col, vec_col=vec_col)
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    packed = (
+        cands.select("query_id", "cand_id", "cosine")
+        .join(broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+    )
+
+    out_schema = (
+        "query_id bigint, cand_id bigint, relevance double, "
+        "mmr_score double, mmr_rank bigint"
+    )
+
+    return packed.groupBy("query_id").applyInPandas(
+        _make_mmr_greedy(k, lam), out_schema
+    )
+
+
+def _make_mmr_greedy(k: int, lam: float):
+    """Build the per-query greedy MMR payload.  The returned inner function
+    is function-scope, so cloudpickle ships it BY VALUE — the worker never
+    needs to import postpy_spark (pinned in tests/test_pickle_isolation.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("cand_id").reset_index(drop=True)
+        q = np.asarray(pdf["qv"].iloc[0], dtype=np.float64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+        nrm = np.linalg.norm(mat, axis=1)
+        rel = mat @ q / (nrm * np.linalg.norm(q))
+        # pairwise candidate cosine (n_candidates² floats — tiny)
+        sim = (mat @ mat.T) / np.outer(nrm, nrm)
+        chosen: list[int] = []
+        scores: list[float] = []
+        avail = list(range(len(pdf)))
+        while avail and len(chosen) < k:
+            if chosen:
+                penalty = sim[np.ix_(avail, chosen)].max(axis=1)
+            else:
+                penalty = np.zeros(len(avail))
+            mmr = lam * rel[avail] - (1.0 - lam) * penalty
+            best = int(np.argmax(np.round(mmr, 9)))  # ties → lowest cand_id
+            chosen.append(avail[best])
+            scores.append(float(mmr[best]))
+            avail.pop(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[chosen].to_numpy(),
+                "cand_id": pdf["cand_id"].iloc[chosen].to_numpy(),
+                "relevance": np.round(rel[chosen], 6),
+                "mmr_score": np.round(scores, 6),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+            }
+        )
+
+    return greedy

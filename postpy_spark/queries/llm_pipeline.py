@@ -430,6 +430,18 @@ def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(queries, e, k=5)
 
 
+@query("sim_mmr_rerank", oracle=None, group="D")
+def sim_mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 per query (λ=0.7 over 20 exact candidates):
+    relevant-but-not-redundant retrieval for RAG context assembly.  Greedy
+    selection is iterative (not SQL-expressible) → rows-only driver check;
+    pytest pins exact equivalence against an independent numpy reference
+    plus the λ=1 ≡ plain-top-k degeneracy (tests/test_llm_ops.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return similarity.mmr_rerank(queries, e, k=5, n_candidates=20, lam=0.7)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------

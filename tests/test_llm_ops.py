@@ -735,3 +735,102 @@ def test_repeated_spans_golden(spark, tmp_path):
     assert out[1] == (1, 7, 3)
     assert out[2] == (0, 0, 0)   # fully unique doc
     assert out[3] == (2, 5, 2)   # same 5-gram twice WITHIN one doc
+
+
+def _mmr_reference(vecs, query_ids, k, n_cand, lam):
+    """Independent numpy MMR: brute-force candidates then greedy selection.
+    Written from the SIGIR'98 definition, NOT by calling the operator."""
+    import numpy as np
+
+    ids = sorted(vecs)
+    out = {}
+    for qid in query_ids:
+        q = vecs[qid]
+        qn = np.linalg.norm(q)
+        scored = sorted(
+            ((float(v @ q / (np.linalg.norm(v) * qn)), cid)
+             for cid, v in vecs.items() if cid != qid),
+            key=lambda t: (-round(t[0], 6), t[1]),
+        )[:n_cand]
+        cand = [cid for _, cid in sorted(scored, key=lambda t: t[1])]
+        rel = {cid: s for s, cid in scored}
+        chosen = []
+        while cand and len(chosen) < k:
+            best, best_score = None, None
+            for cid in cand:
+                pen = max(
+                    (float(vecs[cid] @ vecs[s]
+                           / (np.linalg.norm(vecs[cid]) * np.linalg.norm(vecs[s])))
+                     for s in chosen),
+                    default=0.0,
+                )
+                score = round(lam * rel[cid] - (1 - lam) * pen, 9)
+                if best is None or score > best_score:
+                    best, best_score = cid, score
+            chosen.append(best)
+            cand.remove(best)
+        out[qid] = chosen
+    return out
+
+
+def test_mmr_matches_numpy_reference(spark, embeddings):
+    import numpy as np
+
+    rows = embeddings.filter(F.col("vec_id") < 120).collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    qids = [0, 1, 2, 3, 4]
+    want = _mmr_reference(vecs, qids, k=5, n_cand=20, lam=0.7)
+
+    sub = embeddings.filter(F.col("vec_id") < 120)
+    got_rows = similarity.mmr_rerank(
+        sub.filter(F.col("vec_id") < 5), sub, k=5, n_candidates=20, lam=0.7
+    ).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r.query_id, r.mmr_rank)):
+        got.setdefault(r.query_id, []).append(r.cand_id)
+    assert got == want
+    # ranks are 1..k and relevance of rank-1 equals the top-1 candidate
+    for r in got_rows:
+        assert 1 <= r.mmr_rank <= 5
+
+
+def test_mmr_lambda_one_degenerates_to_topk(spark, embeddings):
+    """λ=1 disables the diversity penalty → MMR must equal plain top-k."""
+    sub = embeddings.filter(F.col("vec_id") < 120)
+    q = sub.filter(F.col("vec_id") < 3)
+    mmr = similarity.mmr_rerank(q, sub, k=5, n_candidates=20, lam=1.0)
+    topk = similarity.brute_force_topk(q, sub, k=5)
+    got = {(r.query_id, r.cand_id) for r in mmr.collect()}
+    want = {(r.query_id, r.cand_id) for r in topk.collect()}
+    assert got == want
+
+
+def test_mmr_increases_diversity(spark, embeddings):
+    """With λ<1 the chosen set's max intra-set cosine must not exceed the
+    plain top-k set's (diversification can only loosen the tightest pair)."""
+    import numpy as np
+
+    sub = embeddings.filter(F.col("vec_id") < 200)
+    q = sub.filter(F.col("vec_id") < 5)
+    rows = sub.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def max_pair(ids):
+        mx = -1.0
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                va, vb = vecs[a], vecs[b]
+                mx = max(mx, float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))))
+        return mx
+
+    mmr = similarity.mmr_rerank(q, sub, k=5, n_candidates=20, lam=0.5).collect()
+    topk = similarity.brute_force_topk(q, sub, k=5).collect()
+    by_q_mmr, by_q_top = {}, {}
+    for r in mmr:
+        by_q_mmr.setdefault(r.query_id, []).append(r.cand_id)
+    for r in topk:
+        by_q_top.setdefault(r.query_id, []).append(r.cand_id)
+    worse = sum(
+        max_pair(by_q_mmr[qid]) > max_pair(by_q_top[qid]) + 1e-9 for qid in by_q_mmr
+    )
+    assert worse == 0, "MMR set tighter than plain top-k set"

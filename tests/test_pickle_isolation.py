@@ -114,3 +114,28 @@ def test_pq_encoder_pickles_by_value():
         assert codes.iloc[0] == [0, 1], codes.iloc[0]
 
     _roundtrip_in_clean_subprocess(udf_fn, probe)
+
+
+def test_mmr_greedy_pickles_by_value():
+    from postpy_spark.operators.similarity import _make_mmr_greedy
+
+    def probe(fn):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "query_id": [1, 1, 1],
+                "cand_id": [10, 11, 12],
+                "cosine": [0.9, 0.8, 0.7],
+                "qv": [[1.0, 0.0]] * 3,
+                "cv": [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]],
+            }
+        )
+        out = fn(pdf)
+        assert list(out["mmr_rank"]) == [1, 2], out
+        # λ=0.3 must diversify: after the exact match, the orthogonal
+        # vector (cand 12, MMR 0) beats the near-duplicate (cand 11,
+        # MMR 0.3·0.994 − 0.7·0.994 < 0)
+        assert list(out["cand_id"]) == [10, 12], out
+
+    _roundtrip_in_clean_subprocess(_make_mmr_greedy(2, 0.3), probe)

@@ -61,6 +61,9 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("sim_topk_per_query", "NESTED_LOOP"): "broadcast SMALL query set vs corpus — linear, documented",
     ("sim_ann_lsh", "NESTED_LOOP"): "broadcast query band signatures (small query set)",
     ("sim_pq_topk", "NESTED_LOOP"): "broadcast query LUTs (small query set)",
+    ("sim_mmr_rerank", "NESTED_LOOP"):
+        "candidate stage = broadcast SMALL query set vs corpus (same shape as "
+        "sim_topk_per_query); greedy stage bounded at n_candidates per query",
     ("dedup_embedding_cosine", "NESTED_LOOP"): "bucketed candidates; BNLJ side is broadcast-bounded",
     ("kmeans_clusters", "NESTED_LOOP"): "broadcast k centroids",
     ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",

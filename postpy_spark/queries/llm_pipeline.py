@@ -353,6 +353,52 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_distinct(
+            list_transform(range(GREATEST(LEN({_NORM_SQL}) - 4, 1)),
+                           i -> {_NORM_SQL}[i+1:i+5])) AS grams
+        FROM documents WHERE doc_id < 80
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / LEN(a.grams), 6) AS containment
+    FROM t a JOIN t b ON a.doc_id <> b.doc_id
+    WHERE CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / LEN(a.grams) >= 0.6
+    """,
+    group="D",
+)
+def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL n-gram containment C(A→B) = |S(A)∩S(B)| / |S(A)|: the
+    sub-document duplication detector (doc A quoted/embedded inside doc B
+    scores ~1 even when Jaccard is low because B is much larger) —
+    the asymmetric complement of `dedup_ngram_jaccard`.  Exact bounded
+    formulation, sql-checked; the scale path is MinHash-banded candidate
+    generation (operators/dedup.py) followed by this exact verify on
+    candidates only, identical to the Jaccard pipeline's structure."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    norm = dedup.normalize_text(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(norm) - 5, F.lit(0))),
+            lambda i: F.substring(norm, i + 1, 5),
+        )
+    )
+    t = d.select("doc_id", grams.alias("grams"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    cont = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size("ga")
+    return (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .withColumn("containment", cont)
+        .filter(F.col("containment") >= 0.6)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

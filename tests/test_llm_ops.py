@@ -834,3 +834,42 @@ def test_mmr_increases_diversity(spark, embeddings):
         max_pair(by_q_mmr[qid]) > max_pair(by_q_top[qid]) + 1e-9 for qid in by_q_mmr
     )
     assert worse == 0, "MMR set tighter than plain top-k set"
+
+
+def test_containment_is_asymmetric_for_subdocument(spark):
+    """A short doc fully quoted inside a long doc: C(short→long) ≈ 1 while
+    Jaccard stays low — the case symmetric dedup misses by design."""
+    from postpy_spark.queries.llm_pipeline import dedup_containment_q
+    import postpy_spark.queries.llm_pipeline as lp
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated content here")],
+        "doc_id bigint, text string",
+    )
+    norm = dedup.normalize_text(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(norm) - 5, F.lit(0))),
+            lambda i: F.substring(norm, i + 1, 5),
+        )
+    )
+    t = docs.select("doc_id", grams.alias("grams"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    both = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("ga", "gb")).cast("double") / F.size("ga"))
+            .alias("containment"),
+            (F.size(F.array_intersect("ga", "gb")).cast("double")
+             / F.size(F.array_union("ga", "gb"))).alias("jaccard"),
+        )
+        .collect()
+    )
+    m = {(r.id_a, r.id_b): r for r in both}
+    assert m[(1, 2)].containment > 0.95          # short is inside long
+    assert m[(2, 1)].containment < 0.5           # long is NOT inside short
+    assert m[(1, 2)].jaccard < 0.5               # symmetric metric misses it

@@ -58,6 +58,9 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("join_cross", "NESTED_LOOP"): "the op IS a cross join over two broadcast-small dims",
     ("sim_cosine_pairs", "NESTED_LOOP"): "documented O(n²) verification oracle, never the scale path",
     ("dedup_ngram_jaccard", "NESTED_LOOP"): "documented exact-Jaccard oracle over capped candidates",
+    ("dedup_containment", "NESTED_LOOP"):
+        "documented exact-containment oracle over capped candidates; scale "
+        "path = MinHash-banded candidates then this verify",
     ("sim_topk_per_query", "NESTED_LOOP"): "broadcast SMALL query set vs corpus — linear, documented",
     ("sim_ann_lsh", "NESTED_LOOP"): "broadcast query band signatures (small query set)",
     ("sim_pq_topk", "NESTED_LOOP"): "broadcast query LUTs (small query set)",

@@ -1602,3 +1602,78 @@ def tpch_q20_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               MAX(CASE WHEN new_s = 1 THEN event_type END) AS channel,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+                             ELSE 0 END) AS BIGINT) AS purchase_cents,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS has_purchase
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT channel,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(has_purchase) AS BIGINT) AS sessions_with_purchase,
+           CAST(SUM(purchase_cents) AS BIGINT) AS attributed_cents
+    FROM per_session GROUP BY channel
+    """,
+    group="B4",
+)
+def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch marketing attribution: sessionize each user's events at
+    a 30-minute gap, credit every session's purchase revenue to the
+    session's FIRST event type (the acquisition channel).  The channel is
+    recovered WITHOUT a second window: the session-opening row is exactly
+    the row whose gap flag is 1, so one lag window (per user) + two hash
+    aggregates cover it.  Revenue is exact integer cents on both sides
+    (the float-sum-order / HUGEINT landmines).  Gap rule is strict '>' —
+    an event at exactly prev+30min continues the session."""
+    gap_us = 30 * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.lag(t_us).over(w).isNull()
+            | ((t_us - F.lag(t_us).over(w)) > gap_us),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_s").over(ws))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("new_s") == 1, F.col("event_type"))).alias("channel"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0)
+        ).alias("purchase_cents"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    return per_session.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_purchase").cast("long").alias("sessions_with_purchase"),
+        F.sum("purchase_cents").cast("long").alias("attributed_cents"),
+    )

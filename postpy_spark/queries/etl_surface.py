@@ -32,7 +32,7 @@ WORK_ROOT = "/tmp/postpy_spark_work"
 #: safe for the stale sweep to reclaim.  New pid-keyed dirs MUST be created
 #: via _pid_dir(), which enforces membership here — that keeps the sweep from
 #: ever matching an unrelated numeric-suffixed name (e.g. "stage_2024").
-PID_DIR_PREFIXES = ("derby", "vt_demo", "orders_evo", "binfiles")
+PID_DIR_PREFIXES = ("derby", "vt_demo", "orders_evo", "binfiles", "orders_compact")
 
 _swept = False
 
@@ -961,4 +961,40 @@ def scan_binaryfile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("digest"),
+    )
+
+
+@query(
+    "etl_compact_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders GROUP BY 1
+    """,
+    group="A",
+)
+def etl_compact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip (OPTIMIZE/compaction analog): orders
+    fragmented into 64 tiny files, compacted by etl.compact_parquet (sized
+    by a recursive data-file listing, atomic staging swap), then aggregated
+    from the compacted copy — values must be lossless.  File-count
+    mechanics are pinned in tests/test_etl_unit.py; this query gates the
+    DATA integrity of the rewrite.  Compaction must actually shrink the
+    file count or the query fails loud rather than certifying a no-op."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _workdir(sf_dir, _pid_dir("orders_compact"))
+    shutil.rmtree(path, ignore_errors=True)
+    o.repartition(64).write.parquet(path)
+    stats = etl.compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    if stats["files_after"] >= stats["files_before"]:
+        raise RuntimeError(f"compaction did not reduce files: {stats}")
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
     )

@@ -672,3 +672,131 @@ def mg_candidates(toks: DataFrame, capacity: int) -> DataFrame:
         yield pd.DataFrame({"w": counters.index.astype(str)})
 
     return toks.mapInPandas(mg_sketch, "w STRING").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Directional containment at scale: prefix-filter candidates + exact verify
+# ---------------------------------------------------------------------------
+
+
+def containment_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_posting: int | None = 4096,
+    stats: dict | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Directional containment candidates via PREFIX FILTERING (the
+    set-similarity-join bound of Chaudhuri/Ganti/Kaushik, ICDE'06):
+    if C(A→B) = |S(A)∩S(B)|/|S(A)| ≥ t then B must contain at least one of
+    A's ⌊(1-t)·|A|⌋+1 RAREST shingles — so probing the inverted index with
+    only that prefix finds every qualifying pair, at a candidate volume
+    ∝ prefix size × posting-list length instead of |corpus|².
+
+    Scale mechanics: one groupBy computes global shingle document
+    frequencies; one window (partitioned per doc, frame bounded by the
+    doc's shingle count) ranks each doc's shingles by (df, shingle) and
+    keeps the prefix; the probe side joins the full inverted index on the
+    shingle hash — an equi-join, never a cross product.  Shingles with
+    df > ``max_posting`` are dropped from BOTH sides (the stop-gram cap —
+    same bounded-recall compromise as the LSH hot-bucket cap); the count
+    of dropped postings and of docs whose ENTIRE prefix was stopped (the
+    only docs that can lose recall) is reported via ``stats``.
+
+    Returns directional (id_src, id_dst): id_src is the potentially
+    CONTAINED doc.  Exactness: with no stop-gram drops the candidate set
+    provably includes every pair with C ≥ t (pinned in tests).
+    """
+    sh = shingles if shingles is not None else shingled(df, id_col, text_col, k)
+    grams = sh.select(F.col(id_col).alias("_id"), F.explode("_sh").alias("gram"))
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("_df"))
+    if max_posting is not None:
+        if stats is not None:
+            hot = dfreq.filter(F.col("_df") > max_posting).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("_df").alias("postings")
+            ).collect()[0]
+            stats["stop_grams"] = int(hot.n or 0)
+            stats["stopped_postings"] = int(hot.postings or 0)
+        dfreq = dfreq.filter(F.col("_df") <= max_posting)
+    # inner join drops stop-grams from the index side too
+    indexed = grams.join(dfreq, "gram")
+
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("gram").asc())
+    prefix = (
+        indexed.withColumn("_rank", F.row_number().over(w))
+        # |A| must count ALL grams (incl. stopped ones) for a sound prefix
+        # size — join the true size from the shingle sets
+        .join(
+            sh.select(F.col(id_col).alias("_id"), F.size("_sh").alias("_n")),
+            "_id",
+        )
+        .filter(F.col("_rank") <= F.floor((1 - threshold) * F.col("_n")) + 1)
+    )
+    if stats is not None:
+        # docs whose surviving prefix is SHORTER than ⌊(1-t)n⌋+1 may lose
+        # recall (some of their prefix grams were stopped)
+        short = (
+            prefix.groupBy("_id", "_n").agg(F.count(F.lit(1)).alias("kept"))
+            .filter(F.col("kept") < F.floor((1 - threshold) * F.col("_n")) + 1)
+            .count()
+        )
+        full = sh.count()
+        have = prefix.select("_id").distinct().count()
+        stats["docs_prefix_truncated"] = int(short + (full - have))
+    cand = (
+        prefix.select(F.col("_id").alias("id_src"), "gram")
+        .join(indexed.select(F.col("_id").alias("id_dst"), "gram"), "gram")
+        .filter(F.col("id_src") != F.col("id_dst"))
+        .select("id_src", "id_dst")
+        .distinct()
+    )
+    return cand
+
+
+def containment_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact directional containment on candidate pairs only:
+    C(src→dst) = |S(src)∩S(dst)| / |S(src)| ≥ threshold."""
+    sh = shingles if shingles is not None else shingled(docs, id_col, text_col, k)
+    a = sh.select(F.col(id_col).alias("id_src"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_dst"), F.col("_sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_src")
+        .join(b, "id_dst")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_src", "id_dst", F.round("containment", 6).alias("containment"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_posting: int | None = 4096,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Prefix-filter candidates → exact verify: every directional pair with
+    C(src→dst) ≥ threshold (exact recall while no stop-gram truncation —
+    see containment_candidates)."""
+    _advance_generation()
+    sh = _persist_tracked(shingled(df, id_col, text_col, k))
+    cand = containment_candidates(
+        df, id_col, text_col, k, threshold, max_posting, stats, shingles=sh
+    )
+    return containment_verify(cand, df, id_col, text_col, k, threshold, shingles=sh)

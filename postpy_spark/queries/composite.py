@@ -1677,3 +1677,58 @@ def events_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("has_purchase").cast("long").alias("sessions_with_purchase"),
         F.sum("purchase_cents").cast("long").alias("attributed_cents"),
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+               value, ts, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM b
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n
+    FROM r GROUP BY 1, 2
+    """,
+    group="B4",
+)
+def ts_resample_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream into daily OHLC bars per event type (the
+    financial resample).  Spark side needs NO window: open/close are
+    `min_by`/`max_by` on a (ts, event_id) struct key inside ONE hash
+    aggregate — partial aggregation map-side, a single shuffle on the
+    bar key, scale-safe under skew.  The oracle spells the same semantics
+    with row_number because DuckDB's arg_min is single-key; the
+    (ts, event_id) tiebreak makes first/last deterministic in both.
+    Values pass through unrounded — singletons and min/max are bit-stable
+    across engines (no float-sum-order hazard)."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "value", "ts", "event_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -399,6 +399,19 @@ def dedup_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_containment_scaled", oracle=None, group="D")
+def dedup_containment_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for directional containment: prefix-filter candidate
+    generation (each doc probes the inverted index with only its
+    ⌊(1-t)·n⌋+1 rarest shingles — Chaudhuri et al. ICDE'06) + exact verify
+    on candidates.  Candidate volume ∝ prefix × posting length, never
+    |corpus|²; stop-gram cap bounds hot postings with recall accounting.
+    Pytest pins EXACT equality vs the O(n²) ground truth at sf0.001 when
+    nothing is truncated (tests/test_llm_ops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, k=5, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

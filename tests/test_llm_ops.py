@@ -873,3 +873,56 @@ def test_containment_is_asymmetric_for_subdocument(spark):
     assert m[(1, 2)].containment > 0.95          # short is inside long
     assert m[(2, 1)].containment < 0.5           # long is NOT inside short
     assert m[(1, 2)].jaccard < 0.5               # symmetric metric misses it
+
+
+def exact_containment_pairs(docs, threshold, k=5):
+    """O(n²) directional containment ground truth (sf0.001 only)."""
+    sh = dedup.shingled(docs, k=k)
+    a = sh.select(F.col("doc_id").alias("id_src"), F.col("_sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_dst"), F.col("_sh").alias("sb"))
+    return (
+        a.join(b, F.col("id_src") != F.col("id_dst"))
+        .withColumn(
+            "containment",
+            F.round(F.size(F.array_intersect("sa", "sb")) / F.size("sa"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_src", "id_dst", "containment")
+    )
+
+
+def test_containment_prefix_filter_is_exact_when_untruncated(spark, docs):
+    """With no stop-gram truncation the prefix filter is a BOUND, not a
+    heuristic: candidates ⊇ all qualifying pairs, so verify output must
+    EQUAL the O(n²) ground truth — values included."""
+    stats = {}
+    got = {
+        (r.id_src, r.id_dst, r.containment)
+        for r in dedup.containment_pairs(
+            docs, threshold=0.8, max_posting=10**9, stats=stats
+        ).collect()
+    }
+    want = {
+        (r.id_src, r.id_dst, r.containment)
+        for r in exact_containment_pairs(docs, 0.8).collect()
+    }
+    assert stats["stop_grams"] == 0 and stats["docs_prefix_truncated"] == 0
+    assert got == want and len(want) > 0
+
+
+def test_containment_stop_gram_cap_reports_and_bounds(spark, docs):
+    """An aggressive posting cap must (a) report what it dropped, and (b)
+    never produce a FALSE pair — output stays a subset of ground truth."""
+    stats = {}
+    got = {
+        (r.id_src, r.id_dst)
+        for r in dedup.containment_pairs(
+            docs, threshold=0.8, max_posting=1, stats=stats
+        ).collect()
+    }
+    want = {
+        (r.id_src, r.id_dst)
+        for r in exact_containment_pairs(docs, 0.8).collect()
+    }
+    assert stats["stop_grams"] > 0          # df>1 shingles exist (dup docs)
+    assert got <= want                      # precision survives any cap

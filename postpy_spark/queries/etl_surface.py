@@ -998,3 +998,31 @@ def etl_compact_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_quantity > 40
+    GROUP BY l_returnflag
+    """,
+    group="A",
+)
+def sql_pipe_syntax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax (`FROM t |> WHERE … |> AGGREGATE …`): the
+    linear query-authoring surface SQL:2023-era engines are converging on.
+    Same logical plan as the classic formulation — Catalyst canonicalizes
+    both — so the DuckDB oracle is ordinary ANSI SQL."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_pp_pipe_l")
+    return spark.sql(
+        """
+        FROM _pp_pipe_l
+        |> WHERE l_quantity > 40
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+           GROUP BY l_returnflag
+        """
+    )

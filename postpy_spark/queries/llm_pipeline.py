@@ -1650,3 +1650,103 @@ def text_chunk_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+@query(
+    "docs_split_assign",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, n_chars, lang,
+               substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+        FROM documents
+    ),
+    s AS (
+        SELECT *,
+               CASE WHEN hx < 'cccc' THEN 'train'
+                    WHEN hx < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM s GROUP BY split
+    """,
+    group="D",
+)
+def docs_split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by salted MD5 of
+    the stable doc id — reproducible across engines, partitionings, and
+    re-runs (the property rand()-splits lack), so membership is auditable
+    and incremental ingest keeps old docs in their split.  Boundaries are
+    LEXICOGRAPHIC on the hex prefix ('cccc' = 52428/65536 ≈ 80.0%), which
+    both engines compare identically — no hex→int conversion needed.
+    Pure projection + one aggregate; no shuffle before the groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.concat(F.lit("split-v1:"), F.col("doc_id").cast("string"))), 1, 4)
+    split = (
+        F.when(hx < "cccc", "train").when(hx < "e666", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "embed_matryoshka",
+    oracle="""
+    WITH per AS (
+        SELECT vec_id, d.dim,
+               CAST(ROUND(
+                   SQRT(list_sum(list_transform(embedding[1:d.dim],
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   / SQRT(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * 1000000) AS BIGINT) AS cos_e6
+        FROM embeddings, (VALUES (8), (16), (32), (64)) d(dim)
+    )
+    SELECT dim, COUNT(*) AS n,
+           ROUND(CAST(SUM(cos_e6) AS BIGINT) / (COUNT(*) * 1000000.0), 6)
+             AS avg_cos,
+           ROUND(MIN(cos_e6) / 1000000.0, 6) AS min_cos
+    FROM per GROUP BY dim
+    """,
+    group="D",
+)
+def embed_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al., NeurIPS'22): how much
+    of each embedding survives truncation to the first m dims.
+    cos(full, truncate-m) = ‖v[:m]‖/‖v‖, computed per row JVM-side, then
+    fixed-point 1e6 BIGINT per row so the corpus average is an EXACT
+    integer sum (immune to float summation order — the cross-engine
+    landmine); one explode of 4 dims, one aggregate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = F.array(*[F.lit(d) for d in (8, 16, 32, 64)])
+    full_n = similarity.norm_expr(F.col("embedding"))
+    per = e.select(
+        "vec_id",
+        F.explode(dims).alias("dim"),
+        F.col("embedding").alias("emb"),
+        full_n.alias("fn"),
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(
+            similarity.norm_expr(F.slice(F.col("emb"), 1, F.col("dim"))) / F.col("fn")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("cos_e6"),
+    )
+    return per.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("cos_e6").cast("long") / (F.count(F.lit(1)) * 1_000_000.0), 6)
+        .alias("avg_cos"),
+        F.round(F.min("cos_e6") / 1_000_000.0, 6).alias("min_cos"),
+    )

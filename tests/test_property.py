@@ -123,3 +123,49 @@ def test_asof_bucketed_equals_plain_property(spark, left, right, width):
     plain = sorted(map(tuple, asof_join(l, r, **kw).collect()))
     bucketed = sorted(map(tuple, asof_join(l, r, bucket_width=width, **kw).collect()))
     assert plain == bucketed
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=10
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=10
+    ),
+    tol=st.sampled_from([None, 50, 200]),
+)
+@SLOW
+def test_asof_nearest_matches_pandas(spark, left, right, tol):
+    """asof_nearest_join ≡ pandas.merge_asof(direction='nearest') on random
+    key/time sets, including the tolerance bound and the backward tie-break
+    (pandas also resolves equidistant matches backward)."""
+    from postpy_spark.operators.asof import asof_nearest_join
+
+    lrows = [Row(k=k, t=s, lid=i) for i, (k, s) in enumerate(left)]
+    seen = set()
+    rrows = []
+    for k, s in right:
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        rrows.append(Row(k=k, rt=s, rv=s))
+    l = spark.createDataFrame(lrows)
+    r = spark.createDataFrame(rrows)
+    got = {
+        row.lid: row.rv
+        for row in asof_nearest_join(
+            l, r, left_on="k", right_on="k", left_time="t", right_time="rt",
+            right_cols=["rv"], tolerance=tol,
+        ).collect()
+    }
+    lp = pd.DataFrame([(x.k, x.t, x.lid) for x in lrows],
+                      columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame([(x.k, x.rt, x.rv) for x in rrows],
+                      columns=["k", "rt", "rv"]).sort_values("rt", kind="stable")
+    ref = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k", direction="nearest",
+        tolerance=tol,
+    )
+    for _, row in ref.iterrows():
+        expect = None if pd.isna(row["rv"]) else int(row["rv"])
+        assert got[row["lid"]] == expect, (row["lid"], got[row["lid"]], expect)

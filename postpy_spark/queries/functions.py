@@ -746,3 +746,27 @@ def fn_collation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.col("cseg")).cast("string").alias("segment"), "n", "total_bal"
         )
     )
+
+
+@query(
+    "fn_generator_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT)
+             AS pos,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id < 20
+    """,
+    group="B6",
+)
+def fn_generator_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator surface: positional explode (LATERAL VIEW posexplode /
+    UNNEST WITH ORDINALITY).  One narrow generate node — rows fan out
+    inside the stage, no shuffle; the 0-based position column is the
+    contract (DuckDB's generate_subscripts is 1-based, adjusted in the
+    oracle)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    out = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    return out.withColumn("pos", F.col("pos").cast("bigint"))

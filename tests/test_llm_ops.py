@@ -689,6 +689,12 @@ def test_dedup_cache_generations_do_not_grow(spark, docs):
     release_dedup_cache() drains everything."""
     jsc = spark.sparkContext._jsc
     dedup.release_dedup_cache()
+    # materialize the module-scoped docs cache BEFORE the baseline: its
+    # persisted RDD registers on first action, and letting that happen
+    # inside the pipeline calls below would shift the baseline mid-test
+    # (the test then fails standalone / under any test ordering where an
+    # earlier test didn't already touch docs)
+    docs.count()
     n0 = jsc.getPersistentRDDs().size()
     dedup.minhash_dedup_pairs(docs, threshold=0.6).count()
     n1 = jsc.getPersistentRDDs().size()

@@ -538,3 +538,56 @@ def test_bitmap_intersect_pairs_are_broadcast(spark):
     word_id.  A missing broadcast would shuffle the words frame 3x."""
     plan = executed_plan(spark, "agg_bitmap_intersect")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_ohlc_is_window_free_single_agg(spark):
+    """ts_resample_ohlc: open/close via min_by/max_by inside one hash
+    aggregate — a Window or a second join here would betray the design."""
+    plan = executed_plan(spark, "ts_resample_ohlc")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final
+    assert "Join" not in final, final
+    # two-phase hash agg over ONE exchange
+    assert final.count("Exchange hashpartitioning") == 1, final
+
+
+def test_attribution_single_window(spark):
+    """events_attribution: the lag flag and the running session-id sum are
+    different frames over the SAME per-user partitioning+sort — they may
+    print as stacked Window nodes but must share one sort and one
+    exchange, and channel recovery must not add a join or a second
+    window stage."""
+    plan = executed_plan(spark, "events_attribution")
+    final = plan.split("== Initial Plan ==")[0]
+    # exactly two exchanges: user_id (window) and channel (final agg); the
+    # per-(user, session) aggregate must reuse the window's partitioning
+    # (Catalyst picks SortAggregate with an in-partition sort — no shuffle)
+    assert final.count("Exchange hashpartitioning") == 2, final
+    assert "Join" not in final, final
+
+
+def test_split_assign_no_preagg_shuffle(spark):
+    """docs_split_assign: pure projection into one aggregate — exactly one
+    exchange (the groupBy), nothing upstream of it."""
+    plan = executed_plan(spark, "docs_split_assign")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2, final  # agg + distinct-lang expand
+    assert "Join" not in final and "Window" not in final, final
+
+
+def test_generator_explode_is_narrow(spark):
+    """fn_generator_explode: a Generate node, zero exchanges — the fan-out
+    happens inside the stage."""
+    plan = executed_plan(spark, "fn_generator_explode")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Generate" in final, final
+    assert "Exchange" not in final, final
+
+
+def test_asof_nearest_join_free_plan(spark):
+    """join_asof_nearest (registered query): union+dual-frame window — no
+    join node, one sort."""
+    plan = executed_plan(spark, "join_asof_nearest")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final, final
+    assert len(re.findall(r"\bSort \[", final)) == 1, final

@@ -1732,3 +1732,76 @@ def ts_resample_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "win_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_types_seen
+    FROM events
+    """,
+    group="B4",
+)
+def win_running_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — the aggregate Spark's window
+    functions don't support directly.  For a bounded domain (5 event
+    types) the right rewrite is size(collect_set) over the running frame:
+    one window, one shuffle, per-row state capped at |domain|.  For
+    high-cardinality domains use the two-window first-seen-flag form
+    (row_number=1 per (key,value) → running sum) — same result, state-free,
+    at the cost of a second shuffle.  DuckDB runs the native DISTINCT
+    window as the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types_seen"),
+    )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    d AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+    SELECT d.day, d.dau,
+           (SELECT COUNT(DISTINCT u2.user_id) FROM ud u2
+            WHERE u2.day BETWEEN d.day - 6 AND d.day) AS wau
+    FROM d
+    """,
+    group="B4",
+)
+def events_dau_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily/weekly active users — the rolling-distinct aggregate.  A
+    distinct count is not sum-decomposable, so a rolling window can't
+    reuse daily partials; instead MANUFACTURE the frame: each (user, day)
+    pair is exploded to the 7 target days it contributes to, and WAU is a
+    plain count-distinct per target day.  Explode factor = window length
+    (bounded, chosen), shuffles stay key-partitioned, no correlated
+    scan per day — that per-day rescan is exactly what the oracle's
+    subquery does and what doesn't scale."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")

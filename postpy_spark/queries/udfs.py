@@ -338,3 +338,48 @@ def udaf_pandas_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(mean_udaf(F.col("o_totalprice")).over(w), 4).alias("avg3"),
     )
+
+
+@query(
+    "udtf_python_analyze",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS tok0,
+           string_split(text, ' ')[2] AS tok1,
+           string_split(text, ' ')[3] AS tok2
+    FROM documents WHERE doc_id < 50
+    """,
+    group="E",
+)
+def udtf_python_analyze_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()`): the output schema is
+    computed AT PLAN TIME from the call's literal argument — here
+    `first_tokens(text, 3)` resolves to columns tok0..tok2 before any data
+    moves, so downstream plans/pruning see real column names instead of a
+    generic array.  The static-schema variant is udtf_python; same
+    row-at-a-time surface caveat applies (bounded input, whitelisted)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text_arg, n_arg):  # noqa: ANN001, ANN205
+            n = n_arg.value
+            schema = StructType()
+            for i in range(n):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):  # noqa: ANN001
+            toks = (text or "").split(" ")
+            row = tuple(toks[i] if i < len(toks) else None for i in range(n))
+            yield row
+
+    spark.udtf.register("pp_first_tokens", udtf(FirstTokens))
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_pp_udtf_poly_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.tok0, s.tok1, s.tok2 "
+        "FROM _pp_udtf_poly_docs d, LATERAL pp_first_tokens(d.text, 3) s"
+    )

@@ -688,6 +688,8 @@ def containment_candidates(
     max_posting: int | None = 4096,
     stats: dict | None = None,
     shingles: DataFrame | None = None,
+    probe_ids: DataFrame | None = None,
+    index_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Directional containment candidates via PREFIX FILTERING (the
     set-similarity-join bound of Chaudhuri/Ganti/Kaushik, ICDE'06):
@@ -746,9 +748,20 @@ def containment_candidates(
         full = sh.count()
         have = prefix.select("_id").distinct().count()
         stats["docs_prefix_truncated"] = int(short + (full - have))
+    probe = prefix.select(F.col("_id").alias("id_src"), "gram")
+    index = indexed.select(F.col("_id").alias("id_dst"), "gram")
+    if probe_ids is not None:
+        probe = probe.join(
+            F.broadcast(probe_ids.select(F.col(probe_ids.columns[0]).alias("id_src"))),
+            "id_src", "semi",
+        )
+    if index_ids is not None:
+        index = index.join(
+            F.broadcast(index_ids.select(F.col(index_ids.columns[0]).alias("id_dst"))),
+            "id_dst", "semi",
+        )
     cand = (
-        prefix.select(F.col("_id").alias("id_src"), "gram")
-        .join(indexed.select(F.col("_id").alias("id_dst"), "gram"), "gram")
+        probe.join(index, "gram")
         .filter(F.col("id_src") != F.col("id_dst"))
         .select("id_src", "id_dst")
         .distinct()
@@ -800,3 +813,47 @@ def containment_pairs(
         df, id_col, text_col, k, threshold, max_posting, stats, shingles=sh
     )
     return containment_verify(cand, df, id_col, text_col, k, threshold, shingles=sh)
+
+
+def containment_pairs_incremental(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_posting: int | None = 4096,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Incremental directional containment: every pair with C(src→dst) ≥
+    threshold where AT LEAST ONE side is in ``new_docs`` — never old×old
+    (those pairs were reported when the old batches arrived; re-deriving
+    them is the quadratic-over-history cost this avoids, mirroring
+    minhash_dedup_pairs_incremental).
+
+    Two prefix-filter probe passes share one shingle/df frame:
+    (a) new-prefixes × FULL index (new doc contained in anything, or
+    containing anything) and (b) old-prefixes × NEW-ONLY index (old doc
+    contained in a newly-arrived superset doc).  Pass (b)'s index holds
+    only the new batch, so its candidate volume ∝ collisions WITH the
+    batch, not with history.  Prefix soundness does not depend on df snapshot choice: the
+    bound holds for ANY fixed ⌊(1-t)n⌋+1-subset of a doc's shingles, df
+    ordering only shrinks posting lists.
+    """
+    _advance_generation()
+    old_dt = old_docs.select(F.col(id_col), F.col(text_col))
+    new_dt = new_docs.select(F.col(id_col), F.col(text_col))
+    full = old_dt.unionByName(new_dt)
+    sh = _persist_tracked(shingled(full, id_col, text_col, k))
+    new_ids = new_dt.select(id_col)
+    old_ids = old_dt.select(id_col)
+    cand_new_src = containment_candidates(
+        full, id_col, text_col, k, threshold, max_posting, stats,
+        shingles=sh, probe_ids=new_ids,
+    )
+    cand_old_src = containment_candidates(
+        full, id_col, text_col, k, threshold, max_posting, None,
+        shingles=sh, probe_ids=old_ids, index_ids=new_ids,
+    )
+    cand = cand_new_src.unionByName(cand_old_src).distinct()
+    return containment_verify(cand, full, id_col, text_col, k, threshold, shingles=sh)

@@ -412,6 +412,19 @@ def dedup_containment_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.containment_pairs(d, k=5, threshold=0.8)
 
 
+@query("dedup_containment_incremental", oracle=None, group="D")
+def dedup_containment_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental containment for daily ingest: directional pairs with at
+    least one side in the new batch (doc_id % 5 == 0 plays the batch),
+    never old×old — pass (b)'s inverted index holds ONLY the new batch, so
+    history contributes probes, not postings.  Pytest pins equivalence to
+    the full pipeline restricted to new-sided pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    return dedup.containment_pairs_incremental(old, new, k=5, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -932,3 +932,26 @@ def test_containment_stop_gram_cap_reports_and_bounds(spark, docs):
     }
     assert stats["stop_grams"] > 0          # df>1 shingles exist (dup docs)
     assert got <= want                      # precision survives any cap
+
+
+def test_incremental_containment_equals_full_restricted(spark, docs):
+    """Incremental containment ≡ full containment restricted to pairs with
+    a new side, and emits NO old×old pair."""
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    inc = {
+        (r.id_src, r.id_dst, r.containment)
+        for r in dedup.containment_pairs_incremental(
+            old, new, threshold=0.8, max_posting=10**9
+        ).collect()
+    }
+    full = {
+        (r.id_src, r.id_dst, r.containment)
+        for r in dedup.containment_pairs(
+            docs, threshold=0.8, max_posting=10**9
+        ).collect()
+    }
+    want = {t for t in full if t[0] in new_ids or t[1] in new_ids}
+    assert inc == want and len(want) > 0
+    assert all(t[0] in new_ids or t[1] in new_ids for t in inc)

@@ -1805,3 +1805,91 @@ def events_dau_wau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
     dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    ),
+    seqs AS (
+        SELECT user_id, sid, list(event_type ORDER BY ts, event_id) AS seq
+        FROM s GROUP BY 1, 2
+    ),
+    paths AS (
+        SELECT seq[i+1] || '>' || seq[i+2] || '>' || seq[i+3] AS path
+        FROM seqs, UNNEST(range(LEN(seq) - 2)) u(i)
+        WHERE LEN(seq) >= 3
+    ),
+    c AS (SELECT path, COUNT(*) AS n FROM paths GROUP BY 1),
+    r AS (
+        SELECT path, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS BIGINT) AS rank
+        FROM c
+    )
+    SELECT path, n, rank FROM r WHERE rank <= 10
+    """,
+    group="B4",
+)
+def events_top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step behavior paths within sessions (the product-analytics
+    'common journeys' query): 30-min sessionization → per-session ordered
+    type sequence (one array_sort on a collected struct — the ordering
+    rides INSIDE the aggregate, no extra window) → sliding 3-grams via a
+    transform() HOF (narrow) → count.  The final rank window runs over
+    ≤ |event_types|³ aggregated rows (125 here) — bounded, whitelisted.
+    Ties rank deterministically by path string on both engines."""
+    gap_us = 30 * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag(t_us).over(w).isNull() | ((t_us - F.lag(t_us).over(w)) > gap_us), 1
+        ).otherwise(0).alias("new_s"),
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_s").over(ws))
+    seqs = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("ev")
+        )
+        .select(F.transform("ev", lambda x: x["event_type"]).alias("seq"))
+        .filter(F.size("seq") >= 3)
+    )
+    seq = F.col("seq")
+    paths = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("seq") - 2),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at(seq, i),
+                    F.element_at(seq, i + 1),
+                    F.element_at(seq, i + 2),
+                ),
+            )
+        ).alias("path")
+    )
+    c = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        c.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

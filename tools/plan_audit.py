@@ -76,6 +76,8 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("win_ntile_pctrank", "UNPARTITIONED_WIN"):
         "the CONTRACT op documents the naive global window; the distributed "
         "variant is win_ntile_distributed",
+    ("events_top_paths", "UNPARTITIONED_WIN"):
+        "rank over aggregated path counts: <= |event_types|^3 = 125 rows",
     ("text_heavy_hitters", "UNPARTITIONED_WIN"):
         "rank over MG candidates: <= partitions x capacity rows (test-pinned)",
     ("text_tokenize_tf", "UNPARTITIONED_WIN"):

@@ -1763,3 +1763,63 @@ def embed_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_cos"),
         F.round(F.min("cos_e6") / 1_000_000.0, 6).alias("min_cos"),
     )
+
+
+@query(
+    "sim_topk_filtered",
+    oracle=_DOT_CTE.format(where="", cmp="<>")
+    + """
+    , scored AS (
+        SELECT d.id_a AS query_id, d.id_b AS cand_id,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.id_a
+        JOIN norms nb ON nb.vec_id = d.id_b
+        JOIN embeddings qa ON qa.vec_id = d.id_a
+        JOIN embeddings cb ON cb.vec_id = d.id_b
+        WHERE d.id_a < 8 AND qa.label = cb.label
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, cand_id) AS BIGINT)
+                 AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    group="D",
+)
+def sim_topk_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-5 neighbors restricted to candidates
+    sharing the query's metadata label — the pre-filter strategy (filter
+    carried INTO the score join, so non-matching candidates are never
+    scored), which is exact and the right call whenever the filter is
+    selective; post-filtering an unfiltered ANN top-k under-fills instead.
+    The label equi-key joins the broadcast query set to the corpus, cosine
+    is JVM-side, one window ranks per query."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        "label",
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("qlabel") == F.col("label")) & (F.col("query_id") != F.col("cand_id")),
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(similarity.cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 5
+    )

@@ -107,12 +107,12 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # attestation per slot), rows-only tail last.
     # re-attest after this round's fixes (3)
     "agg_decimal_exact", "dedup_semantic", "scan_text",
-    # new in round 7, sql-checked (25)
+    # new in round 7, sql-checked (26)
     "join_asof_nearest", "dedup_containment", "events_attribution",
     "etl_compact_roundtrip", "ts_resample_ohlc", "docs_split_assign",
     "embed_matryoshka", "sql_pipe_syntax", "fn_generator_explode",
     "win_running_distinct", "events_dau_wau", "udtf_python_analyze",
-    "events_top_paths",
+    "events_top_paths", "sim_topk_filtered",
     "join_interval_overlap", "dedup_repeated_spans", "agg_bitmap_intersect",
     "sample_topk_hash_per_group", "skyline_pareto", "text_chunk_fixed",
     "events_window_funnel", "tpch_q2_shape", "tpch_q9_shape",

@@ -686,31 +686,44 @@ def test_dedup_cache_generations_do_not_grow(spark, docs):
     pipeline must keep its cache warm (plan-identical persists share one
     CacheManager entry; evicting it would force a full recompute).  The
     generation window holds ≤2 generations of distinct scratch plans and
-    release_dedup_cache() drains everything."""
+    release_dedup_cache() drains everything.
+
+    Tracks the SET of persisted-RDD ids created by THIS test rather than
+    raw counts: earlier tests unpersist scratch with ``blocking=False``,
+    so counts can shrink asynchronously mid-test and raw-count equality
+    is a suite-order-dependent flake."""
+    import time
+
     jsc = spark.sparkContext._jsc
+
+    def pids():
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
     dedup.release_dedup_cache()
     # materialize the module-scoped docs cache BEFORE the baseline: its
     # persisted RDD registers on first action, and letting that happen
     # inside the pipeline calls below would shift the baseline mid-test
-    # (the test then fails standalone / under any test ordering where an
-    # earlier test didn't already touch docs)
     docs.count()
-    n0 = jsc.getPersistentRDDs().size()
+    ids0 = pids()
     dedup.minhash_dedup_pairs(docs, threshold=0.6).count()
-    n1 = jsc.getPersistentRDDs().size()
-    assert n1 > n0, "pipeline should persist scratch frames"
+    new1 = pids() - ids0
+    assert new1, "pipeline should persist scratch frames"
     # identical re-run: no growth AND the hot plan survives (warm re-use)
     dedup.minhash_dedup_pairs(docs, threshold=0.6).count()
-    n2 = jsc.getPersistentRDDs().size()
-    assert n2 == n1, f"persisted-RDD count grew across invocations: {n1} -> {n2}"
+    new2 = pids() - ids0
+    assert new2 == new1, f"scratch RDD set changed across identical runs: {new1} -> {new2}"
     # a different pipeline adds its own scratch; prior generation kept
     dedup.simhash_near_pairs(docs, max_hamming=0).count()
-    assert jsc.getPersistentRDDs().size() <= n1 + 1
+    assert len(pids() - ids0) <= len(new1) + 1
     # two distinct-plan invocations later, the minhash generation is evicted
     dedup.simhash_near_pairs(docs.limit(50), max_hamming=0).count()
-    assert jsc.getPersistentRDDs().size() <= n1 + 1
+    assert len(pids() - ids0) <= len(new1) + 1
     dedup.release_dedup_cache()
-    assert jsc.getPersistentRDDs().size() == n0
+    # release uses blocking=False — poll for the drain instead of racing it
+    deadline = time.time() + 15
+    while pids() - ids0 and time.time() < deadline:
+        time.sleep(0.2)
+    assert not (pids() - ids0), f"scratch not drained: {pids() - ids0}"
 
 
 def test_repeated_spans_golden(spark, tmp_path):

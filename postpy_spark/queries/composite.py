@@ -1893,3 +1893,290 @@ def events_top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rank", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH ph AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               ROUND(SUM(value), 4) AS v_sum
+        FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ph GROUP BY 1),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM spans
+    ),
+    j AS (
+        SELECT g.user_id, g.h,
+               date_diff('hour', TIMESTAMP '1990-01-01 00:00:00', g.h) AS eh,
+               ph.v_sum AS v
+        FROM grid g LEFT JOIN ph ON g.user_id = ph.user_id AND g.h = ph.h
+    ),
+    ctx AS (
+        SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peh,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY h
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS neh,
+               eh
+        FROM j
+    )
+    SELECT user_id, h,
+           CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NULL THEN nv
+               WHEN nv IS NULL THEN pv
+               ELSE CAST((2 * (CAST(ROUND(pv * 10000) AS BIGINT) * (neh - eh)
+                               + CAST(ROUND(nv * 10000) AS BIGINT) * (eh - peh))
+                          + (neh - peh)) // (2 * (neh - peh)) AS DOUBLE) / 10000
+           END AS v_interp,
+           v IS NOT NULL AS observed
+    FROM ctx
+    """,
+    group="C",
+)
+def ts_interpolate_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill with LINEAR interpolation (the
+    `interpolate()` companion to ts_gapfill's LOCF): densify each user's
+    hourly series, then fill every missing hour from the straight line
+    between its nearest observed neighbours (edges clamp to the nearest
+    single neighbour).  The hour index is an epoch-hour BIGINT and the
+    interpolation runs in 1e-4 FIXED POINT (4dp neighbour values × exact
+    integer hour weights, round-half-up integer divide) — a float lerp +
+    ROUND diverges across engines on half-boundary doubles, the
+    cross-engine rounding landmine this repo documents.
+
+    Scale: grid join is a hash join on (user, hour); the four neighbour
+    lookups are two window passes (backward + forward) over the SAME
+    (user, hour) sort — Catalyst shares one Sort/Exchange for each frame
+    direction, and state per row is O(1), unlike a collect-the-series
+    approach.  Span length bounds the grid, not event count."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    ph = e.groupBy("user_id", "h").agg(F.round(F.sum("value"), 4).alias("v"))
+    spans = ph.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    anchor = F.lit("1990-01-01 00:00:00").cast("timestamp_ntz")
+    j = grid.join(ph, ["user_id", "h"], "left").withColumn(
+        "eh", F.timestamp_diff("HOUR", anchor, F.col("h"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_eh = F.when(F.col("v").isNotNull(), F.col("eh"))
+    ctx = j.select(
+        "user_id",
+        "h",
+        "v",
+        "eh",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_eh, ignorenulls=True).over(wb).alias("peh"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_eh, ignorenulls=True).over(wf).alias("neh"),
+    )
+    scaled = ctx.select(
+        "user_id",
+        "h",
+        "v",
+        (
+            F.round(F.col("pv") * 10000).cast("bigint") * (F.col("neh") - F.col("eh"))
+            + F.round(F.col("nv") * 10000).cast("bigint") * (F.col("eh") - F.col("peh"))
+        ).alias("num"),
+        (F.col("neh") - F.col("peh")).alias("den"),
+        "pv",
+        "nv",
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.expr("(2 * num + den) div (2 * den)").cast("double") / 10000
+        )
+    )
+    return scaled.select(
+        "user_id",
+        "h",
+        interp.alias("v_interp"),
+        F.col("v").isNotNull().alias("observed"),
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id,
+               list(CAST(value AS DOUBLE)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(len(vals) AS BIGINT) AS n,
+           ROUND(list_reduce(vals, (acc, x) -> acc * 0.7 + x)
+                 / ((1 - POWER(0.7, len(vals))) / 0.3), 6) AS ewma
+    FROM w
+    """,
+    group="B4",
+)
+def ts_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) per user over the
+    last 20 observations — the debiased form (pandas ewm adjust=True):
+    numerator is the fold ``acc*(1-a) + x`` over the frame in order, the
+    denominator is the closed-form geometric mass ``(1-(1-a)^n)/a``.  Both
+    engines run the IDENTICAL fold order, so the doubles agree bit-for-bit
+    before the final ROUND.
+
+    Scale: a bounded 20-row window frame — one sort per user partition and
+    O(frame) state per row; no per-user series materialization.  The fold
+    is a JVM higher-order function (aggregate), not a Python UDF."""
+    w20 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    e = load_table(spark, sf_dir, "events")
+    vals = F.collect_list(F.col("value")).over(w20)
+    out = e.select("event_id", "user_id", vals.alias("vals"))
+    num = F.aggregate(
+        F.col("vals"), F.lit(0.0), lambda acc, x: acc * F.lit(0.7) + x
+    )
+    n = F.size("vals")
+    den = (F.lit(1.0) - F.pow(F.lit(0.7), n.cast("double"))) / F.lit(0.3)
+    return out.select(
+        "event_id",
+        "user_id",
+        n.cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS t
+        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    agg AS (
+        SELECT (SELECT COUNT(*) FROM deg)                    AS n_nodes,
+               (SELECT COUNT(*) FROM e)                      AS n_edges,
+               (SELECT t FROM tri)                           AS n_triangles,
+               (SELECT SUM(d * (d - 1) / 2) FROM deg)        AS wedges
+    )
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           ROUND(3.0 * n_triangles / wedges, 6) AS global_clustering
+    FROM agg
+    """,
+    group="B2",
+)
+def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the
+    market-basket graph (parts are adjacent iff some order contains both).
+    The Spark plan uses DEGREE ORIENTATION (Chiba–Nishizeki / the
+    Suri–Vassilvitskii MapReduce scheme): every undirected edge is
+    directed from its lower (degree, id) endpoint, out-neighbour pairs are
+    enumerated per source, and a pair closes a triangle iff the oriented
+    edge between the two heads exists — out-degrees are bounded by
+    O(sqrt(m)), so the pair-enumeration join cannot blow up on a hub node
+    the way the naive u<v<w three-way self-join can.  The oracle counts
+    the same triangles with the naive canonical join (fine at oracle sf).
+
+    Scale: deg is node-sized and broadcast onto the edge list; the
+    pair-enumeration and closure joins are hash joins on (src) and
+    (head, head).  The edge list and its orientation are consumed by
+    FOUR plan subtrees (degrees, both pair sides, closure, edge count),
+    so both are materialized once with an eager ``localCheckpoint`` —
+    without it Catalyst re-derives the co-order self-join per subtree
+    (measured 8x in the physical plan).  One row out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orientation key: rank(n) = (deg, id) packed into one BIGINT
+    r = (F.col("d") * F.lit(1_000_000_000) + F.col("node")).alias("r")
+    rk = deg.select("node", r)
+    eo = (
+        e.join(broadcast(rk.withColumnRenamed("node", "u").withColumnRenamed("r", "ru")), "u")
+        .join(broadcast(rk.withColumnRenamed("node", "v").withColumnRenamed("r", "rv")), "v")
+        .select(
+            F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.greatest("ru", "rv").alias("rdst"),
+        )
+        .localCheckpoint()
+    )
+    x, y = eo.alias("x"), eo.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.src") == F.col("y.src")) & (F.col("x.rdst") < F.col("y.rdst")),
+    ).select(F.col("x.dst").alias("h1"), F.col("y.dst").alias("h2"))
+    closed = pairs.join(
+        eo.select(F.col("src").alias("h1"), F.col("dst").alias("h2")),
+        ["h1", "h2"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+    )
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(edges_n)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("wedges"), 6).alias(
+                "global_clustering"
+            ),
+        )
+    )

@@ -1026,3 +1026,58 @@ def sql_pipe_syntax_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "etl_cdc_apply",
+    oracle="""
+    WITH ch AS (
+        SELECT l_orderkey AS order_key,
+               CAST(l_linenumber AS BIGINT) * 10000000
+                   + CAST(ROUND(l_quantity * 100) AS BIGINT) AS k
+        FROM lineitem
+    ),
+    latest AS (
+        SELECT order_key, MAX(k) AS maxk, COUNT(*) AS n_changes
+        FROM ch GROUP BY order_key
+    )
+    SELECT order_key,
+           CAST(maxk % 10000000 AS DOUBLE) / 100 AS last_qty,
+           CAST(n_changes AS BIGINT)             AS n_changes
+    FROM latest WHERE (maxk // 10000000) % 7 <> 0
+    """,
+    group="A",
+)
+def etl_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → snapshot apply (Debezium-style upsert/delete
+    semantics): the lineitem table doubles as a keyed changelog
+    (key=l_orderkey, sequence=l_linenumber, every change whose latest
+    sequence lands on a multiple of 7 is a tombstone).  The snapshot is
+    "latest change per key wins; a trailing tombstone removes the key" —
+    exactly what a MERGE from a CDC feed produces, computed in ONE
+    shuffle with a single MAX (no window sort, no self-join; map-side
+    partial aggregation applies).
+
+    The synthetic feed has DUPLICATE (key, seq) pairs, so (seq, payload)
+    is packed into one BIGINT — ``seq*1e7 + cents(qty)`` — and MAX picks
+    the deterministic lexicographic latest on both engines (arg_max alone
+    would tie-break arbitrarily and diverge).
+
+    Scale: groupBy on the key with one MAX aggregate — the canonical
+    compact-the-changelog plan at any volume; skewed hot keys fall to
+    AQE skew handling like any aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = F.col("l_linenumber").cast("bigint") * F.lit(10_000_000) + F.round(
+        F.col("l_quantity") * 100
+    ).cast("bigint")
+    ch = li.select(F.col("l_orderkey").alias("order_key"), k.alias("k"))
+    latest = ch.groupBy("order_key").agg(
+        F.max("k").alias("maxk"), F.count(F.lit(1)).alias("n_changes")
+    )
+    return latest.filter(
+        (F.expr("maxk div 10000000") % 7) != 0
+    ).select(
+        "order_key",
+        ((F.col("maxk") % 10_000_000).cast("double") / 100).alias("last_qty"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )

@@ -220,3 +220,72 @@ def test_window_funnel_greedy_anchor_edges(spark, tmp_path):
         .collect()
     }
     assert got == {3: 2, 1: 1, 2: 1, 0: 1}
+
+
+def test_ts_ewma_matches_python_fold(spark):
+    """ts_ewma ≡ an independent per-user Python fold over the truncated
+    frame — validates the collect_list-over-window FRAME ORDER assumption
+    (Spark must deliver the 20-row frame in (ts, event_id) order) against
+    a reference that never touches Spark windows."""
+    from postpy_spark.queries.composite import ts_ewma_q
+
+    got = {r.event_id: (r.n, r.ewma) for r in ts_ewma_q(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    checked = 0
+    for _, g in pdf.groupby("user_id"):
+        vals = g["value"].tolist()
+        ids = g["event_id"].tolist()
+        for i in range(len(vals)):
+            window = vals[max(0, i - 19) : i + 1]
+            num = 0.0
+            for x in window:
+                num = num * 0.7 + x
+            den = (1 - 0.7 ** len(window)) / 0.3
+            n, ewma = got[ids[i]]
+            assert n == len(window)
+            assert abs(ewma - num / den) < 1e-6, (ids[i], ewma, num / den)
+            checked += 1
+    assert checked == len(got) > 0
+
+
+def test_ts_interpolate_linear_edges(spark, tmp_path):
+    """Handcrafted series: interior gap is the straight line between
+    neighbours; leading/trailing gaps clamp to the nearest single
+    neighbour; observed hours pass through untouched."""
+    rows = []
+    base = 1704067200 * 1000 * 1000  # 2024-01-01 00:00 in micros
+
+    def ev(eid, hour, value):
+        import datetime
+
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=hour),
+            7,
+            "view",
+            float(value),
+            "{}",
+        )
+
+    # observed at h0 (10.0), h3 (40.0) → h1 = 20.0, h2 = 30.0 exactly
+    rows = [ev(1, 0, 10.0), ev(2, 3, 40.0)]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from postpy_spark.registry import load_all
+
+    out = {
+        r.h.hour: (r.v_interp, r.observed)
+        for r in load_all()["ts_interpolate_linear"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        0: (10.0, True),
+        1: (20.0, False),
+        2: (30.0, False),
+        3: (40.0, True),
+    }

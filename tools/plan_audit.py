@@ -72,6 +72,9 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",
     ("dedup_semantic", "NESTED_LOOP"): "broadcast n_cells centroids (cluster assignment argmax)",
     ("join_cross", "CARTESIAN"): "the op IS a cross join (pre-filtered dims)",
+    ("graph_triangle_count", "NESTED_LOOP"):
+        "combining the three 1-row aggregate frames (node/edge/triangle "
+        "counts); every BNLJ side is exactly one row",
     # --- windows over provably bounded frames ---
     ("win_ntile_pctrank", "UNPARTITIONED_WIN"):
         "the CONTRACT op documents the naive global window; the distributed "

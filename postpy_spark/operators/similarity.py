@@ -76,6 +76,34 @@ def brute_force_topk(
     )
 
 
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact radius search: every corpus vector within cosine ``threshold``
+    of each query.  Broadcast the query set across the corpus — linear in
+    |corpus|, parallel over partitions, no window (unlike top-k there is
+    no rank, so the filter is the whole reduction).  The threshold is
+    applied to the ROUNDED cosine so boundary pairs cannot flip on
+    last-bit float noise.  Scale path for corpus×corpus radius joins is
+    the bucketed form (embedding_cosine_dedup); this is the
+    query-set-vs-corpus shape."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    return (
+        c.join(broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""Count-min sketch as a DISTRIBUTED DataFrame (SURVEY.md §2.B3 extras).
+
+The sketch is not a driver-side object: it IS a (row, bucket, cnt) frame of
+``depth × width`` counters, built with one explode + one groupBy (map-side
+partial aggregation collapses each partition to ≤ depth·width rows before
+the shuffle — the mergeable-summary pattern shared with the Misra-Gries
+heavy-hitters path in :mod:`postpy_spark.operators.dedup`).  Point
+frequency estimates are a bucket equi-join + MIN, never a driver loop.
+
+Mergeability — THE property that makes CMS useful at 100 TB (per-shard /
+per-day sketches combine by elementwise counter addition) — falls out of
+the representation: union the counter frames and re-aggregate with SUM.
+Cormode & Muthukrishnan, J. Algorithms 55(1), 2005.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: xxhash64 seed pinning the hash family; row index j is hashed in as a
+#: column so the d rows are d independent functions of the same family.
+_SEED = 42
+
+
+def _bucket(key_col, j_col, width: int):
+    return F.pmod(F.xxhash64(key_col, j_col, F.lit(_SEED)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(j, bucket, cnt): the depth×width counter matrix as a DataFrame.
+
+    One narrow explode (×depth) then one groupBy — partial aggregation
+    bounds the shuffle at depth·width rows per map task regardless of
+    input size.
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    return (
+        df.select(F.col(key_col).alias("k"), j)
+        .groupBy("j", _bucket(F.col("k"), F.col("j"), width).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Elementwise counter addition — sketch of a union of streams."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(key, est): min over the d probed counters — the classic CMS point
+    query, as a broadcast-probe equi-join on (j, bucket).  ``est`` is an
+    overestimate-never-underestimate of the true frequency."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    p = probes.select(F.col(key_col).alias("key"), j).select(
+        "key", "j", _bucket(F.col("key"), F.col("j"), width).alias("bucket")
+    )
+    return (
+        p.join(sketch, ["j", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

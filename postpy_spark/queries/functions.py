@@ -770,3 +770,22 @@ def fn_generator_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
     return out.withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@query("agg_cms_estimate", oracle=None, group="B3")
+def agg_cms_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point-frequency estimates for the 20 lowest user
+    ids over the events stream — the sketch is a DISTRIBUTED depth×width
+    counter frame (operators/sketch.py), probed with a bucket equi-join +
+    MIN, never a driver-side object.  Rows-only (xxhash64 bucketing is
+    engine-specific); pytest pins the CMS contract — estimates never
+    undercount, overshoot bounded by colliding mass — and exact
+    mergeability (shard sketches sum to the full sketch)."""
+    from postpy_spark.operators import sketch as SK
+
+    e = load_table(spark, sf_dir, "events")
+    cms = SK.cms_build(e, "user_id", depth=4, width=256)
+    probes = e.select("user_id").distinct().orderBy("user_id").limit(20)
+    return SK.cms_estimate(cms, probes, "user_id", depth=4, width=256).select(
+        F.col("key").alias("user_id"), F.col("est").cast("bigint").alias("est")
+    )

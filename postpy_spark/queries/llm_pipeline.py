@@ -1823,3 +1823,135 @@ def sim_topk_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= 5
     )
+
+
+@query(
+    "sim_range_search",
+    oracle=_DOT_CTE.format(where="", cmp="<>")
+    + """
+    SELECT d.id_a AS query_id, d.id_b AS cand_id,
+           ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE d.id_a < 10
+      AND ROUND(d.dot / (na.nrm * nb.nrm), 6) >= 0.25
+    """,
+    group="D",
+)
+def sim_range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search — all corpus vectors within
+    cosine ≥ 0.25 of each query — completing the retrieval family next to
+    top-k (`sim_topk_per_query`) and ANN (`sim_ann_lsh`/`sim_ivf_topk`/
+    `sim_pq_topk`).  Unlike top-k there is no rank window: the threshold
+    filter IS the reduction, so the plan is scan→broadcast-join→filter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.range_search(
+        e.filter(F.col("vec_id") < 10), e, threshold=0.25
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 4 = 0
+                       THEN UPPER(source || '.example.com')
+                       ELSE source || '.example.com' END
+               || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+               || CASE doc_id % 3
+                  WHEN 0 THEN '?utm_source=feed&ref=r' || CAST(doc_id % 7 AS VARCHAR)
+                  WHEN 1 THEN '?ref=r' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x&b=2'
+                  ELSE '' END AS url
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, url,
+               LOWER(regexp_extract(url, 'https://([^/]+)', 1)) AS host,
+               regexp_replace(regexp_extract(url, 'https://[^/]+([^?]*)', 1),
+                              '/$', '') AS path,
+               CASE WHEN url LIKE '%?%' THEN split_part(url, '?', 2) END AS q
+        FROM raw
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               'https://' || host || path ||
+               CASE WHEN q IS NULL THEN ''
+                    ELSE CASE WHEN array_to_string(list_sort(list_filter(
+                                   string_split(q, '&'),
+                                   p -> NOT starts_with(p, 'utm_'))), '&') = ''
+                              THEN ''
+                              ELSE '?' || array_to_string(list_sort(list_filter(
+                                   string_split(q, '&'),
+                                   p -> NOT starts_with(p, 'utm_'))), '&') END
+               END AS canonical_url
+        FROM parsed
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT)            AS n_dupes,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           MIN(doc_id)                         AS survivor_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+    group="D",
+)
+def dedup_url_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first stage of every web-crawl
+    pipeline: case-fold the host, strip the trailing slash, drop
+    utm_* tracking parameters, SORT the surviving query params, then
+    group by the canonical form (min doc_id survives).  URLs are
+    synthesized deterministically from (doc_id, source) on both engines
+    (documents carries no real URLs); the canonicalizer itself is the op
+    under test.  The Spark side uses the native parse_url
+    (HOST/PATH/QUERY) + array HOFs — all JVM-side, shuffle only at the
+    final canonical groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    host_raw = F.concat(F.col("source"), F.lit(".example.com"))
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.upper(host_raw)).otherwise(host_raw),
+        F.lit("/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&ref=r"), (F.col("doc_id") % 7).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("?ref=r"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("&utm_campaign=x&b=2"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(F.col("url"), F.lit("PATH")), r"/$", "")
+    q = F.parse_url(F.col("url"), F.lit("QUERY"))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(F.split(q, "&"), lambda p: ~p.startswith("utm_"))
+        ),
+        "&",
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        host,
+        path,
+        F.when(q.isNull() | (kept == ""), F.lit("")).otherwise(F.concat(F.lit("?"), kept)),
+    )
+    return (
+        raw.select("doc_id", "url", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dupes"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+    )

@@ -289,3 +289,36 @@ def test_ts_interpolate_linear_edges(spark, tmp_path):
         2: (30.0, False),
         3: (40.0, True),
     }
+
+
+def test_cms_contract_and_mergeability(spark):
+    """Count-min sketch contract: estimates NEVER undercount, overshoot is
+    bounded by colliding mass; and shard sketches merged by counter
+    addition equal the full-stream sketch EXACTLY (the mergeable-summary
+    property that makes CMS the 100 TB path)."""
+    from postpy_spark.operators import sketch as SK
+
+    e = load_table(spark, SF_SMOKE, "events")
+    exact = {
+        r.user_id: r.c
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_total = sum(exact.values())
+    cms = SK.cms_build(e, "user_id", depth=4, width=256)
+    est = {
+        r.key: r.est
+        for r in SK.cms_estimate(
+            cms, e.select("user_id").distinct(), "user_id", depth=4, width=256
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for uid, c in exact.items():
+        assert est[uid] >= c, (uid, est[uid], c)
+        # ~e/width expected colliding mass; 4x slack keeps this deterministic-data test robust
+        assert est[uid] <= c + 4 * 2.72 * n_total / 256, (uid, est[uid], c)
+    # mergeability: hash-split shards sum to the full sketch, counter for counter
+    s1 = SK.cms_build(e.filter(F.col("event_id") % 2 == 0), "user_id")
+    s2 = SK.cms_build(e.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = {(r.j, r.bucket): r.cnt for r in SK.cms_merge(s1, s2).collect()}
+    full = {(r.j, r.bucket): r.cnt for r in cms.collect()}
+    assert merged == full

@@ -62,6 +62,9 @@ WHITELIST: dict[tuple[str, str], str] = {
         "documented exact-containment oracle over capped candidates; scale "
         "path = MinHash-banded candidates then this verify",
     ("sim_topk_per_query", "NESTED_LOOP"): "broadcast SMALL query set vs corpus — linear, documented",
+    ("sim_range_search", "NESTED_LOOP"):
+        "broadcast SMALL query set vs corpus — linear radius scan, documented; "
+        "corpus×corpus radius joins use the bucketed embedding-dedup path",
     ("sim_ann_lsh", "NESTED_LOOP"): "broadcast query band signatures (small query set)",
     ("sim_pq_topk", "NESTED_LOOP"): "broadcast query LUTs (small query set)",
     ("sim_mmr_rerank", "NESTED_LOOP"):

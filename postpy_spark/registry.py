@@ -107,6 +107,9 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # attestation per slot), rows-only tail last.
     # re-attest after this round's fixes (3)
     "agg_decimal_exact", "dedup_semantic", "scan_text",
+    # new in round 7 session 2, sql-checked (6)
+    "etl_cdc_apply", "ts_interpolate_linear", "ts_ewma",
+    "graph_triangle_count", "sim_range_search", "dedup_url_canonical",
     # new in round 7, sql-checked (26)
     "join_asof_nearest", "dedup_containment", "events_attribution",
     "etl_compact_roundtrip", "ts_resample_ohlc", "docs_split_assign",

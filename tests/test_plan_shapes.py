@@ -591,3 +591,86 @@ def test_asof_nearest_join_free_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Join" not in final, final
     assert len(re.findall(r"\bSort \[", final)) == 1, final
+
+
+def test_cdc_apply_single_exchange_partial_agg(spark):
+    """etl_cdc_apply: compact-the-changelog is one two-phase hash
+    aggregate — a window or join here would betray the single-shuffle
+    design."""
+    plan = executed_plan(spark, "etl_cdc_apply")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final and "Join" not in final, final
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert "partial_max" in final or "partial" in final.lower(), final
+
+
+def test_ewma_single_window_sort(spark):
+    """ts_ewma: one bounded-frame window — exactly one sort + one
+    exchange; the fold must stay a JVM higher-order aggregate (no
+    Python runner node)."""
+    plan = executed_plan(spark, "ts_ewma")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final
+    assert len(re.findall(r"\bSort \[", final)) == 1, final
+    assert "Python" not in final, final
+
+
+def test_interpolate_shares_sort_per_direction(spark):
+    """ts_interpolate_linear: the backward (pv/peh) and forward (nv/neh)
+    lookups are frames over the same (user, hour) order — at most one
+    sort per frame direction downstream of the grid join, and no extra
+    exchange beyond grid-join/aggs/window repartitioning."""
+    plan = executed_plan(spark, "ts_interpolate_linear")
+    final = plan.split("== Initial Plan ==")[0]
+    # forward frame reverses sort order: 2 window sorts max (+1 in-join sort
+    # pair is SMJ's, counted separately below)
+    win_sorts = len(re.findall(r"\bSort \[", final))
+    assert win_sorts <= 4, final
+    assert "BroadcastNestedLoop" not in final, final
+
+
+def test_triangle_count_no_bnlj_in_heavy_path(spark):
+    """graph_triangle_count: the only BNLJ nodes are the three 1-row
+    aggregate combiners; the pair-enumeration and closure joins must be
+    hash/sort-merge equi-joins, and the checkpointed edge list means no
+    parquet re-scan per subtree."""
+    plan = executed_plan(spark, "graph_triangle_count")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastNestedLoopJoin") <= 2, final
+    # pair-enum + closure (the rank-attach joins live behind the eo
+    # checkpoint), both equi
+    assert final.count("BroadcastHashJoin") + final.count(
+        "SortMergeJoin"
+    ) + final.count("ShuffledHashJoin") >= 2, final
+    assert final.count("Scan parquet") <= 1, final
+
+
+def test_url_canonical_single_aggregate(spark):
+    """dedup_url_canonical: canonicalization is pure projection — exactly
+    one exchange (the canonical groupBy, plus its distinct-count expand),
+    no join, no window, no Python."""
+    plan = executed_plan(spark, "dedup_url_canonical")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final and "Window" not in final, final
+    assert "Python" not in final, final
+    assert final.count("Exchange hashpartitioning") <= 2, final
+
+
+def test_cms_build_is_partial_agg_bounded(spark):
+    """agg_cms_estimate: the sketch build must show a two-phase aggregate
+    (map-side partials bound the shuffle at depth*width rows per task);
+    the probe side joins on (j, bucket)."""
+    plan = executed_plan(spark, "agg_cms_estimate")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final, final
+    assert "Python" not in final, final
+
+
+def test_range_search_is_broadcast_linear(spark):
+    """sim_range_search: corpus side streams once against the broadcast
+    query set — no shuffle of the corpus, no window."""
+    plan = executed_plan(spark, "sim_range_search")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final
+    assert "BroadcastNestedLoopJoin" in final, final
+    assert "Exchange hashpartitioning" not in final, final

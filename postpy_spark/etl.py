@@ -405,3 +405,57 @@ def install_extension(name: str, if_not_exists: bool = True) -> bool:
 
 def installed_extensions() -> list[str]:
     return sorted(_installed)
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog compaction (Debezium-style upsert/delete apply)
+# ---------------------------------------------------------------------------
+
+#: payload packing width: seq*1e7 + cents(qty) fits BIGINT for seq < 9e11.
+_CDC_PACK = 10_000_000
+
+
+def cdc_pack(changes: DataFrame, key: str, seq: str, qty: str) -> DataFrame:
+    """(key, k): lexicographically-ordered (seq, payload) packed into ONE
+    BIGINT so a plain MAX picks the deterministic latest change even when
+    the feed carries duplicate (key, seq) pairs (arg_max would tie-break
+    arbitrarily).  Tombstone rule: a latest seq ≡ 0 (mod 7) deletes."""
+    k = F.col(seq).cast("bigint") * F.lit(_CDC_PACK) + F.round(
+        F.col(qty) * 100
+    ).cast("bigint")
+    return changes.select(F.col(key).alias("order_key"), k.alias("k"))
+
+
+def cdc_compact(packed: DataFrame) -> DataFrame:
+    """(order_key, maxk, n_changes): compact a changelog (or a chunk of
+    one) — ONE two-phase hash aggregate.  The output is a MERGEABLE
+    summary: compactions of disjoint chunks recombine with
+    greatest(maxk) + sum(n_changes), which is what the streaming path
+    does per micro-batch."""
+    return packed.groupBy("order_key").agg(
+        F.max("k").alias("maxk"), F.count(F.lit(1)).alias("n_changes")
+    )
+
+
+def cdc_merge_states(existing: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Merge two compacted states (commutative + associative).  Counts
+    assume each chunk is merged exactly once — guaranteed here by the
+    checkpointed availableNow foreachBatch; an at-least-once sink would
+    track processed batch ids."""
+    if existing is None:
+        return batch
+    return (
+        existing.unionByName(batch)
+        .groupBy("order_key")
+        .agg(F.max("maxk").alias("maxk"), F.sum("n_changes").alias("n_changes"))
+    )
+
+
+def cdc_snapshot(state: DataFrame) -> DataFrame:
+    """Snapshot view of a compacted state: drop keys whose latest change
+    is a tombstone, decode the payload."""
+    return state.filter((F.expr("maxk div 10000000") % 7) != 0).select(
+        "order_key",
+        ((F.col("maxk") % _CDC_PACK).cast("double") / 100).alias("last_qty"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )

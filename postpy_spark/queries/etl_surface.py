@@ -1067,17 +1067,5 @@ def etl_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact-the-changelog plan at any volume; skewed hot keys fall to
     AQE skew handling like any aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    k = F.col("l_linenumber").cast("bigint") * F.lit(10_000_000) + F.round(
-        F.col("l_quantity") * 100
-    ).cast("bigint")
-    ch = li.select(F.col("l_orderkey").alias("order_key"), k.alias("k"))
-    latest = ch.groupBy("order_key").agg(
-        F.max("k").alias("maxk"), F.count(F.lit(1)).alias("n_changes")
-    )
-    return latest.filter(
-        (F.expr("maxk div 10000000") % 7) != 0
-    ).select(
-        "order_key",
-        ((F.col("maxk") % 10_000_000).cast("double") / 100).alias("last_qty"),
-        F.col("n_changes").cast("bigint").alias("n_changes"),
-    )
+    packed = etl.cdc_pack(li, key="l_orderkey", seq="l_linenumber", qty="l_quantity")
+    return etl.cdc_snapshot(etl.cdc_compact(packed))

@@ -396,3 +396,49 @@ def test_stream_scd2_dimension_history_and_idempotence(spark, chunks, tmp_path):
     )
     again = spark.read.parquet(f"{base}/dim").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, dim))
+
+
+def test_stream_cdc_apply_converges(spark, tmp_path):
+    """CDC snapshot maintenance as a STREAM: lineitem chunks replayed
+    through a file source, each micro-batch compacted (etl.cdc_compact)
+    and merged into a parquet state (greatest-maxk + summed counts —
+    commutative/associative, so chunking and arrival order don't matter),
+    must converge to the one-shot batch snapshot (etl_cdc_apply)."""
+    from postpy_spark import etl
+    from postpy_spark.etl import atomic_overwrite
+    from postpy_spark.registry import load_all
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    src = str(tmp_path / "li_chunks")
+    for i in range(3):
+        li.filter(F.col("l_orderkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/chunk_{i}")
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/chunk_*")
+    )
+    state_path = str(tmp_path / "cdc_state")
+
+    def merge_batch(batch, batch_id):
+        s = batch.sparkSession
+        compacted = etl.cdc_compact(
+            etl.cdc_pack(batch, key="l_orderkey", seq="l_linenumber", qty="l_quantity")
+        )
+        try:
+            existing = s.read.parquet(state_path)
+        except Exception:
+            existing = None
+        atomic_overwrite(etl.cdc_merge_states(existing, compacted), state_path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = etl.cdc_snapshot(spark.read.parquet(state_path))
+    batch = load_all()["etl_cdc_apply"].fn(spark, SF_SMOKE)
+    assert_same(got, batch)

@@ -39,10 +39,11 @@ def global_row_number(
     total_col: str | None = None,
 ) -> DataFrame:
     """df + 1-based ``rn_col`` = global row number under ``order_cols``
-    (which must form a total order — add a unique tiebreak).  Optionally
+    (which must form a total order — add a unique tiebreak; names or
+    Column sort expressions, e.g. ``F.col(x).desc()``).  Optionally
     also attaches the total row count as ``total_col``.  Two full-data
     shuffles, no single-task stage over the data."""
-    cols = [F.col(c) for c in order_cols]
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = df.repartitionByRange(*( [num_partitions] if num_partitions else [] ), *cols)
     tagged = ranged.withColumn(_PID, F.spark_partition_id())
     w_local = Window.partitionBy(_PID).orderBy(*cols)

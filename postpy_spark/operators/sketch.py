@@ -71,3 +71,49 @@ def cms_estimate(
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+
+def kmv_unit_hash(col):
+    """xxhash64 mapped to a uniform double in (0, 1)."""
+    return (F.xxhash64(col, F.lit(_SEED)).cast("double") + F.lit(2.0**63)) / F.lit(
+        2.0**64
+    )
+
+
+def kmv_build(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """The k smallest unit hashes of the DISTINCT keys — a k-row frame.
+    TakeOrderedAndProject computes the global k-min without a one-task
+    window; the distinct is one shuffle.  Mergeable: union two sketches,
+    re-take the k smallest (Beyer et al., SIGMOD'07)."""
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(kmv_unit_hash(F.col("key")).alias("u"))
+        .orderBy("u")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Sketch of the union of the underlying key sets."""
+    return a.unionByName(b).distinct().orderBy("u").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """1-row (est, n_hashes): (k-1)/u_(k) when the sketch is full, else
+    the sketch size itself (fewer than k distinct keys seen → exact)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("u").alias("u_max")
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise((F.lit(float(k - 1))) / F.col("u_max"))
+    return agg.select(
+        F.round(est).cast("bigint").alias("est"),
+        F.col("n_hashes").cast("bigint").alias("n_hashes"),
+    )

@@ -789,3 +789,18 @@ def agg_cms_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_estimate(cms, probes, "user_id", depth=4, width=256).select(
         F.col("key").alias("user_id"), F.col("est").cast("bigint").alias("est")
     )
+
+
+@query("agg_kmv_distinct", oracle=None, group="B3")
+def agg_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch over event users —
+    the third mergeable cardinality sketch next to HLL
+    (agg_hll_mergeable) and exact bitmaps (agg_bitmap_distinct), and the
+    one whose sketches also support UNION estimates by construction.
+    The global k-min is TakeOrderedAndProject (no one-task window).
+    Rows-only (xxhash64 is engine-specific); pytest pins the exact-below-k
+    branch, a ±3σ accuracy band, and exact mergeability."""
+    from postpy_spark.operators import sketch as SK
+
+    e = load_table(spark, sf_dir, "events")
+    return SK.kmv_estimate(SK.kmv_build(e, "user_id", k=64), k=64)

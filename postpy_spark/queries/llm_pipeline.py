@@ -1955,3 +1955,59 @@ def dedup_url_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("survivor_doc_id"),
         )
     )
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+    """,
+    group="D",
+)
+def text_keywords_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    retrieval-facing companion to text_tfidf's corpus-wide scores.  The
+    rank window partitions per doc (frame bounded by the doc's vocab,
+    never corpus-sized); ranking is on the ROUNDED score with a term
+    tiebreak so cross-engine float noise below 1e-6 cannot flip ranks."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.word_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+    )

@@ -225,3 +225,112 @@ def win_ntile_distributed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_analytics(c, ["c_acctbal", "c_custkey"], n_tiles=4).select(
         "c_custkey", "quartile", "pct_rank", "cume"
     )
+
+
+@query(
+    "win_nth_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey), 6) AS cume
+    FROM orders
+    """,
+    group="B4",
+)
+def win_nth_cume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + cume_dist — the last two SQL window functions not yet
+    surfaced (rank/dense/ntile/pct_rank/lead/lag/first/last are covered
+    elsewhere in B4).  nth_value needs an explicit full-partition frame
+    (the default running frame would leave row 1 NULL); cume_dist takes
+    the default frame.  Both ride ONE (priority, price) sort."""
+    o = load_table(spark, sf_dir, "orders")
+    ws = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.nth_value("o_totalprice", 2)
+        .over(ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("second_price"),
+        F.round(F.cume_dist().over(ws), 6).alias("cume"),
+    )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+    per_user AS (
+        SELECT user_id,
+               date_diff('day', MAX(CAST(ts AS DATE)), (SELECT h FROM horizon))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) END), 0)
+                   AS BIGINT) AS monetary_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT)    AS frequency,
+           monetary_cents,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, user_id) AS BIGINT)      AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)    AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m_score
+    FROM per_user
+    """,
+    group="B4",
+)
+def events_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) — the
+    classic CRM scoring query.  Metrics are ONE hash aggregate over
+    events (monetary in exact integer cents); each quintile is the
+    DISTRIBUTED ranked path (range exchange + offset prefix sum,
+    operators/ranking.py) over the per-USER frame — three rankings of a
+    users-sized frame, never a one-task global window, and never a
+    second pass over raw events."""
+    from postpy_spark.operators.ranking import global_row_number, ntile_expr
+
+    e = load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.datediff("h", "last_day").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    out = per_user
+    for score, order in [
+        ("r_score", [F.col("recency_days").asc(), F.col("user_id").asc()]),
+        ("f_score", [F.col("frequency").desc(), F.col("user_id").asc()]),
+        ("m_score", [F.col("monetary_cents").desc(), F.col("user_id").asc()]),
+    ]:
+        ranked = global_row_number(out, order, rn_col="_rn", total_col="_n")
+        out = ranked.withColumn(
+            score, ntile_expr(F.col("_rn"), F.col("_n"), 5)
+        ).drop("_rn", "_n")
+    return out

@@ -110,6 +110,8 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # new in round 7 session 2, sql-checked (6)
     "etl_cdc_apply", "ts_interpolate_linear", "ts_ewma",
     "graph_triangle_count", "sim_range_search", "dedup_url_canonical",
+    # new in round 7 session 3, sql-checked (3)
+    "text_keywords_tfidf", "win_nth_cume", "events_rfm_segments",
     # new in round 7, sql-checked (26)
     "join_asof_nearest", "dedup_containment", "events_attribution",
     "etl_compact_roundtrip", "ts_resample_ohlc", "docs_split_assign",

@@ -322,3 +322,28 @@ def test_cms_contract_and_mergeability(spark):
     merged = {(r.j, r.bucket): r.cnt for r in SK.cms_merge(s1, s2).collect()}
     full = {(r.j, r.bucket): r.cnt for r in cms.collect()}
     assert merged == full
+
+
+def test_kmv_accuracy_and_mergeability(spark):
+    """KMV sketch: exact below k, within the ±3σ relative-error band of
+    (k-1)/u_(k) when full, and merge(s_half1, s_half2) == sketch(full)
+    EXACTLY (same hash family → same k smallest unit hashes)."""
+    from postpy_spark.operators import sketch as SK
+
+    e = load_table(spark, SF_SMOKE, "events")
+    exact = e.select("user_id").distinct().count()
+    k_small = 1 << 14  # >> distinct users: sketch holds everything → exact
+    est_exact = SK.kmv_estimate(SK.kmv_build(e, "user_id", k=k_small), k=k_small).collect()[0]
+    assert est_exact.est == exact == est_exact.n_hashes
+    # accuracy branch needs a domain >> k: event_id is unique per row
+    k = 64
+    exact_ids = e.select("event_id").distinct().count()
+    est = SK.kmv_estimate(SK.kmv_build(e, "event_id", k=k), k=k).collect()[0]
+    assert est.n_hashes == k
+    rel = abs(est.est - exact_ids) / exact_ids
+    assert rel < 3 / (k - 1) ** 0.5, (est.est, exact_ids, rel)
+    s1 = SK.kmv_build(e.filter(F.col("event_id") % 2 == 0), "event_id", k=k)
+    s2 = SK.kmv_build(e.filter(F.col("event_id") % 2 == 1), "event_id", k=k)
+    merged = sorted(r.u for r in SK.kmv_merge(s1, s2, k=k).collect())
+    full = sorted(r.u for r in SK.kmv_build(e, "event_id", k=k).collect())
+    assert merged == full

@@ -46,6 +46,8 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("tpch_q15_shape", "NESTED_LOOP"): "broadcast 1-row MAX-equality scalar",
     ("corpus_mixture_report", "NESTED_LOOP"): "broadcast 1-row corpus total",
     ("text_tfidf", "NESTED_LOOP"): "broadcast 1-row corpus size",
+    ("text_keywords_tfidf", "NESTED_LOOP"): "broadcast 1-row corpus size (IDF stage)",
+    ("events_rfm_segments", "NESTED_LOOP"): "broadcast 1-row horizon date",
     ("text_bigram_lm", "NESTED_LOOP"): "broadcast 1-row vocab size",
     ("text_lm_ppl_buckets", "NESTED_LOOP"): "broadcast 1-row vocab size (LM stage)",
     ("tpch_q22_shape", "NESTED_LOOP"): "broadcast 1-row avg-balance scalar",

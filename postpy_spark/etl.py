@@ -408,6 +408,55 @@ def installed_extensions() -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# Snapshot reconciliation (table diff)
+# ---------------------------------------------------------------------------
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level reconciliation of two snapshots of the same keyed table:
+    one row per differing key with ``diff_status`` in
+    ``('added', 'removed', 'changed')`` plus the old/new values of each
+    compared column (``old_<c>`` / ``new_<c>``).  Unchanged keys are
+    dropped.
+
+    Plan shape: ONE full-outer join — both snapshots shuffle exactly once
+    on the primary key (co-partitioned; with bucketed/sorted lakehouse
+    layouts even that shuffle disappears).  Comparison is null-safe
+    (``<=>``) so NULL→value and value→NULL transitions count as changes.
+    At 100 TB the standard refinement is a per-partition digest pre-pass
+    (hash-per-bucket, compare digests, full-join only the dirty buckets);
+    the row-level core below is that refinement's inner loop.
+    """
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    o = old.select(*keys, *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(*keys, *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    # join on null-safe key equality via coalesced key presence flags
+    joined = o.withColumn("_old", F.lit(True)).join(
+        n.withColumn("_new", F.lit(True)), on=keys, how="full_outer"
+    )
+    changed = None
+    for c in compare_cols:
+        ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = ne if changed is None else (changed | ne)
+    status = (
+        F.when(F.col("_new").isNull(), F.lit("removed"))
+        .when(F.col("_old").isNull(), F.lit("added"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("diff_status", status)
+        .filter(F.col("diff_status").isNotNull())
+        .drop("_old", "_new")
+    )
+
+
+# ---------------------------------------------------------------------------
 # CDC changelog compaction (Debezium-style upsert/delete apply)
 # ---------------------------------------------------------------------------
 

@@ -1069,3 +1069,63 @@ def etl_cdc_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     packed = etl.cdc_pack(li, key="l_orderkey", seq="l_linenumber", qty="l_quantity")
     return etl.cdc_snapshot(etl.cdc_compact(packed))
+
+
+@query(
+    "etl_table_diff",
+    oracle="""
+    WITH newsnap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    d AS (
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        THEN 'changed' END           AS diff_status,
+               ROUND(o.o_totalprice, 2)              AS old_price,
+               ROUND(n.o_totalprice, 2)              AS new_price
+        FROM orders o FULL JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT * FROM d WHERE diff_status IS NOT NULL
+    """,
+    group="A",
+)
+def etl_table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (``etl.table_diff``): diff two versions of
+    a keyed table into added/removed/changed rows with before/after
+    values — the audit half of CDC (etl_cdc_apply replays a changelog;
+    this RECOVERS one from two snapshots, e.g. validating a migrated
+    copy).  The "new" snapshot is derived deterministically from orders:
+    keys %97==0 deleted, %89==0 repriced (+1.0), %101==0 re-keyed as
+    inserts.  ONE full-outer join, both sides shuffling once on the
+    primary key; null-safe comparison counts NULL transitions."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    diff = etl.table_diff(o, new, keys=["o_orderkey"], compare_cols=["o_totalprice"])
+    return diff.select(
+        "o_orderkey",
+        "diff_status",
+        F.round("old_o_totalprice", 2).alias("old_price"),
+        F.round("new_o_totalprice", 2).alias("new_price"),
+    )

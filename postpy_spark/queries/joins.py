@@ -594,3 +594,42 @@ def join_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance=tol_us,
     )
     return out.select("event_id", "user_id", "nearest_order_date", "day_total")
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    """,
+    group="B2",
+)
+def join_bloom_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with explicit Bloom-filter pre-pruning
+    (operators/bloom.py): the build side's keys fold into a FIXED-SIZE
+    8 KiB bitmap (one bounded groupBy, broadcast as a 1-row map), the
+    fact side drops non-members via pure column bit tests BEFORE its
+    shuffle, and an exact semi join confirms candidates — so the result
+    equals the plain semi join while the shuffled fact volume scales
+    with the match rate, not the table.  The explicit form of Spark's
+    runtime row-level bloom filtering, usable where the optimizer's
+    heuristics would not inject one.  Pruning effectiveness is pinned
+    by pytest (false-positive budget at the default m/k)."""
+    from postpy_spark.operators.bloom import bloom_build, bloom_prune
+
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    candidates = bloom_prune(o, "o_custkey", bloom_build(c, "c_custkey"))
+    # No broadcast hint on the confirm: the bloom exists precisely because
+    # the build side may be too big to broadcast — at scale this is a
+    # shuffled semi join over the PRUNED fact only (AQE may still pick
+    # broadcast when the dimension happens to fit).
+    return candidates.join(
+        c.select("c_custkey"),
+        candidates.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_orderkey", "o_totalprice")

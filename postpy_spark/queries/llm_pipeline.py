@@ -2011,3 +2011,82 @@ def text_keywords_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    probes AS (SELECT term, df FROM dfreq
+               ORDER BY df DESC, term LIMIT 5 OFFSET 9),
+    scored AS (
+        SELECT tf.term, tf.doc_id,
+               ROUND(LN(1 + (s.n_docs - p.df + 0.5) / (p.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+                     6) AS score
+        FROM tf JOIN probes p USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN stats s
+    ),
+    ranked AS (
+        SELECT term, doc_id, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY term
+                                       ORDER BY score DESC, doc_id) AS BIGINT)
+                   AS rank
+        FROM scored
+    )
+    SELECT term, doc_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+    group="D",
+)
+def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Okapi, k1=1.2 b=0.75) top-10 retrieval for 5 mid-frequency
+    probe terms (document-frequency ranks 10-14 — picked by
+    TakeOrderedAndProject limit+offset, never a vocab-wide one-task
+    window).  The retrieval-quality companion to text_tfidf: length
+    normalization via dl/avgdl, saturating tf.  Probe terms broadcast
+    (5 rows); corpus stats are the whitelisted broadcast-1-row pattern;
+    the per-term rank window partitions by term over candidate postings
+    only.  Ranking is on the ROUNDED score with doc_id tiebreak so
+    cross-engine float noise cannot flip ranks."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.word_tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = (
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(dl.agg(F.avg("dl").alias("avgdl")))
+    )
+    probes = dfreq.orderBy(F.col("df").desc(), "term").offset(9).limit(5)
+    scored = (
+        tf.join(F.broadcast(probes), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "doc_id",
+            F.round(
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )

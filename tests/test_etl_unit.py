@@ -553,3 +553,25 @@ def test_scd2_history_rows_immutable_and_merge_idempotent(spark):
     # re-applying the same feed against the merged state is a no-op
     again = etl.merge_scd2(once, s, ["k"], ["v"], "2022-01-01 00:00:00")
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_table_diff_classifies_and_is_nullsafe(spark):
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v=None), Row(k=4, v="d"),
+         Row(k=5, v="e")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a"),          # unchanged → dropped
+         Row(k=2, v="B"),          # changed
+         Row(k=3, v="c"),          # NULL→value = changed (null-safe)
+         Row(k=4, v=None),         # value→NULL = changed
+         Row(k=6, v="f")]          # added; k=5 removed
+    )
+    out = {r.k: r.diff_status
+           for r in etl.table_diff(old, new, ["k"], ["v"]).collect()}
+    assert out == {2: "changed", 3: "changed", 4: "changed",
+                   5: "removed", 6: "added"}
+    # empty new snapshot → everything removed
+    empty = new.filter("k < 0")
+    assert {r.diff_status
+            for r in etl.table_diff(old, empty, ["k"], ["v"]).collect()} == {"removed"}

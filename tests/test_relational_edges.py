@@ -347,3 +347,32 @@ def test_kmv_accuracy_and_mergeability(spark):
     merged = sorted(r.u for r in SK.kmv_merge(s1, s2, k=k).collect())
     full = sorted(r.u for r in SK.kmv_build(e, "event_id", k=k).collect())
     assert merged == full
+
+
+def test_bloom_prune_no_false_negatives_and_bounded_fp(spark):
+    """Bloom pruning: every true member survives (no false negatives —
+    the correctness contract), and at the default m=2^16/k=5 with ~3k
+    build keys the false-positive overhead stays under 1% of the probe
+    side (the scale contract: shuffled volume ∝ match rate)."""
+    from postpy_spark.operators import bloom as B
+
+    c = load_table(spark, SF_SMOKE, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, SF_SMOKE, "orders")
+    bl = B.bloom_build(c, "c_custkey")
+    cand = B.bloom_prune(o, "o_custkey", bl)
+    exact = o.join(
+        c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_semi"
+    )
+    n_probe, n_cand, n_exact = o.count(), cand.count(), exact.count()
+    assert n_cand >= n_exact  # no false negatives
+    assert n_cand - n_exact <= max(1, n_probe // 100)  # fp budget
+    # tiny filter: fewer distinct keys than words → still exact behavior
+    tiny = c.limit(3)
+    bl3 = B.bloom_build(tiny, "c_custkey")
+    cand3 = B.bloom_prune(o, "o_custkey", bl3)
+    exact3 = o.join(
+        tiny.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_semi"
+    ).count()
+    assert cand3.count() >= exact3 > 0

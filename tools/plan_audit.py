@@ -47,6 +47,8 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("corpus_mixture_report", "NESTED_LOOP"): "broadcast 1-row corpus total",
     ("text_tfidf", "NESTED_LOOP"): "broadcast 1-row corpus size",
     ("text_keywords_tfidf", "NESTED_LOOP"): "broadcast 1-row corpus size (IDF stage)",
+    ("join_bloom_pruned", "NESTED_LOOP"): "broadcast 1-row bloom bitmap (8 KiB fixed)",
+    ("text_bm25_topk", "NESTED_LOOP"): "broadcast 1-row corpus stats (N, avgdl)",
     ("events_rfm_segments", "NESTED_LOOP"): "broadcast 1-row horizon date",
     ("text_bigram_lm", "NESTED_LOOP"): "broadcast 1-row vocab size",
     ("text_lm_ppl_buckets", "NESTED_LOOP"): "broadcast 1-row vocab size (LM stage)",

@@ -2180,3 +2180,124 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "stat_crosstab_chi2",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS et, dayofweek(ts) AS dow, COUNT(*) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT et, SUM(obs) AS rtot FROM cells GROUP BY et),
+    ct AS (SELECT dow, SUM(obs) AS ctot FROM cells GROUP BY dow),
+    tot AS (SELECT SUM(obs) * 1.0 AS n FROM cells)
+    SELECT ROUND(SUM((cells.obs - rt.rtot * 1.0 * ct.ctot / tot.n)
+                     * (cells.obs - rt.rtot * 1.0 * ct.ctot / tot.n)
+                     / (rt.rtot * 1.0 * ct.ctot / tot.n)), 4)  AS chi2,
+           CAST((COUNT(DISTINCT cells.et) - 1)
+                * (COUNT(DISTINCT cells.dow) - 1) AS BIGINT)    AS dof,
+           CAST(MAX(tot.n) AS BIGINT)                           AS n
+    FROM cells
+    JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN tot
+    """,
+    group="B3",
+)
+def stat_crosstab_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the event_type ×
+    day-of-week contingency table — "is activity mix independent of
+    weekday?".  The raw scan reduces to ≤ |types|·7 CELLS in one partial
+    aggregate; marginals and the statistic are computed on that tiny
+    frame (broadcast joins), so the data passes once no matter the
+    scale.  Spark's dayofweek is 1-based Sunday, DuckDB's 0-based —
+    aligned by subtracting 1 Spark-side."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            F.col("event_type").alias("et"),
+            (F.dayofweek("ts") - 1).alias("dow"),
+        )
+        .groupBy("et", "dow")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = cells.groupBy("et").agg(F.sum("obs").alias("rtot"))
+    ct = cells.groupBy("dow").agg(F.sum("obs").alias("ctot"))
+    tot = cells.agg((F.sum("obs") * 1.0).alias("n"))
+    exp = F.col("rtot") * 1.0 * F.col("ctot") / F.col("n")
+    return (
+        cells.join(F.broadcast(rt), "et")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 4
+            ).alias("chi2"),
+            (
+                (F.countDistinct("et") - 1) * (F.countDistinct("dow") - 1)
+            ).cast("bigint").alias("dof"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "stat_ttest_welch",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               AVG(value)       AS m,
+               VAR_SAMP(value)  AS v,
+               COUNT(*) * 1.0   AS n
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY event_type
+    ),
+    w AS (
+        SELECT a.m AS m1, a.v AS v1, a.n AS n1,
+               b.m AS m2, b.v AS v2, b.n AS n2
+        FROM g a JOIN g b
+          ON a.event_type = 'purchase' AND b.event_type = 'click'
+    )
+    SELECT ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 4)          AS t_stat,
+           ROUND((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2)       AS df_welch,
+           CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+    FROM w
+    """,
+    group="B3",
+)
+def stat_ttest_welch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between purchase and
+    click event values — the A/B-test primitive.  ONE conditional
+    aggregate pass reduces the scan to two (mean, var, n) triples; the
+    statistic and Welch-Satterthwaite df are arithmetic on a 1-row
+    frame.  Identical expression trees on both engines so IEEE ops
+    agree before the final rounding."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    g = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+    )
+    a = g.filter(F.col("event_type") == "purchase").select(
+        F.col("m").alias("m1"), F.col("v").alias("v1"), F.col("n").alias("n1")
+    )
+    b = g.filter(F.col("event_type") == "click").select(
+        F.col("m").alias("m2"), F.col("v").alias("v2"), F.col("n").alias("n2")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return w.select(
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 4).alias("t_stat"),
+        F.round(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)),
+            2,
+        ).alias("df_welch"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+    )

@@ -376,3 +376,41 @@ def test_bloom_prune_no_false_negatives_and_bounded_fp(spark):
         tiny.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_semi"
     ).count()
     assert cand3.count() >= exact3 > 0
+
+
+def test_stat_formulas_match_numpy_reference(spark):
+    """chi2 / Welch-t wiring vs an independent numpy computation on the
+    same sf0.001 slice (catches marginal/join mistakes, not just
+    cross-engine parity)."""
+    import numpy as np
+    from postpy_spark.queries.composite import (
+        stat_crosstab_chi2_q,
+        stat_ttest_welch_q,
+    )
+
+    got = stat_crosstab_chi2_q(spark, SF_SMOKE).collect()[0]
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow"), "value"
+    )
+    rows = e.collect()
+    types = sorted({r.event_type for r in rows})
+    days = sorted({r.dow for r in rows})
+    obs = np.zeros((len(types), len(days)))
+    for r in rows:
+        obs[types.index(r.event_type), days.index(r.dow)] += 1
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    assert abs(got.chi2 - ((obs - exp) ** 2 / exp).sum()) < 1e-3
+    assert got.dof == (len(types) - 1) * (len(days) - 1)
+    assert got.n == len(rows)
+
+    t = stat_ttest_welch_q(spark, SF_SMOKE).collect()[0]
+    x = np.array([r.value for r in rows if r.event_type == "purchase"])
+    y = np.array([r.value for r in rows if r.event_type == "click"])
+    se = x.var(ddof=1) / len(x) + y.var(ddof=1) / len(y)
+    t_ref = (x.mean() - y.mean()) / np.sqrt(se)
+    df_ref = se**2 / (
+        (x.var(ddof=1) / len(x)) ** 2 / (len(x) - 1)
+        + (y.var(ddof=1) / len(y)) ** 2 / (len(y) - 1)
+    )
+    assert abs(t.t_stat - t_ref) < 1e-3 and abs(t.df_welch - df_ref) < 0.05
+    assert (t.n1, t.n2) == (len(x), len(y))

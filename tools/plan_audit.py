@@ -49,6 +49,8 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("text_keywords_tfidf", "NESTED_LOOP"): "broadcast 1-row corpus size (IDF stage)",
     ("join_bloom_pruned", "NESTED_LOOP"): "broadcast 1-row bloom bitmap (8 KiB fixed)",
     ("text_bm25_topk", "NESTED_LOOP"): "broadcast 1-row corpus stats (N, avgdl)",
+    ("stat_crosstab_chi2", "NESTED_LOOP"): "broadcast 1-row grand total",
+    ("stat_ttest_welch", "NESTED_LOOP"): "broadcast 1-row group stats triple",
     ("events_rfm_segments", "NESTED_LOOP"): "broadcast 1-row horizon date",
     ("text_bigram_lm", "NESTED_LOOP"): "broadcast 1-row vocab size",
     ("text_lm_ppl_buckets", "NESTED_LOOP"): "broadcast 1-row vocab size (LM stage)",

@@ -117,3 +117,37 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
         F.round(est).cast("bigint").alias("est"),
         F.col("n_hashes").cast("bigint").alias("n_hashes"),
     )
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """1-row (union_est, intersect_est, jaccard) from two KMV sketches —
+    the theta-sketch trick (Dasgupta et al., 2016): take the k smallest
+    hashes of the UNION, measure what fraction appears in BOTH input
+    sketches (that fraction is an unbiased Jaccard estimate, since the
+    k-min of the union is a uniform sample of the union), then scale the
+    union cardinality estimate.  All frame sizes are ≤ 2k rows."""
+    u = kmv_merge(a, b, k=k)
+    flagged = (
+        u.join(a.withColumnRenamed("u", "ua"), u.u == F.col("ua"), "left")
+        .join(b.withColumnRenamed("u", "ub"), u.u == F.col("ub"), "left")
+        .select(
+            "u",
+            (F.col("ua").isNotNull() & F.col("ub").isNotNull()).cast("int").alias(
+                "in_both"
+            ),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("u").alias("u_max"),
+        F.sum("in_both").alias("n_both"),
+    )
+    union_est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("u_max"))
+    jacc = F.col("n_both") / F.col("n_hashes")
+    return agg.select(
+        F.round(union_est).cast("bigint").alias("union_est"),
+        F.round(union_est * jacc).cast("bigint").alias("intersect_est"),
+        F.round(jacc, 6).alias("jaccard"),
+    )

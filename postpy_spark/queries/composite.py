@@ -2301,3 +2301,165 @@ def stat_ttest_welch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
     )
+
+
+@query(
+    "stat_trend_by_group",
+    oracle="""
+    SELECT event_type,
+           ROUND(regr_slope(value,
+                 date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                 * 1.0) * 86400, 6)            AS slope_per_day,
+           ROUND(regr_r2(value,
+                 date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                 * 1.0), 6)                    AS r2,
+           regr_count(value,
+                 date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+                 * 1.0)                        AS n
+    FROM events GROUP BY event_type
+    """,
+    group="B3",
+)
+def stat_trend_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group linear time trend (value drift per day) — the grouped
+    companion to the global agg_regr: regr_slope/regr_r2 are
+    partial-aggregable moments, so the scan reduces in ONE hash
+    aggregate regardless of group count.  x is integer epoch-seconds
+    (built from unix_micros — TIMESTAMP_NTZ never casts to double)
+    made double identically on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)).cast(
+        "bigint"
+    ) * 1.0
+    return e.groupBy("event_type").agg(
+        F.round(F.regr_slope(F.col("value"), x) * 86400, 6).alias("slope_per_day"),
+        F.round(F.regr_r2(F.col("value"), x), 6).alias("r2"),
+        F.regr_count(F.col("value"), x).alias("n"),
+    )
+
+
+@query(
+    "agg_histogram_equidepth",
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT CAST(decile AS BIGINT)        AS decile,
+           COUNT(*)                      AS n,
+           ROUND(MIN(o_totalprice), 2)   AS lo,
+           ROUND(MAX(o_totalprice), 2)   AS hi
+    FROM t GROUP BY decile
+    """,
+    group="B3",
+)
+def agg_histogram_equidepth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile boundaries) — the partner of the
+    equi-width agg_histogram, and the optimizer's-statistics shape.
+    Deciles come from the DISTRIBUTED ranked path (range exchange +
+    offset prefix sum, operators/ranking.py), never a one-task global
+    NTILE window; the tiebreak on o_orderkey makes bucket edges
+    deterministic cross-engine."""
+    from postpy_spark.operators.ranking import global_row_number, ntile_expr
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(
+        o, ["o_totalprice", "o_orderkey"], rn_col="_rn", total_col="_n"
+    )
+    return (
+        ranked.withColumn("decile", ntile_expr(F.col("_rn"), F.col("_n"), 10))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH g AS (SELECT AVG(value) AS gmean FROM events)
+    SELECT dayofweek(ts)                       AS dow,
+           CAST(hour(ts) AS BIGINT)            AS hod,
+           COUNT(*)                            AS n,
+           ROUND(AVG(value), 4)                AS baseline,
+           ROUND(AVG(value) / MAX(g.gmean), 4) AS seasonal_factor
+    FROM events CROSS JOIN g
+    GROUP BY 1, 2
+    """,
+    group="B3",
+)
+def ts_seasonal_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal baseline profile: mean value per (day-of-week,
+    hour-of-day) slot and its ratio to the global mean — the lookup
+    table a seasonal-adjusted anomaly detector joins against (the
+    per-entity zscore op covers the non-seasonal case).  One aggregate
+    to ≤168 slots + a broadcast 1-row global mean; dayofweek origins
+    aligned Spark-side."""
+    e = load_table(spark, sf_dir, "events")
+    g = e.agg(F.avg("value").alias("gmean"))
+    return (
+        e.crossJoin(F.broadcast(g))
+        .groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("baseline"),
+            F.round(F.avg("value") / F.max("gmean"), 4).alias("seasonal_factor"),
+        )
+    )
+
+
+@query(
+    "dq_entropy_profile",
+    oracle="""
+    WITH stacked AS (
+        SELECT 'lang' AS col_name, lang AS val FROM documents
+        UNION ALL
+        SELECT 'source' AS col_name, source AS val FROM documents
+    ),
+    counts AS (
+        SELECT col_name, val, COUNT(*) AS n
+        FROM stacked WHERE val IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT col_name, SUM(n) * 1.0 AS t FROM counts GROUP BY 1)
+    SELECT counts.col_name,
+           ROUND(-SUM((n / t) * LOG2(n / t)), 6)   AS entropy_bits,
+           CAST(COUNT(*) AS BIGINT)                AS n_distinct,
+           ROUND(MAX(n) / MAX(t), 6)               AS top_share
+    FROM counts JOIN tot USING (col_name)
+    GROUP BY counts.col_name
+    """,
+    group="B3",
+)
+def dq_entropy_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling: Shannon entropy (bits), distinct
+    count and modal share for each categorical column — the "is this
+    column informative / degenerate?" check a pipeline runs before
+    training.  stack() unpivots the columns in the scan projection (no
+    extra pass per column); everything after is value-count-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    stacked = d.select(
+        F.expr("stack(2, 'lang', lang, 'source', source) AS (col_name, val)")
+    )
+    counts = (
+        stacked.filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("col_name").agg((F.sum("n") * 1.0).alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        counts.join(F.broadcast(tot), "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(F.max("n") / F.max("t"), 6).alias("top_share"),
+        )
+    )

@@ -414,3 +414,32 @@ def test_stat_formulas_match_numpy_reference(spark):
     )
     assert abs(t.t_stat - t_ref) < 1e-3 and abs(t.df_welch - df_ref) < 0.05
     assert (t.n1, t.n2) == (len(x), len(y))
+
+
+def test_kmv_set_estimates_accuracy(spark):
+    """Theta-style KMV union/intersection: overlapping halves of a
+    unique-id domain — union exact-known, intersection exact-known;
+    estimates must land within the ±3σ k-min band (k=256)."""
+    from postpy_spark.operators import sketch as SK
+
+    e = load_table(spark, SF_SMOKE, "events")
+    n = e.select("event_id").distinct().count()
+    k = 256
+    a_src = e.filter(F.col("event_id") < 0.7 * n)          # [0, .7n)
+    b_src = e.filter(F.col("event_id") >= 0.4 * n)         # [.4n, n)
+    a = SK.kmv_build(a_src, "event_id", k=k)
+    b = SK.kmv_build(b_src, "event_id", k=k)
+    got = SK.kmv_set_estimates(a, b, k=k).collect()[0]
+    union_true = n
+    inter_true = a_src.join(b_src, "event_id", "left_semi").select(
+        "event_id"
+    ).distinct().count()
+    tol = 3 / (k - 1) ** 0.5
+    assert abs(got.union_est - union_true) / union_true < tol
+    # intersection compounds union + jaccard error: allow 2x the band
+    assert abs(got.intersect_est - inter_true) / union_true < 2 * tol
+    # disjoint sketches → zero intersection, exact
+    d1 = SK.kmv_build(e.filter(F.col("event_id") % 2 == 0), "event_id", k=k)
+    d2 = SK.kmv_build(e.filter(F.col("event_id") % 2 == 1), "event_id", k=k)
+    dd = SK.kmv_set_estimates(d1, d2, k=k).collect()[0]
+    assert dd.intersect_est == 0 and dd.jaccard == 0.0

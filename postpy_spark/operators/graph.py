@@ -16,7 +16,7 @@ iterations regardless of corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,67 @@ def canonical_by_centrality(
             F.round("rank", 6).alias("rank"),
         )
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 15,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """(node, label) communities by synchronous label propagation
+    (Raghavan et al. 2007) with a SELF-VOTE and deterministic
+    (count DESC, label ASC) tie-break.  The self-vote prevents the
+    classic two-coloring oscillation on sparse graphs; majority voting
+    keeps densely-connected groups distinct even when a sparse bridge
+    joins them — which is exactly how LPA differs from connected
+    components (min-label flood).
+
+    Scale: per iteration ONE labels-to-edges join (shuffle keyed on the
+    edge source, same partitioning every round) + one degree-bounded
+    vote window per node; state is a (node, label) frame.  Iterations
+    stop early via an aggregate-only changed-count check; the plan is
+    truncated with localCheckpoint like the PageRank/CC loops.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    for i in range(n_iter):
+        nbr = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        votes = nbr.unionByName(labels)  # self-vote
+        new_labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "label")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
+    edges.unpersist()
+    return labels

@@ -2463,3 +2463,255 @@ def dq_entropy_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("n") / F.max("t"), 6).alias("top_share"),
         )
     )
+
+
+@query(
+    "join_existence_flags",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority = '1-URGENT')    AS has_urgent,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                   AND o.o_totalprice > 200000)           AS has_big
+    FROM customer c
+    """,
+    group="B2",
+)
+def join_existence_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N correlated EXISTS predicates as ONE mark join: instead of one
+    semi join per flag (N shuffles of the fact side), the fact table
+    reduces to per-key boolean aggregates in a single pass and joins
+    once — the classic rewrite for wide "has_X" feature vectors at
+    scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    flags = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent"),
+        F.max(F.col("o_totalprice") > 200000).alias("has_big"),
+    )
+    return c.join(flags, c.c_custkey == flags.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("has_urgent", F.lit(False)).alias("has_urgent"),
+        F.coalesce("has_big", F.lit(False)).alias("has_big"),
+    )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+    WITH agg AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_orderpriority                                AS priority,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)                                AS revenue_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT month, priority, revenue_cents,
+           ROUND(revenue_cents * 1.0
+                 / SUM(revenue_cents) OVER (PARTITION BY month), 6) AS share
+    FROM agg
+    """,
+    group="B4",
+)
+def win_ratio_to_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total analytics (Oracle's RATIO_TO_REPORT): each
+    (month, priority)'s fraction of its month's revenue.  The window
+    runs over the AGGREGATED frame (months × priorities — tiny), never
+    the raw scan; revenue is exact BIGINT cents so the ratio is
+    deterministic cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.partitionBy("month")
+    return agg.select(
+        "month",
+        "priority",
+        "revenue_cents",
+        F.round(F.col("revenue_cents") * 1.0 / F.sum("revenue_cents").over(w), 6)
+        .alias("share"),
+    )
+
+
+@query(
+    "agg_weighted_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS w_mean,
+           ROUND(SQRT(SUM(l_extendedprice * l_extendedprice * l_quantity)
+                      / SUM(l_quantity)
+                      - (SUM(l_extendedprice * l_quantity) / SUM(l_quantity))
+                        * (SUM(l_extendedprice * l_quantity) / SUM(l_quantity))),
+                 2)                                        AS w_std,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS total_weight_centi
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    group="B3",
+)
+def agg_weighted_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted mean / population std per group via moment
+    sums (Σwx, Σwx², Σw) — everything partial-aggregable, one shuffle.
+    The std rounds at 2 (not 4): it is a difference of large
+    near-equal moments, so the last float digits carry cancellation
+    noise; the mean has no cancellation and keeps 4."""
+    l = load_table(spark, sf_dir, "lineitem")
+    swx = F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+    swx2 = F.sum(
+        F.col("l_extendedprice") * F.col("l_extendedprice") * F.col("l_quantity")
+    )
+    sw = F.sum("l_quantity")
+    mean = swx / sw
+    return l.groupBy("l_returnflag").agg(
+        F.round(mean, 4).alias("w_mean"),
+        F.round(F.sqrt(swx2 / sw - mean * mean), 2).alias("w_std"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("total_weight_centi"),
+    )
+
+
+@query(
+    "join_scd2_pointintime",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS key, c_mktsegment AS segment,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN TIMESTAMP '2024-01-15 00:00:00' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'UPGRADED',
+               TIMESTAMP '2024-01-15 00:00:00', CAST(NULL AS TIMESTAMP)
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT e.event_id, e.user_id, d.segment, d.valid_from
+    FROM events e JOIN dim d
+      ON e.user_id = d.key
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+    group="B2",
+)
+def join_scd2_pointintime_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against a type-2 SCD dimension: each event
+    joins the dimension version VALID AT ITS OWN TIMESTAMP (no time-
+    travel leakage — the training-data staple).  The equi key carries
+    the hash join; the validity interval is a residual predicate that
+    keeps exactly one version per event because SCD2 intervals
+    partition time.  Never a quadratic interval pairing, never an asof
+    sort — per-key version counts are small by construction."""
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"),
+        ).alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("UPGRADED").alias("segment"),
+        F.lit("2024-01-15 00:00:00").cast("timestamp_ntz").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    e = load_table(spark, sf_dir, "events")
+    return e.join(
+        dim,
+        (e.user_id == dim.key)
+        & (e.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (e.ts < dim.valid_to)),
+    ).select("event_id", "user_id", "segment", "valid_from")
+
+
+@query(
+    "fn_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 4)                              AS value,
+           ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 4) AS clipped,
+           (e.value < b.lo OR e.value > b.hi)             AS was_clipped
+    FROM events e JOIN b USING (event_type)
+    """,
+    group="D",
+)
+def fn_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip at per-group exact p05/p95) — the outlier
+    tamer applied before training-statistics jobs.  One exact-percentile
+    aggregate reduces the scan to |groups| rows of bounds; the bounds
+    broadcast back onto the same scan.  Spark's percentile() and
+    DuckDB's quantile_cont share linear interpolation, so bounds agree
+    to float precision."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return e.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        F.round(clipped, 4).alias("clipped"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "was_clipped"
+        ),
+    )
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+    SELECT c_custkey - c_custkey % 5 AS community,
+           COUNT(*)                  AS size,
+           MIN(c_custkey)            AS min_member
+    FROM customer GROUP BY 1
+    """,
+    group="D",
+)
+def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by label propagation
+    (operators/graph.py::label_propagation) on a planted topology: 5-node
+    cliques (keys sharing floor(k/5)) bridged pairwise inside each decade
+    by one (k%10==4, k+1) edge.  Majority voting must keep each CLIQUE a
+    community despite the bridge — connected components would merge the
+    decade — so the converged labels have the closed form
+    ``community = k - k%5``, which is the SQL oracle: an exact gate on an
+    iterative algorithm.  Edges: per-clique self-join (|clique|²=25,
+    bounded) + bridge projection; iterations as documented on the
+    operator."""
+    from postpy_spark.operators.graph import label_propagation
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    grp = c.withColumn("g", F.col("c_custkey") - F.col("c_custkey") % 5)
+    a, b = grp.alias("a"), grp.alias("b")
+    clique = a.join(b, "g").filter(F.col("a.c_custkey") < F.col("b.c_custkey")).select(
+        F.col("a.c_custkey").alias("id_a"), F.col("b.c_custkey").alias("id_b")
+    )
+    bridge = c.filter(F.col("c_custkey") % 10 == 4).select(
+        F.col("c_custkey").alias("id_a"), (F.col("c_custkey") + 1).alias("id_b")
+    )
+    # cliques homogenize in ~3 rounds; 8 with an every-2 fixpoint check
+    # keeps the driver-session stage count bounded
+    labels = label_propagation(
+        clique.unionByName(bridge), n_iter=8, checkpoint_every=2
+    )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("size"), F.min("node").alias("min_member")
+    )

@@ -110,8 +110,13 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # new in round 7 session 2, sql-checked (6)
     "etl_cdc_apply", "ts_interpolate_linear", "ts_ewma",
     "graph_triangle_count", "sim_range_search", "dedup_url_canonical",
-    # new in round 7 session 3, sql-checked (3)
+    # new in round 7 session 3, sql-checked (12)
     "text_keywords_tfidf", "win_nth_cume", "events_rfm_segments",
+    "join_bloom_pruned", "text_bm25_topk", "etl_table_diff",
+    "stat_crosstab_chi2", "stat_ttest_welch", "stat_trend_by_group",
+    "agg_histogram_equidepth", "ts_seasonal_profile", "dq_entropy_profile",
+    "join_existence_flags", "win_ratio_to_report", "agg_weighted_stats",
+    "join_scd2_pointintime", "fn_winsorize", "graph_label_propagation",
     # new in round 7, sql-checked (26)
     "join_asof_nearest", "dedup_containment", "events_attribution",
     "etl_compact_roundtrip", "ts_resample_ohlc", "docs_split_assign",

@@ -968,3 +968,29 @@ def test_incremental_containment_equals_full_restricted(spark, docs):
     want = {t for t in full if t[0] in new_ids or t[1] in new_ids}
     assert inc == want and len(want) > 0
     assert all(t[0] in new_ids or t[1] in new_ids for t in inc)
+
+
+def test_label_propagation_communities_vs_components(spark):
+    """LPA on two 4-cliques joined by ONE bridge: majority voting keeps
+    two communities where connected components would report one — the
+    semantic difference that justifies the operator.  Also: labels are
+    the clique minima (deterministic tie-break), and a disconnected
+    extra clique keeps its own label."""
+    from pyspark.sql import Row
+
+    from postpy_spark.operators.dedup import connected_components
+    from postpy_spark.operators.graph import label_propagation
+
+    edges = []
+    for base in (0, 10, 100):  # two bridged cliques + one island clique
+        ids = [base + i for i in range(4)]
+        edges += [(x, y) for x in ids for y in ids if x < y]
+    edges.append((3, 10))
+    df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    labels = {r.node: r.label for r in label_propagation(df).collect()}
+    assert {labels[i] for i in range(4)} == {0}
+    assert {labels[10 + i] for i in range(4)} == {10}
+    assert {labels[100 + i] for i in range(4)} == {100}
+    comp = connected_components(df)
+    n_comp = comp.select("component").distinct().count()
+    assert n_comp == 2  # CC merges the bridged cliques; LPA does not

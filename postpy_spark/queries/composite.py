@@ -2715,3 +2715,174 @@ def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).alias("size"), F.min("node").alias("min_member")
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    ),
+    per_session AS (
+        SELECT user_id, sid,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+                             ELSE 0 END) AS BIGINT)                 AS purchase_cents,
+               SUM(CASE WHEN event_type <> 'purchase' THEN 1
+                        ELSE 0 END)                                 AS n_touches
+        FROM s GROUP BY user_id, sid
+    ),
+    credited AS (
+        SELECT s.event_type AS channel,
+               p.purchase_cents * 1.0 / p.n_touches AS credit_cents
+        FROM s JOIN per_session p USING (user_id, sid)
+        WHERE s.event_type <> 'purchase'
+          AND p.n_touches > 0 AND p.purchase_cents > 0
+    )
+    SELECT channel,
+           COUNT(*)                                 AS n_touches,
+           ROUND(SUM(credit_cents) / 100.0, 2)      AS attributed_dollars
+    FROM credited GROUP BY channel
+    """,
+    group="B4",
+)
+def events_attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution (companion to the first-touch
+    events_attribution): each converting session's purchase revenue is
+    split equally across its non-purchase touches.  Same single
+    sessionize window; the per-session rollup joins BACK on
+    (user_id, sid) — co-partitioned with the window's own hash
+    distribution, so no extra full shuffle of the events.  Revenue
+    stays integer cents until the one unavoidable division; the final
+    per-channel sum rounds at 2."""
+    gap_us = 30 * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(
+            F.lag(t_us).over(w).isNull() | ((t_us - F.lag(t_us).over(w)) > gap_us),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_s").over(ws))
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("purchase_cents"),
+        F.sum(F.when(F.col("event_type") != "purchase", 1).otherwise(0)).alias(
+            "n_touches"
+        ),
+    )
+    credited = (
+        sess.filter(F.col("event_type") != "purchase")
+        .join(per_session, ["user_id", "sid"])
+        .filter((F.col("n_touches") > 0) & (F.col("purchase_cents") > 0))
+        .select(
+            F.col("event_type").alias("channel"),
+            (F.col("purchase_cents") * 1.0 / F.col("n_touches")).alias(
+                "credit_cents"
+            ),
+        )
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit_cents") / 100.0, 2).alias("attributed_dollars"),
+    )
+
+
+@query(
+    "ml_woe_encoding",
+    oracle="""
+    WITH lab AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+        FROM events GROUP BY user_id
+    ),
+    feat AS (
+        SELECT c.c_mktsegment AS segment, lab.pos
+        FROM lab JOIN customer c ON lab.user_id = c.c_custkey
+    ),
+    seg AS (
+        SELECT segment,
+               COUNT(*)                    AS n_users,
+               CAST(SUM(pos) AS BIGINT)    AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+        FROM feat GROUP BY segment
+    ),
+    tot AS (SELECT SUM(n_pos) * 1.0 AS tp, SUM(n_neg) * 1.0 AS tn FROM seg)
+    SELECT segment, n_users, n_pos, n_neg,
+           ROUND(LN(((n_pos + 0.5) / (tot.tp + 0.5))
+                    / ((n_neg + 0.5) / (tot.tn + 0.5))), 6) AS woe
+    FROM seg CROSS JOIN tot
+    """,
+    group="D",
+)
+def ml_woe_encoding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding of a categorical feature against a
+    binary label (did the user ever purchase?) — the classic
+    credit-scoring / feature-engineering transform.  Label and feature
+    each reduce in one aggregate; WOE is arithmetic on the |segments|
+    frame with 0.5 Laplace smoothing so empty cells stay finite.
+    Totals ride the whitelisted broadcast-1-row pattern."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    lab = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("pos")
+    )
+    feat = lab.join(c, lab.user_id == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "pos"
+    )
+    seg = feat.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    tot = seg.agg(
+        (F.sum("n_pos") * 1.0).alias("tp"), (F.sum("n_neg") * 1.0).alias("tn")
+    )
+    return seg.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_users",
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.log(
+                ((F.col("n_pos") + 0.5) / (F.col("tp") + 0.5))
+                / ((F.col("n_neg") + 0.5) / (F.col("tn") + 0.5))
+            ),
+            6,
+        ).alias("woe"),
+    )
+
+
+@query("agg_kmv_setops", oracle=None, group="B3")
+def agg_kmv_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style KMV set-operation estimates
+    (operators/sketch.py::kmv_set_estimates): distinct-user cardinality
+    of two overlapping event slices (first 20 days vs last 20 days of
+    the month), their union, intersection and Jaccard — all from two
+    256-hash sketches, never a re-scan.  Rows-only (xxhash64 is
+    engine-specific); the ±3σ accuracy and exact-merge contracts are
+    pytest-pinned."""
+    from postpy_spark.operators import sketch as SK
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    a = SK.kmv_build(e.filter(day <= 20), "user_id", k=256)
+    b = SK.kmv_build(e.filter(day > 10), "user_id", k=256)
+    return SK.kmv_set_estimates(a, b, k=256)

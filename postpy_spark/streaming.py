@@ -539,3 +539,125 @@ def two_level_rate(events: DataFrame) -> DataFrame:
     return lvl2.select(
         F.col("window.start").alias("hour_start"), "event_type", "max_n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state approximate dedup (bloom-filter state per key bucket)
+# ---------------------------------------------------------------------------
+
+APPROX_DEDUP_SCHEMA = "user_id BIGINT, event_type STRING, event_id BIGINT"
+
+
+def _make_bloom_dedup_core(m_bits: int = 1 << 10, k: int = 4):
+    """Pure-Python bloom step shared by the batch (applyInPandas) and
+    streaming (applyInPandasWithState) paths: given one bucket's rows in
+    processing order and that bucket's bit array, return the emit mask
+    (True = first sighting of this (user_id, event_type) key) and set
+    the key's bits.  crc32-seeded positions — deterministic across
+    processes/runs, unlike Python's salted hash().
+
+    Closure on purpose: cloudpickle ships nested functions by VALUE, so
+    the UDF works under any driver cwd (see _make_session_summarizer).
+    """
+
+    def step(pdf, bits: bytearray) -> list[bool]:
+        import zlib
+
+        emit: list[bool] = []
+        for uid, et in zip(pdf["user_id"], pdf["event_type"]):
+            key = f"{uid}|{et}"
+            poss = [
+                zlib.crc32(f"{i}|{key}".encode()) % m_bits for i in range(k)
+            ]
+            if all(bits[p >> 3] & (1 << (p & 7)) for p in poss):
+                emit.append(False)  # seen (or a false positive)
+            else:
+                emit.append(True)
+                for p in poss:
+                    bits[p >> 3] |= 1 << (p & 7)
+        return emit
+
+    return step
+
+
+def _bucketed(events: DataFrame, n_buckets: int) -> DataFrame:
+    return events.withColumn(
+        "_bucket", F.pmod(F.xxhash64("user_id", "event_type"), F.lit(n_buckets))
+    )
+
+
+def approx_dedup_batch(
+    events: DataFrame, m_bits: int = 1 << 10, k: int = 4, n_buckets: int = 64
+) -> DataFrame:
+    """First sighting of each (user_id, event_type) with FIXED per-bucket
+    memory (m_bits bits), processing order = (ts, event_id).  The batch
+    twin of :func:`approx_dedup_stream`: same core, so the two paths'
+    emitted KEY sets agree when fed the same order.
+
+    Why a bloom and not dropDuplicates: exact dedup state grows with the
+    number of distinct keys — unbounded on an unbounded stream.  The
+    bloom caps state at n_buckets·m_bits bits FOREVER, trading a
+    quantified false-positive rate (first sightings wrongly suppressed),
+    which is the standard contract for at-most-once emission at 100 TB
+    stream volumes.
+    """
+    core = _make_bloom_dedup_core(m_bits, k)
+
+    def fn(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bits = bytearray(m_bits // 8)
+        emit = core(pdf, bits)
+        return pdf.loc[
+            pd.Series(emit, index=pdf.index),
+            ["user_id", "event_type", "event_id"],
+        ]
+
+    return (
+        _bucketed(events.select("user_id", "event_type", "event_id", "ts"), n_buckets)
+        .groupBy("_bucket")
+        .applyInPandas(fn, APPROX_DEDUP_SCHEMA)
+    )
+
+
+def approx_dedup_stream(
+    events: DataFrame, m_bits: int = 1 << 10, k: int = 4, n_buckets: int = 64
+) -> DataFrame:
+    """Streaming flavor: the bucket's bloom bits persist as BINARY group
+    state across micro-batches — bounded at m_bits/8 bytes per bucket no
+    matter how many keys flow through, the property dropDuplicates
+    cannot offer without a watermark-bounded horizon."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    core = _make_bloom_dedup_core(m_bits, k)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        bits = bytearray(state.get[0]) if state.exists else bytearray(m_bits // 8)
+        outs = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            emit = core(pdf, bits)
+            outs.append(
+                pdf.loc[
+                    pd.Series(emit, index=pdf.index),
+                    ["user_id", "event_type", "event_id"],
+                ]
+            )
+        state.update((bytes(bits),))
+        if outs:
+            yield pd.concat(outs)
+
+    return (
+        _bucketed(events.select("user_id", "event_type", "event_id", "ts"), n_buckets)
+        .groupBy("_bucket")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=APPROX_DEDUP_SCHEMA,
+            stateStructType="bits BINARY",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

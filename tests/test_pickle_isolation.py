@@ -139,3 +139,18 @@ def test_mmr_greedy_pickles_by_value():
         assert list(out["cand_id"]) == [10, 12], out
 
     _roundtrip_in_clean_subprocess(_make_mmr_greedy(2, 0.3), probe)
+
+
+def test_bloom_dedup_core_pickles_by_value():
+    """approx_dedup payloads must ship by value (nested closures), not by
+    module reference — same contract as the session summarizer."""
+    from postpy_spark.streaming import _make_bloom_dedup_core
+
+    def probe(fn):
+        import pandas as pd
+
+        pdf = pd.DataFrame({"user_id": [1, 1, 2], "event_type": ["a", "a", "b"]})
+        bits = bytearray((1 << 8) // 8)
+        assert fn(pdf, bits) == [True, False, True]
+
+    _roundtrip_in_clean_subprocess(_make_bloom_dedup_core(1 << 8, 3), probe)

@@ -442,3 +442,33 @@ def test_stream_cdc_apply_converges(spark, tmp_path):
     got = etl.cdc_snapshot(spark.read.parquet(state_path))
     batch = load_all()["etl_cdc_apply"].fn(spark, SF_SMOKE)
     assert_same(got, batch)
+
+
+def test_approx_dedup_bounded_state_stream_vs_batch(spark, chunks):
+    """Bloom-state dedup: the streaming path (BINARY state across
+    micro-batches) and the batch twin must emit the same KEY set (the
+    chunk replay visits keys in a different row order, so event_ids may
+    differ for duplicated keys — key-level semantics are the contract);
+    no key is ever emitted twice; suppressed first-sightings (false
+    positives) stay under 1% of the exact key count."""
+    stream = STR.read_event_stream(spark, chunks)
+    got = STR.run_stream_to_memory(
+        STR.approx_dedup_stream(stream), "t_approx_dedup", output_mode="update"
+    )
+    assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+    batch = STR.approx_dedup_batch(load_table(spark, SF_SMOKE, "events"))
+    assert (
+        batch.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+    )
+    stream_keys = {(r.user_id, r.event_type) for r in got.collect()}
+    batch_keys = {(r.user_id, r.event_type) for r in batch.collect()}
+    exact = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert stream_keys == batch_keys  # same bloom core, same key decisions
+    assert stream_keys <= exact
+    assert len(exact) - len(stream_keys) <= max(1, len(exact) // 100)

@@ -1129,3 +1129,52 @@ def etl_table_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("old_o_totalprice", 2).alias("old_price"),
         F.round("new_o_totalprice", 2).alias("new_price"),
     )
+
+
+@query(
+    "scan_json_corrupt",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 13 <> 0
+    """,
+    group="A",
+)
+def scan_json_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance on JSONL ingest: every 13th line of the
+    fixture is truncated mid-object; the PERMISSIVE read routes those
+    lines into ``columnNameOfCorruptRecord`` instead of failing the job
+    (the 100 TB reality: a crawl shard always has bad lines, and one of
+    them must not kill a 1000-executor read).  The oracle is the clean
+    subset of the source table; the in-query assert pins that every
+    corrupt line was captured, not silently dropped."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _workdir(sf_dir, "docs_jsonl_corrupt")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+        (
+            d.select(
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+                )
+                .otherwise(line)
+                .alias("value")
+            ).write.mode("overwrite").text(path)
+        )
+    got = spark.read.schema(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT, _bad STRING"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_bad"
+    ).json(path)
+    # Spark forbids counting ONLY the corrupt column on a raw JSON scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN — column pruning reduces any such
+    # count to just _bad).  Equivalent capture check without touching
+    # _bad alone: good parses + expected corrupt lines == raw line count.
+    # the redundant doc_id conjunct keeps a data column referenced after
+    # count()'s pruning (good lines always carry doc_id)
+    n_good = got.filter(
+        F.col("_bad").isNull() & F.col("doc_id").isNotNull()
+    ).count()
+    n_lines = spark.read.text(path).count()
+    n_expected = d.filter(F.col("doc_id") % 13 == 0).count()
+    assert n_good + n_expected == n_lines, (n_good, n_expected, n_lines)
+    return got.filter(F.col("_bad").isNull()).select("doc_id", "lang", "n_chars")

@@ -2090,3 +2090,46 @@ def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@query("dedup_minhash_eval", oracle=None, group="D")
+def dedup_minhash_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality evaluation of the MinHash/LSH near-dup path —
+    the pipeline-health metric a production dedup job publishes every
+    run: on a bounded audit slice (doc_id < 200; the exact truth is
+    O(slice²) BY DESIGN — audit a sample, never the corpus), compare
+    verified LSH pairs against exact all-pairs shingle-Jaccard truth
+    and emit one row of (truth, candidate, verified, precision,
+    recall).  Verified pairs are a subset of truth by construction
+    (same exact verify), so precision-after-verify is 1 and recall is
+    the banding's miss rate.  Rows-only (hash-permutation dependent);
+    the recall floor is also pytest-pinned at sf0.001."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    stats: dict = {}
+    verified = dedup.minhash_dedup_pairs(d, threshold=0.6, stats=stats)
+    ids = d.select("doc_id")
+    all_pairs = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    truth = dedup.jaccard_verify(all_pairs, d, threshold=0.6)
+    n_truth = truth.count()
+    n_verified = verified.count()
+    hit = verified.select("id_a", "id_b").join(
+        truth.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    )
+    n_hit = hit.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_verified,
+                n_hit,
+                round(n_hit / n_verified, 6) if n_verified else 1.0,
+                round(n_hit / n_truth, 6) if n_truth else 1.0,
+            )
+        ],
+        "n_truth BIGINT, n_verified BIGINT, n_hit BIGINT, "
+        "precision DOUBLE, recall DOUBLE",
+    )

@@ -383,3 +383,49 @@ def udtf_python_analyze_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.tok0, s.tok1, s.tok2 "
         "FROM _pp_udtf_poly_docs d, LATERAL pp_first_tokens(d.text, 3) s"
     )
+
+
+@query(
+    "udtf_table_arg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           ROUND(SUM(value), 4)      AS total
+    FROM events GROUP BY event_type
+    """,
+    group="E",
+)
+def udtf_table_arg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument + PARTITION BY (Spark 4): the
+    planner feeds each partition's rows to one UDTF instance (eval per
+    row, terminate emits the partition summary) — the SQL-surface twin
+    of applyInPandas for users who live in SQL.  PARTITION BY shuffles
+    on event_type exactly like the equivalent aggregate; the UDTF adds
+    per-partition streaming state, not another pass.  Bounded demo of
+    the surface — the vectorized path for THIS job is a plain groupBy."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, n bigint, total double")
+    class TypeSummary:
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._sum = 0.0
+
+        def eval(self, row):  # noqa: ANN001 - Row of the partitioned table
+            self._key = row["event_type"]
+            self._n += 1
+            self._sum += row["value"]
+
+        def terminate(self):
+            if self._key is not None:
+                yield (self._key, self._n, round(self._sum, 4))
+
+    spark.udtf.register("pp_type_summary", TypeSummary)
+    load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).createOrReplaceTempView("_pp_udtf_tbl_events")
+    return spark.sql(
+        "SELECT event_type, n, total FROM pp_type_summary("
+        "TABLE(_pp_udtf_tbl_events) PARTITION BY event_type)"
+    )

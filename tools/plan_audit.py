@@ -98,6 +98,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     # --- the contract ops that ARE the row-at-a-time surface ---
     ("udf_scalar_py", "PY_ROW_UDF"): "group-E contract op for the classic UDF path",
     ("udtf_python", "PY_ROW_UDF"): "the op IS the classic Python UDTF surface",
+    ("udtf_table_arg", "PY_ROW_UDF"): "the op IS the TABLE-arg UDTF surface; partition-shuffle shape matches the aggregate twin",
     ("udtf_python_analyze", "PY_ROW_UDF"):
         "the op IS the polymorphic (analyze) Python UDTF surface; bounded input",
     ("sample_mixture_stable", "NESTED_LOOP"): "broadcast per-lang keep-rate frame (|langs| rows)",

@@ -2886,3 +2886,155 @@ def agg_kmv_setops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = SK.kmv_build(e.filter(day <= 20), "user_id", k=256)
     b = SK.kmv_build(e.filter(day > 10), "user_id", k=256)
     return SK.kmv_set_estimates(a, b, k=256)
+
+
+@query(
+    "embed_centroid_drift",
+    oracle="""
+    WITH d AS (SELECT LEN(embedding) AS dim FROM embeddings LIMIT 1),
+    x AS (
+        SELECT CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS s,
+               i.idx,
+               CAST(embedding[i.idx] AS DOUBLE) AS val
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(range(1, (SELECT dim FROM d) + 1)) AS idx) i
+    ),
+    m AS (SELECT s, idx, AVG(val) AS mu FROM x GROUP BY s, idx),
+    j AS (
+        SELECT a.mu AS ma, b.mu AS mb
+        FROM m a JOIN m b USING (idx)
+        WHERE a.s = 0 AND b.s = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS dim,
+           ROUND(SUM(ma * mb)
+                 / (SQRT(SUM(ma * ma)) * SQRT(SUM(mb * mb))), 6) AS cos_drift,
+           ROUND(SQRT(SUM(ma * ma)), 6) AS l2_a,
+           ROUND(SQRT(SUM(mb * mb)), 6) AS l2_b
+    FROM j
+    """,
+    group="D",
+)
+def embed_centroid_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices (even vs
+    odd vec_id — stand-ins for train vs serve batches): cosine between
+    the slice CENTROIDS, the cheap first-order drift alarm a feature
+    store runs per ingest.  One posexplode + per-(slice, dim) partial
+    aggregate — the reduce is dimension-bounded (2·d rows), the corpus
+    passes once, and nothing ever materializes a d×d matrix (that's
+    embed_pca's job).  Spark's 0-based posexplode aligns to DuckDB's
+    1-based subscripts via pos+1."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.select(
+        (F.col("vec_id") % 2).alias("s"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select("s", (F.col("pos") + 1).alias("idx"), F.col("v").cast("double").alias("val"))
+    m = x.groupBy("s", "idx").agg(F.avg("val").alias("mu"))
+    a = m.filter(F.col("s") == 0).select("idx", F.col("mu").alias("ma"))
+    b = m.filter(F.col("s") == 1).select("idx", F.col("mu").alias("mb"))
+    j = a.join(b, "idx")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dim"),
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            6,
+        ).alias("cos_drift"),
+        F.round(F.sqrt(F.sum(F.col("ma") * F.col("ma"))), 6).alias("l2_a"),
+        F.round(F.sqrt(F.sum(F.col("mb") * F.col("mb"))), 6).alias("l2_b"),
+    )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4)                  AS net,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)   AS gross
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    group="B6",
+)
+def sql_scalar_udf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDFs (Spark 4 `CREATE TEMPORARY FUNCTION …
+    RETURN <expr>`) — the PostgreSQL `CREATE FUNCTION … LANGUAGE SQL`
+    parity surface.  The body INLINES into the plan at analysis time
+    (plain expression, whole-stage codegen, pushdown-friendly) — unlike
+    a Python UDF there is no serialization boundary, which is why this
+    is the right way to package reusable business expressions at
+    100 TB.  The oracle writes the expressions inline, proving the
+    inlining is semantics-preserving.  Rounding is at the arithmetic's
+    exact decimal width (4 = 2+2, 6 = 2+2+2 — see project_expr)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pp_net(price DOUBLE, disc DOUBLE) "
+        "RETURNS DOUBLE RETURN price * (1 - disc)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pp_gross(net DOUBLE, tax DOUBLE) "
+        "RETURNS DOUBLE RETURN net * (1 + tax)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_pp_li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(pp_net(l_extendedprice, l_discount), 4)                AS net,
+               ROUND(pp_gross(pp_net(l_extendedprice, l_discount), l_tax), 6) AS gross
+        FROM _pp_li_sqludf WHERE l_quantity > 45
+        """
+    )
+
+
+@query(
+    "stat_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, med.med,
+               ABS(e.value - med.med) AS adev
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           ROUND(MAX(dev.med), 4)   AS median,
+           ROUND(MAX(mad.mad), 4)   AS mad,
+           CAST(SUM(CASE WHEN dev.adev > 3 * 1.4826 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+    group="B3",
+)
+def stat_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation — the
+    heavy-tail-safe alternative to the z-score op (a single extreme
+    value drags mean AND stddev, masking itself; the median/MAD pair is
+    50%-breakdown robust).  Two exact-percentile aggregates with the
+    per-group results broadcast back between passes; 1.4826 scales MAD
+    to σ-equivalents under normality."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("median"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -119,6 +119,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "join_scd2_pointintime", "fn_winsorize", "graph_label_propagation",
     "events_attribution_linear", "ml_woe_encoding",
     "udtf_table_arg", "scan_json_corrupt",
+    "embed_centroid_drift", "sql_scalar_udf", "stat_mad_outliers",
     # new in round 7, sql-checked (26)
     "join_asof_nearest", "dedup_containment", "events_attribution",
     "etl_compact_roundtrip", "ts_resample_ohlc", "docs_split_assign",

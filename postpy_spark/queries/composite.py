@@ -3038,3 +3038,153 @@ def stat_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, COUNT(*) AS len,
+               MIN(d) AS streak_start
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT)   AS longest_streak,
+           CAST(COUNT(*) AS BIGINT)   AS n_streaks,
+           MIN(streak_start)          AS first_day
+    FROM streaks GROUP BY user_id
+    """,
+    group="B4",
+)
+def events_activity_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks (gaps-and-islands via the
+    date-minus-row_number trick): the calendar twin of the time-gap
+    sessionize ops — islands form in DATE space, so a user active at
+    23:59 and 00:01 is on a streak even though sessionize would split.
+    Distinct user-days first (one aggregate) shrinks the window input
+    to ≤ users×days rows; the island window partitions per user."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.min("streak_start").alias("first_day"),
+    )
+
+
+@query(
+    "join_null_skew_routed",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CASE WHEN event_type IN ('view', 'click', 'error')
+                    THEN NULL ELSE user_id END AS cust_ref
+        FROM events
+    )
+    SELECT e.event_id, e.cust_ref, c.c_mktsegment
+    FROM e LEFT JOIN customer c ON e.cust_ref = c.c_custkey
+    """,
+    group="B2",
+)
+def join_null_skew_routed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-skew-routed outer join: ~60% of the fact rows carry a NULL
+    join key (unattributed events — the real-world shape of optional
+    foreign keys).  A naive left join hashes every NULL into ONE
+    reducer — the classic silent straggler.  Routing: null-keyed rows
+    BYPASS the join entirely (their output is known: all dim columns
+    NULL) and union back around it, so the shuffle carries only keyed
+    rows.  Result identical to the plain LEFT JOIN oracle; the bypass
+    is plan-pinned (no null rows enter the exchange)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(
+            F.col("event_type").isin("view", "click", "error"), F.lit(None)
+        )
+        .otherwise(F.col("user_id"))
+        .alias("cust_ref"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    keyed = e.filter(F.col("cust_ref").isNotNull()).join(
+        c, F.col("cust_ref") == F.col("c_custkey"), "left"
+    ).select("event_id", "cust_ref", "c_mktsegment")
+    nulls = e.filter(F.col("cust_ref").isNull()).select(
+        "event_id", "cust_ref", F.lit(None).cast("string").alias("c_mktsegment")
+    )
+    return keyed.unionByName(nulls)
+
+
+@query(
+    "events_pareto_gini",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn,
+               SUM(n) OVER (ORDER BY n DESC, user_id
+                            ROWS UNBOUNDED PRECEDING) AS cum_n,
+               (SELECT SUM(n) FROM per_user) AS total,
+               (SELECT COUNT(*) FROM per_user) AS n_users
+        FROM per_user
+    )
+    SELECT CAST(MIN(CASE WHEN cum_n * 1.0 / total >= 0.8 THEN rn END)
+                AS BIGINT)                                    AS users_for_80pct,
+           CAST(MAX(n_users) AS BIGINT)                       AS n_users,
+           ROUND(1.0 - 2.0 * SUM(cum_n * 1.0 / total) / MAX(n_users)
+                 + 1.0 / MAX(n_users), 6)                     AS gini
+    FROM ranked
+    """,
+    group="B4",
+)
+def events_pareto_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: how many top users produce 80% of events,
+    plus the Gini coefficient from the Lorenz curve (trapezoid-free
+    discrete form 1 - 2·Σcumshare/n + 1/n over users ranked by activity
+    desc).  The ranking runs on the distributed ranked path
+    (operators/ranking.py) over the per-USER aggregate — users-sized,
+    never a one-task window on raw events."""
+    from postpy_spark.operators.ranking import global_row_number
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_row_number(
+        per_user,
+        [F.col("n").desc(), F.col("user_id").asc()],
+        rn_col="rn",
+        total_col="n_users",
+    )
+    tot = per_user.agg(F.sum("n").alias("total"))
+    # cum_n via the distributed prefix sum over the rn order — no global
+    # one-task window even on this users-sized frame
+    from postpy_spark.operators.ranking import global_running_sum
+
+    cum = global_running_sum(ranked, ["rn"], "n", sum_col="cum_n").crossJoin(
+        F.broadcast(tot)
+    )
+    share = F.col("cum_n") * 1.0 / F.col("total")
+    return cum.agg(
+        F.min(F.when(share >= 0.8, F.col("rn"))).cast("bigint").alias(
+            "users_for_80pct"
+        ),
+        F.max("n_users").cast("bigint").alias("n_users"),
+        F.round(
+            1.0 - 2.0 * F.sum(share) / F.max("n_users") + 1.0 / F.max("n_users"), 6
+        ).alias("gini"),
+    )

@@ -732,3 +732,27 @@ def test_winsorize_bounds_broadcast_back(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
+
+
+def test_null_skew_join_routes_nulls_around_exchange(spark):
+    """join_null_skew_routed: the join branch must filter NULL keys
+    BEFORE its exchange (plan prints the isnotnull filter under the
+    join), and the null branch unions back without any join."""
+    plan = executed_plan(spark, "join_null_skew_routed")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Union" in final, final
+    join_at = final.find("Join")
+    assert join_at != -1, final
+    notnull_at = final.find("isnotnull", join_at)
+    assert notnull_at != -1, final
+    # exactly one join — the null branch must not add a second
+    assert final.count("HashJoin") + final.count("SortMergeJoin") == 1, final
+
+
+def test_pareto_gini_uses_ranged_prefix_paths(spark):
+    """events_pareto_gini: both rank and cumulative sum ride the
+    range-partitioned two-phase path — no SinglePartition exchange over
+    the per-user frame."""
+    plan = executed_plan(spark, "events_pareto_gini")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange rangepartitioning" in final, final

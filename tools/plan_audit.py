@@ -51,6 +51,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("stat_crosstab_chi2", "NESTED_LOOP"): "broadcast 1-row grand total",
     ("ts_seasonal_profile", "NESTED_LOOP"): "broadcast 1-row global mean",
     ("ml_woe_encoding", "NESTED_LOOP"): "broadcast 1-row pos/neg totals",
+    ("events_pareto_gini", "NESTED_LOOP"): "broadcast 1-row grand total",
     ("stat_ttest_welch", "NESTED_LOOP"): "broadcast 1-row group stats triple",
     ("events_rfm_segments", "NESTED_LOOP"): "broadcast 1-row horizon date",
     ("text_bigram_lm", "NESTED_LOOP"): "broadcast 1-row vocab size",

@@ -466,3 +466,77 @@ def _make_mmr_greedy(k: int, lam: float):
         )
 
     return greedy
+
+
+# ---------------------------------------------------------------------------
+# Approximate k-NN GRAPH (all-vectors top-k, LSH-blocked self-join)
+# ---------------------------------------------------------------------------
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """(src, dst, cosine, rank≤k): approximate nearest-neighbor GRAPH —
+    every corpus vector gets its top-k neighbors, the substrate for
+    graph-based dedup/clustering (kNN + connected components ≈ density
+    clustering).  Unlike ann_lsh_topk there is no broadcastable query
+    side: candidates come from a bucket EQUI-self-join per band (2-bit
+    bands like ann_lsh_topk — wide enough for recall on clustered
+    data), hot buckets salt-split so one dense bucket cannot go
+    quadratic (same policy as the MinHash path's _cap_hot_buckets).
+    The salt is hash(id, band_id) — INDEPENDENT per band — so a pair
+    split apart in one band can still collide in another; with B
+    always-hot bands the residual loss is (1-1/s)^B, not
+    (1-1/s).  Pairs dedup across
+    bands before the ONE exact-cosine scoring pass; per-src top-k is a
+    window over candidate lists, never the corpus."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    sig = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(lsh_signature_col(F.col(vec_col), planes, bands)).alias(
+            "band_id", "band_val"
+        ),
+    )
+    sizes = sig.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("_bn"))
+    salted = sig.join(broadcast(sizes), ["band_id", "band_val"]).withColumn(
+        "salt",
+        F.when(
+            F.col("_bn") > max_bucket,
+            F.pmod(
+                F.xxhash64(F.col("id"), F.col("band_id")),
+                F.ceil(F.col("_bn") / max_bucket),
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    a = salted.select("band_id", "band_val", "salt", F.col("id").alias("src"),
+                      F.col("v").alias("sv"))
+    b = salted.select("band_id", "band_val", "salt", F.col("id").alias("dst"),
+                      F.col("v").alias("dv"))
+    pairs = (
+        a.join(b, ["band_id", "band_val", "salt"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", "sv", "dv")
+        .dropDuplicates(["src", "dst"])
+    )
+    scored = pairs.select(
+        "src", "dst", F.round(cosine_expr(F.col("sv"), F.col("dv")), 6).alias("cosine")
+    )
+    undirected = scored.unionByName(
+        scored.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        undirected.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1178,3 +1178,51 @@ def scan_json_corrupt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_expected = d.filter(F.col("doc_id") % 13 == 0).count()
     assert n_good + n_expected == n_lines, (n_good, n_expected, n_lines)
     return got.filter(F.col("_bad").isNull()).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "scan_dpp_pruned",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, o.o_orderstatus
+    FROM orders o JOIN (
+        SELECT DISTINCT o_orderstatus AS st FROM orders
+        WHERE o_totalprice > 450000
+    ) d ON o.o_orderstatus = d.st
+    """,
+    group="A",
+)
+def scan_dpp_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the partition filter is only known at
+    RUNTIME — "statuses that have a >450k order" comes out of the dim
+    side's DATA (a literal status filter would constant-fold into a
+    static filter instead), yet the partitioned fact scan still skips
+    directories.  At 100 TB this is the difference between listing the
+    matching partitions and scanning them all.  The in-query assert
+    pins the dynamicpruning subquery in the optimized plan (broadcast
+    disabled during planning so DPP inserts the subquery form;
+    tests/test_partition_pruning.py covers the broadcast-reuse form)."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _workdir(sf_dir, "orders_by_status")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        shutil.rmtree(path, ignore_errors=True)
+        (o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .write.partitionBy("o_orderstatus").mode("overwrite").parquet(path))
+    fact = spark.read.parquet(path)
+    dim = (
+        o.filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderstatus").alias("st"))
+        .distinct()
+    )
+    j = fact.join(dim, fact.o_orderstatus == dim.st).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "dynamicpruning" in optimized.lower(), optimized[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    return j

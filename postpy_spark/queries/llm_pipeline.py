@@ -2133,3 +2133,17 @@ def dedup_minhash_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth BIGINT, n_verified BIGINT, n_hit BIGINT, "
         "precision DOUBLE, recall DOUBLE",
     )
+
+
+@query("sim_knn_graph", oracle=None, group="D")
+def sim_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH over the embedding corpus
+    (operators/similarity.py::knn_graph): every vector's top-5 cosine
+    neighbors via LSH-bucketed self-join (8-bit bands, salt-capped hot
+    buckets) — the substrate for graph-based clustering and
+    density-aware dedup.  Rows-only (hyperplane-seed dependent); pytest
+    pins recall ≥0.8 vs the exact brute-force graph and the no-self-edge
+    / rank-contract invariants."""
+    from postpy_spark.operators.similarity import knn_graph
+
+    return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)

@@ -994,3 +994,35 @@ def test_label_propagation_communities_vs_components(spark):
     comp = connected_components(df)
     n_comp = comp.select("component").distinct().count()
     assert n_comp == 2  # CC merges the bridged cliques; LPA does not
+
+
+def test_knn_graph_recall_vs_bruteforce(spark):
+    """kNN graph: recall of LSH-blocked top-5 neighbor edges vs the
+    exact brute-force graph >= 0.8; no self-edges; every rank in 1..5
+    exactly once per (src, rank)."""
+    import numpy as np
+
+    from postpy_spark.operators.similarity import knn_graph
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    got = knn_graph(em, k=5).collect()
+    assert all(r.src != r.dst for r in got)
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.src, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
+    rows = em.collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    np.fill_diagonal(S, -np.inf)
+    truth = set()
+    for i in range(len(ids)):
+        # top-5 with dst-ascending tie-break to match the operator
+        order = sorted(range(len(ids)), key=lambda j: (-round(S[i, j], 6), ids[j]))
+        for j in order[:5]:
+            truth.add((int(ids[i]), int(ids[j])))
+    got_edges = {(r.src, r.dst) for r in got}
+    recall = len(got_edges & truth) / len(truth)
+    assert recall >= 0.8, recall

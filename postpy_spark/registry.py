@@ -102,9 +102,13 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # ≥1×).  This round leads with (a) agg_decimal_exact — r6's only hash
     # FAIL, re-expressed as BIGINT cents and needing a fresh green row —
     # and the two ops whose implementation changed this round
-    # (dedup_semantic cell cap, scan_text NULL sentinel), then (b) the
-    # remaining never-driver-sampled queries, sql-checked first (stronger
-    # attestation per slot), rows-only tail last.
+    # (dedup_semantic cell cap, scan_text NULL sentinel), then (b) every
+    # query NEW this round, newest sessions first: brand-new oracle
+    # formulations are where the driver's width-sensitive hash finds the
+    # failure classes the local exact-value gate cannot (r4 text_stats,
+    # r6 agg_decimal_exact precedent), so a fresh op outranks an old
+    # never-sampled one whose formulation has been stable for rounds.
+    # The pre-r7 never-sampled backlog follows, sql-checked first.
     # re-attest after this round's fixes (3)
     "agg_decimal_exact", "dedup_semantic", "scan_text",
     # new in round 7 session 2, sql-checked (6)

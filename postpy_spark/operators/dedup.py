@@ -560,6 +560,26 @@ def simhash_near_pairs(
     Chunk buckets above ``max_bucket`` are salt-split (_cap_hot_buckets)."""
     _advance_generation()
     sh = simhash(df, id_col, text_col)
+    return hamming_near_pairs(
+        sh, id_col, "simhash", max_hamming, blocks, max_bucket, stats
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket: int | None = 1024,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Generic Hamming-≤d pair join over ANY precomputed 64-bit signature
+    column (SimHash, perceptual image hash, audio fingerprint): the
+    pigeonhole chunk blocking + salted equi-join + exact bit_count
+    verify, factored out of the SimHash path so every 64-bit fingerprint
+    family shares one scale-safe joiner."""
+    sh = sigs.withColumnRenamed(sig_col, "simhash") if sig_col != "simhash" else sigs
     width = 64 // blocks
     chunked = sh.select(
         id_col,

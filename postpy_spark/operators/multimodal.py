@@ -219,3 +219,73 @@ def audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return audio.mapInPandas(stats, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (average-hash) dedup — near-duplicate IMAGES, not bytes
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = "doc_id BIGINT, kind STRING, phash BIGINT"
+
+
+def _make_phash():
+    """Average-hash over the decoded pixel stream: resample to 64 buckets
+    (mean per bucket), threshold each bucket at the global mean → 64-bit
+    signature.  Robust to small local edits (a changed character shifts
+    one bucket mean slightly) where the byte-digest dedup
+    (multimodal_dedup) flips completely — that is the point of
+    PERCEPTUAL dedup.  Factory-nested for by-value pickling."""
+    decode = _make_fake_pixels()
+
+    def phash(payload: bytes) -> int:
+        px = decode(payload)
+        if not px:
+            return 0
+        n = len(px)
+        buckets = [0.0] * 64
+        counts = [0] * 64
+        for i, p in enumerate(px):
+            b = i * 64 // n if n >= 64 else i
+            buckets[b] += p
+            counts[b] += 1
+        means = [buckets[i] / counts[i] if counts[i] else 0.0 for i in range(64)]
+        grand = sum(buckets) / n
+        bits = 0
+        for i, m in enumerate(means):
+            if m > grand:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    return phash
+
+
+def phash_signatures(media: DataFrame) -> DataFrame:
+    """(doc_id, kind, phash) via the same Arrow-batched decode stage as
+    image_stats — payload bytes never leave the narrow mapInPandas."""
+    ph = _make_phash()
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "phash": pdf["payload"].map(ph).astype("int64"),
+                }
+            )
+
+    return media.select("doc_id", "kind", "payload").mapInPandas(sigs, PHASH_SCHEMA)
+
+
+def phash_near_dups(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming): perceptual near-duplicate
+    pairs via the shared 64-bit Hamming joiner (operators/dedup.py::
+    hamming_near_pairs — pigeonhole chunk blocking, salted hot buckets,
+    exact bit_count verify).  Decode cost is one pass; the join never
+    sees payloads."""
+    from postpy_spark.operators.dedup import hamming_near_pairs
+
+    sigs = phash_signatures(media)
+    return hamming_near_pairs(
+        sigs, id_col="doc_id", sig_col="phash", max_hamming=max_hamming, blocks=8
+    )

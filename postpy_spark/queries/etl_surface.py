@@ -1226,3 +1226,51 @@ def scan_dpp_pruned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
     return j
+
+
+@query(
+    "etl_partition_overwrite",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+    WHERE o_orderstatus <> 'F'
+    UNION ALL
+    SELECT o_orderkey, ROUND(o_totalprice + 1.0, 2) AS o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    group="A",
+)
+def etl_partition_overwrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the idempotent-backfill primitive:
+    rewriting one day/status partition with ``mode("overwrite")`` must
+    replace ONLY the partitions present in the incoming frame, never
+    truncate the table (static overwrite mode — the default — would).
+    The 'F' partition is re-priced and overwritten; the oracle proves
+    the other partitions survived byte-for-byte.  Re-running is a no-op
+    (same derived rows), which is what makes backfills safe to retry
+    at 100 TB."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = _workdir(sf_dir, "orders_dyn_overwrite")
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        shutil.rmtree(path, ignore_errors=True)
+        o.write.partitionBy("o_orderstatus").mode("overwrite").parquet(path)
+    revised = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") + 1.0, 2)
+    )
+    (
+        revised.write.partitionBy("o_orderstatus")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    out = spark.read.parquet(path).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    # dynamic mode must have preserved every other partition
+    statuses = {r.o_orderstatus for r in out.select("o_orderstatus").distinct().collect()}
+    expected = {r.o_orderstatus for r in o.select("o_orderstatus").distinct().collect()}
+    assert statuses == expected, (statuses, expected)
+    return out

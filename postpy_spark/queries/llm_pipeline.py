@@ -2147,3 +2147,19 @@ def sim_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postpy_spark.operators.similarity import knn_graph
 
     return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query("multimodal_phash_dedup", oracle=None, group="D")
+def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL near-duplicate media pairs: average-hash (64-bucket
+    resample of the decoded pixel stream, threshold at the global mean)
+    + the shared Hamming-≤6 chunk-blocked joiner — catches re-encoded /
+    lightly-edited assets whose byte digests differ, which is exactly
+    what multimodal_dedup (sha2 on bytes) cannot.  Decode rides the
+    same Arrow-batched mapInPandas stage as image_stats; the join sees
+    only 64-bit signatures.  Rows-only; pytest pins in-place
+    perturbation recall and append-shift separation."""
+    from postpy_spark.operators import multimodal as MM
+
+    media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return MM.phash_near_dups(media, max_hamming=6)

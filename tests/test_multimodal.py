@@ -71,3 +71,34 @@ def test_payload_pruned_for_metadata_query(spark):
     read = re.search(r"ReadSchema: (\S+)", scan_schema)
     assert read, scan_schema
     assert "text" not in read.group(1) and "payload" not in read.group(1)
+
+
+def test_phash_dedup_catches_inplace_edits_not_reframes(spark):
+    """Perceptual dedup semantics: a single IN-PLACE byte edit (pixel
+    noise analog) keeps Hamming small → every planted twin pairs up;
+    byte-digest dedup on the same twins finds nothing (the digests all
+    differ) — that separation is the op's reason to exist."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    media = MM.synthesize_media(docs)
+    twin = media.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "payload",
+        F.expr("overlay(payload placing to_binary('Z', 'utf-8') from 5)"),
+    )
+    both = media.unionByName(twin)
+    pairs = MM.phash_near_dups(both, max_hamming=6)
+    planted = pairs.filter(F.col("id_b") - F.col("id_a") == 100000).count()
+    n = media.count()
+    assert planted >= n * 0.98, (planted, n)
+    # byte-exact dedup must NOT pair them (every payload differs)
+    digests = both.select(
+        "doc_id", F.sha2(F.col("payload"), 256).alias("d")
+    )
+    a, b = digests.alias("a"), digests.alias("b")
+    byte_pairs = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("b.doc_id") - F.col("a.doc_id") == 100000),
+    ).count()
+    assert byte_pairs == 0

@@ -702,9 +702,17 @@ def test_equidepth_and_rfm_have_no_one_task_window(spark):
         plan = executed_plan(spark, name)
         final = plan.split("== Initial Plan ==")[0]
         assert "Exchange rangepartitioning" in final, (name, final)
-        assert "Window [" not in final or "partitionBy" not in final.lower() or True
-        # a global window would sort on SinglePartition
-        assert "Exchange SinglePartition" not in final or name == "", (name, final)
+        # every full-data window must ride the ranged-path partition id;
+        # benign SinglePartition exchanges remain (1-row global-agg
+        # combines like the RFM horizon), so assert on the windows, not
+        # the exchanges
+        data_windows = [
+            ln
+            for ln in final.splitlines()
+            if "Window [" in ln and ("row_number" in ln or "sum(" in ln)
+        ]
+        assert data_windows, (name, final)
+        assert all("__rank_pid#" in ln for ln in data_windows), (name, final)
 
 
 def test_bm25_probes_and_stats_broadcast(spark):

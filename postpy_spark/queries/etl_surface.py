@@ -1274,3 +1274,53 @@ def etl_partition_overwrite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected = {r.o_orderstatus for r in o.select("o_orderstatus").distinct().collect()}
     assert statuses == expected, (statuses, expected)
     return out
+
+
+@query(
+    "join_federated_jdbc",
+    oracle="""
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    group="A",
+)
+def join_federated_jdbc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED join: parquet fact × JDBC dimension in one plan — the
+    lakehouse-reads-the-operational-DB shape (postgres_fdw parity from
+    the lake side).  The Derby-backed nation dim arrives through a real
+    JDBC scan and BROADCASTS onto the parquet customer aggregate, so the
+    operational database is read once (25 rows over the wire) while the
+    big side never leaves the lake.  At 100 TB the rule this op encodes:
+    federate DIMENSIONS, never facts — the fact side stays columnar."""
+    from postpy_spark.io import DERBY_DRIVER, derby_url, scan_jdbc, sink_jdbc_append
+
+    url = derby_url(_derby_db(sf_dir, "fed_db"))
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    sink_jdbc_append(
+        src, "nation_fed", url=url, mode="overwrite",
+        properties={"driver": DERBY_DRIVER},
+    )
+    dim = scan_jdbc(
+        spark,
+        table="nation_fed",
+        url=url,
+        partition_column="n_nationkey",
+        lower_bound=0,
+        upper_bound=25,
+        num_partitions=2,
+        properties={"driver": DERBY_DRIVER},
+    ).select("n_nationkey", "n_name")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )

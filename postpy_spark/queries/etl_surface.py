@@ -1324,3 +1324,76 @@ def join_federated_jdbc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
     )
+
+
+@query(
+    "catalog_schema_diff",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('lang',      'string', NULL,     'removed'),
+        ('n_chars',   'bigint', 'int',    'retyped'),
+        ('source',    'string', 'string', 'kept'),
+        ('doc_id',    'bigint', 'bigint', 'kept'),
+        ('text',      'string', 'string', 'kept'),
+        ('n_tokens',  NULL,     'bigint', 'added')
+    ) AS t(col_name, old_type, new_type, drift)
+    """,
+    group="A",
+)
+def catalog_schema_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift report — the metadata twin of etl_table_diff: diff
+    two schema versions into added / removed / retyped / kept columns.
+    The 'new' schema is an evolved projection of documents (lang
+    dropped, n_chars narrowed to int, n_tokens added); the comparison
+    runs on driver-side dtypes (bounded metadata, like the catalog
+    ops), so no data is scanned at all.  The ingestion guard a 100 TB
+    pipeline runs before appending a new day's batch."""
+    d = load_table(spark, sf_dir, "documents")
+    evolved = d.drop("lang").withColumn(
+        "n_chars", F.col("n_chars").cast("int")
+    ).withColumn("n_tokens", F.size(F.split("text", " ")).cast("bigint"))
+    old_t = dict(d.dtypes)
+    new_t = dict(evolved.dtypes)
+    rows = []
+    for col in sorted(set(old_t) | set(new_t)):
+        o, n = old_t.get(col), new_t.get(col)
+        drift = (
+            "removed" if n is None
+            else "added" if o is None
+            else "retyped" if o != n
+            else "kept"
+        )
+        rows.append((col, o, n, drift))
+    return spark.createDataFrame(
+        rows, "col_name STRING, old_type STRING, new_type STRING, drift STRING"
+    )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+    group="B6",
+)
+def fn_aes_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption at rest: aes_encrypt (GCM, random IV per
+    row) then aes_decrypt with the same 256-bit key must return the
+    plaintext bit-for-bit — the PII-column pattern where the lake stores
+    ciphertext and only keyholders project the clear text.  Both
+    functions are JVM built-ins (codegen'd, no Python); the oracle is
+    the identity, which is exactly the contract.  The in-query assert
+    pins that ciphertext actually differs from plaintext."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    key = F.lit("0123456789abcdef0123456789abcdef")  # 32-byte demo key
+    enc = d.select(
+        "doc_id",
+        "text",
+        F.aes_encrypt(F.col("text").cast("binary"), key.cast("binary")).alias("ct"),
+    )
+    sample = enc.filter(F.col("doc_id") == 0).select(
+        (F.col("ct").cast("string") != F.col("text")).alias("differs")
+    ).collect()
+    assert not sample or sample[0].differs
+    return enc.select(
+        "doc_id",
+        F.aes_decrypt(F.col("ct"), key.cast("binary")).cast("string").alias("text"),
+    )

@@ -961,3 +961,63 @@ def sample_topk_hash_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .drop("rn")
     )
+
+
+@query(
+    "distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+    group="B5",
+)
+def distinct_on_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostgreSQL's DISTINCT ON — first row per key under an ORDER BY
+    (here: each customer's latest order, orderkey tie-break).  Spark has
+    no DISTINCT ON; the scalable equivalent is max_by on a packed
+    (sort-key, payload) struct inside ONE hash aggregate — map-side
+    partials, no window, no sort of the fact table.  Struct comparison
+    is lexicographic, so (o_orderdate, o_orderkey) DESC packs directly."""
+    o = load_table(spark, sf_dir, "orders")
+    best = F.max_by(
+        F.struct("o_orderkey", "o_orderdate", "o_totalprice"),
+        F.struct("o_orderdate", "o_orderkey"),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(best.alias("b"))
+        .select(
+            "o_custkey",
+            F.col("b.o_orderkey").alias("o_orderkey"),
+            F.col("b.o_orderdate").alias("o_orderdate"),
+            F.col("b.o_totalprice").alias("o_totalprice"),
+        )
+    )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer WHERE c_custkey < 200
+    GROUP BY c_nationkey
+    """,
+    group="B3",
+)
+def agg_string_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostgreSQL string_agg(... ORDER BY ...) — ordered string
+    concatenation per group.  Spark's listagg/collect_list gives NO
+    intra-group order guarantee, so the deterministic form is
+    array_sort(collect_list(...)) then array_join — the sort is
+    per-group (bounded by group size), never a global sort.  Bounded to
+    a key slice because concatenated blobs are an anti-pattern at scale
+    (the docstring IS the warning: prefer arrays or explode downstream)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -3188,3 +3188,122 @@ def events_pareto_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - 2.0 * F.sum(share) / F.max("n_users") + 1.0 / F.max("n_users"), 6
         ).alias("gini"),
     )
+
+
+@query(
+    "ts_change_point",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, AVG(value) AS m, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    c AS (
+        SELECT d, m, n,
+               SUM(m * n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_mn,
+               SUM(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)     AS cum_n,
+               SUM(m * n) OVER ()                                    AS tot_mn,
+               SUM(n) OVER ()                                        AS tot_n,
+               ROW_NUMBER() OVER (ORDER BY d)                        AS rn,
+               COUNT(*) OVER ()                                      AS days
+        FROM daily
+    ),
+    scored AS (
+        SELECT d,
+               ROUND(ABS(cum_mn / cum_n
+                         - (tot_mn - cum_mn) / (tot_n - cum_n)), 6) AS shift
+        FROM c WHERE rn < days
+    )
+    SELECT d AS change_day, shift
+    FROM scored ORDER BY shift DESC, change_day LIMIT 1
+    """,
+    group="B4",
+)
+def ts_change_point_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point detection (binary segmentation, one split): the day
+    whose before/after weighted-mean gap is largest.  The raw scan
+    reduces to one DAILY aggregate (≤ a few hundred rows at any data
+    volume — days, not events), and every cumulative runs on that
+    bounded frame, so the windows here are days-sized by construction
+    (the only place a plain running window is the right call)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.avg("value").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = daily.select(
+        "d",
+        F.sum(F.col("m") * F.col("n")).over(w_run).alias("cum_mn"),
+        F.sum("n").over(w_run).alias("cum_n"),
+        F.sum(F.col("m") * F.col("n")).over(w_all).alias("tot_mn"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.row_number().over(Window.orderBy("d")).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("days"),
+    )
+    scored = c.filter(F.col("rn") < F.col("days")).select(
+        F.col("d").alias("change_day"),
+        F.round(
+            F.abs(
+                F.col("cum_mn") / F.col("cum_n")
+                - (F.col("tot_mn") - F.col("cum_mn"))
+                / (F.col("tot_n") - F.col("cum_n"))
+            ),
+            6,
+        ).alias("shift"),
+    )
+    return scored.orderBy(F.col("shift").desc(), "change_day").limit(1)
+
+
+@query(
+    "graph_bfs_levels",
+    oracle="""
+    SELECT c_custkey - c_custkey % 10 AS root,
+           CAST(c_custkey % 10 AS BIGINT) AS level,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
+    group="D",
+)
+def graph_bfs_levels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels by iterative frontier expansion — the
+    third exact-gated iterative algorithm next to connected components
+    and label propagation: on the planted path topology (k → k+1 inside
+    each decade) the BFS level from each decade head has the closed
+    form ``k % 10``, which is the SQL oracle.  Per iteration ONE
+    frontier-to-edges join + anti-join against visited (both keyed
+    shuffles); frontier state never exceeds the node set, and the loop
+    exits on an aggregate-only empty-frontier check."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    edges = (
+        c.filter(F.col("c_custkey") % 10 < 9)
+        .select(
+            F.col("c_custkey").alias("src"),
+            (F.col("c_custkey") + 1).alias("dst"),
+        )
+    )
+    roots = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_custkey").alias("root"),
+        F.lit(0).cast("bigint").alias("level"),
+    )
+    visited = roots
+    frontier = roots
+    for level in range(1, 11):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(
+                F.col("dst").alias("node"),
+                "root",
+                F.lit(level).cast("bigint").alias("level"),
+            )
+            .join(visited.select("node"), "node", "left_anti")
+            .dropDuplicates(["node"])
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited.groupBy("root", "level").agg(F.count(F.lit(1)).alias("n"))

@@ -96,6 +96,10 @@ WHITELIST: dict[tuple[str, str], str] = {
         "rank over MG candidates: <= partitions x capacity rows (test-pinned)",
     ("text_tokenize_tf", "UNPARTITIONED_WIN"):
         "rank within per-lang term counts: vocab-bounded per language",
+    ("ts_change_point", "UNPARTITIONED_WIN"):
+        "cumulatives over the DAILY aggregate: days-sized frame by construction",
+    ("ts_change_point", "SINGLE_PARTITION"):
+        "the same days-sized daily frame feeding its global window",
     # --- the contract ops that ARE the row-at-a-time surface ---
     ("udf_scalar_py", "PY_ROW_UDF"): "group-E contract op for the classic UDF path",
     ("udtf_python", "PY_ROW_UDF"): "the op IS the classic Python UDTF surface",

@@ -3307,3 +3307,52 @@ def graph_bfs_levels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.groupBy("root", "level").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "dq_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT)                                  AS n_rows,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_user,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)   AS total_cents
+    FROM events
+    """,
+    group="A",
+)
+def dq_observe_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via ``df.observe`` (the Spark
+    Observation API): the invariants piggyback on a query the pipeline
+    was running ANYWAY — here a pass-through projection — so row counts,
+    violation counts and control totals cost ZERO extra scans, where
+    dq_check pays one scan per audit.  This is how a 100 TB ingest job
+    self-audits: observe on the write path, alert on the metrics map.
+    The oracle recomputes the same metrics relationally."""
+    from pyspark.sql import Observation
+
+    e = load_table(spark, sf_dir, "events")
+    obs = Observation()
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_negative"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "n_null_user"
+        ),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" job
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                int(m["n_negative"]),
+                int(m["n_null_user"]),
+                int(m["total_cents"]),
+            )
+        ],
+        "n_rows BIGINT, n_negative BIGINT, n_null_user BIGINT, total_cents BIGINT",
+    )

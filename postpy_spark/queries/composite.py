@@ -3356,3 +3356,149 @@ def dq_observe_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows BIGINT, n_negative BIGINT, n_null_user BIGINT, total_cents BIGINT",
     )
+
+
+@query(
+    "stat_moments_shape",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) * 1.0   AS n,
+               SUM(value)       AS s1,
+               SUM(value * value)         AS s2,
+               SUM(value * value * value) AS s3,
+               SUM(value * value * value * value) AS s4
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 4)  AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 4)    AS excess_kurtosis,
+           CAST(n AS BIGINT) AS n
+    FROM m
+    """,
+    group="B3",
+)
+def stat_moments_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness + excess kurtosis per group from RAW MOMENT
+    SUMS (Σx..Σx⁴) — one partial-aggregable pass, and the reason to
+    avoid the built-ins here: Spark's kurtosis() and DuckDB's kurtosis()
+    pick different bias corrections, so the portable form is the
+    explicit central-moment algebra, identical expression trees on both
+    engines.  Rounded at 4 (the moment differences carry cancellation
+    noise like agg_weighted_stats' w_std)."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("value").alias("s1"),
+        F.sum(F.col("value") * F.col("value")).alias("s2"),
+        F.sum(F.col("value") * F.col("value") * F.col("value")).alias("s3"),
+        F.sum(
+            F.col("value") * F.col("value") * F.col("value") * F.col("value")
+        ).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * (F.col("s2") / F.col("n")) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * (F.col("s3") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "event_type",
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 4).alias("excess_kurtosis"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "join_spatial_grid",
+    oracle="""
+    WITH pts AS (
+        SELECT event_id, value AS x, user_id * 1.0 AS y FROM events
+    ),
+    boxes AS (
+        SELECT n_nationkey AS box_id,
+               n_nationkey * 15.0 AS xlo, n_nationkey * 15.0 + 40 AS xhi,
+               n_nationkey * 5.0  AS ylo, n_nationkey * 5.0 + 25  AS yhi
+        FROM nation
+    )
+    SELECT b.box_id,
+           COUNT(p.event_id)                 AS n_points,
+           ROUND(COALESCE(SUM(p.x), 0), 4)   AS sum_x
+    FROM boxes b LEFT JOIN pts p
+      ON p.x >= b.xlo AND p.x < b.xhi AND p.y >= b.ylo AND p.y < b.yhi
+    GROUP BY b.box_id
+    """,
+    group="B2",
+)
+def join_spatial_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial (point-in-rectangle) join via GRID BINNING — the 2-D
+    sibling of join_interval_overlap: a keyless spatial theta join
+    becomes an equi-join by snapping geometry to a fixed grid.  Each
+    point lands in exactly ONE cell; each rectangle explodes to the
+    cells it covers (sequence × sequence) — so every candidate pair
+    surfaces exactly once and needs NO distinct.  The equi-join on
+    (cx, cy) carries the hash shuffle; exact containment is a residual
+    predicate.  At 100 TB this is how geo joins run without a spatial
+    index: pick the cell size near the median rectangle size so the
+    per-rectangle explosion stays O(1)."""
+    W, H = 50.0, 25.0
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        F.col("value").alias("x"),
+        (F.col("user_id") * 1.0).alias("y"),
+        F.floor(F.col("value") / W).alias("cx"),
+        F.floor(F.col("user_id") / H).alias("cy"),
+    )
+    n = load_table(spark, sf_dir, "nation")
+    boxes = n.select(
+        F.col("n_nationkey").alias("box_id"),
+        (F.col("n_nationkey") * 15.0).alias("xlo"),
+        (F.col("n_nationkey") * 15.0 + 40).alias("xhi"),
+        (F.col("n_nationkey") * 5.0).alias("ylo"),
+        (F.col("n_nationkey") * 5.0 + 25).alias("yhi"),
+    )
+    cells = boxes.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("xlo") / W), F.floor((F.col("xhi") - 1e-9) / W)
+            )
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("ylo") / H), F.floor((F.col("yhi") - 1e-9) / H)
+            )
+        ).alias("cy"),
+    )
+    hits = pts.join(F.broadcast(cells), ["cx", "cy"]).filter(
+        (F.col("x") >= F.col("xlo"))
+        & (F.col("x") < F.col("xhi"))
+        & (F.col("y") >= F.col("ylo"))
+        & (F.col("y") < F.col("yhi"))
+    )
+    agg = hits.groupBy("box_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("x"), 4).alias("sum_x"),
+    )
+    # LEFT-join semantics of the oracle: empty boxes report 0
+    return (
+        boxes.select("box_id")
+        .join(agg, "box_id", "left")
+        .select(
+            "box_id",
+            F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+            F.coalesce("sum_x", F.lit(0.0)).alias("sum_x"),
+        )
+    )

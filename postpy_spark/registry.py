@@ -126,7 +126,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "embed_centroid_drift", "sql_scalar_udf", "stat_mad_outliers",
     "events_activity_streaks", "join_null_skew_routed", "events_pareto_gini",
     "scan_dpp_pruned", "etl_partition_overwrite", "join_federated_jdbc",
-    "catalog_schema_diff", "fn_aes_roundtrip", "distinct_on", "agg_string_agg", "ts_change_point", "graph_bfs_levels", "dq_observe_metrics",
+    "catalog_schema_diff", "fn_aes_roundtrip", "distinct_on", "agg_string_agg", "ts_change_point", "graph_bfs_levels", "dq_observe_metrics", "stat_moments_shape", "join_spatial_grid",
     # new in round 7, sql-checked (26)
     "join_asof_nearest", "dedup_containment", "events_attribution",
     "etl_compact_roundtrip", "ts_resample_ohlc", "docs_split_assign",

@@ -3361,14 +3361,17 @@ def dq_observe_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stat_moments_shape",
     oracle="""
-    WITH m AS (
+    WITH v AS (
+        SELECT event_type, value / 100.0 AS x FROM events
+    ),
+    m AS (
         SELECT event_type,
                COUNT(*) * 1.0   AS n,
-               SUM(value)       AS s1,
-               SUM(value * value)         AS s2,
-               SUM(value * value * value) AS s3,
-               SUM(value * value * value * value) AS s4
-        FROM events GROUP BY event_type
+               SUM(x)           AS s1,
+               SUM(x * x)       AS s2,
+               SUM(x * x * x)   AS s3,
+               SUM(x * x * x * x) AS s4
+        FROM v GROUP BY event_type
     )
     SELECT event_type,
            ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
@@ -3389,17 +3392,18 @@ def stat_moments_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoid the built-ins here: Spark's kurtosis() and DuckDB's kurtosis()
     pick different bias corrections, so the portable form is the
     explicit central-moment algebra, identical expression trees on both
-    engines.  Rounded at 4 (the moment differences carry cancellation
-    noise like agg_weighted_stats' w_std)."""
-    e = load_table(spark, sf_dir, "events")
+    engines.  Values are pre-scaled by 1/100 (skewness and kurtosis are
+    scale-invariant) so Σx⁴ keeps ~9 digits of float headroom against
+    partial-sum-order noise at any data volume; rounded at 4."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") / 100.0).alias("x")
+    )
     m = e.groupBy("event_type").agg(
         (F.count(F.lit(1)) * 1.0).alias("n"),
-        F.sum("value").alias("s1"),
-        F.sum(F.col("value") * F.col("value")).alias("s2"),
-        F.sum(F.col("value") * F.col("value") * F.col("value")).alias("s3"),
-        F.sum(
-            F.col("value") * F.col("value") * F.col("value") * F.col("value")
-        ).alias("s4"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
     )
     mu = F.col("s1") / F.col("n")
     m2 = F.col("s2") / F.col("n") - mu * mu

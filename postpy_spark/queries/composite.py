@@ -3506,3 +3506,50 @@ def join_spatial_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_x", F.lit(0.0)).alias("sum_x"),
         )
     )
+
+
+@query("stat_join_cardinality_est", oracle=None, group="B3")
+def stat_join_cardinality_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight equi-join cardinality estimate WITHOUT running the
+    join — the planner's question ("will orders ⋈ events explode?")
+    answered from two KMV sketches + two counts: |A⋈B| ≈ d(A∩B) ·
+    (|A|/dA) · (|B|/dB) under the uniform-multiplicity assumption
+    (documented; heavy-hitter keys need the CMS op on top).  Sketch
+    inputs are k-row frames, so the estimate costs two scans and NO
+    shuffle of either table against the other.  Rows-only; pytest pins
+    the estimate within 2× of the true join count."""
+    from postpy_spark.operators import sketch as SK
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    k = 256
+    sa, sb = SK.kmv_build(e, "key", k=k), SK.kmv_build(o, "key", k=k)
+    setops = SK.kmv_set_estimates(sa, sb, k=k)
+    counts = (
+        e.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(o.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(
+            SK.kmv_estimate(sa, k=k).select(F.col("est").alias("d_a"))
+        )
+        .crossJoin(
+            SK.kmv_estimate(sb, k=k).select(F.col("est").alias("d_b"))
+        )
+    )
+    return setops.crossJoin(F.broadcast(counts)).select(
+        "intersect_est",
+        "n_a",
+        "n_b",
+        "d_a",
+        "d_b",
+        F.round(
+            F.col("intersect_est")
+            * (F.col("n_a") / F.col("d_a"))
+            * (F.col("n_b") / F.col("d_b"))
+        )
+        .cast("bigint")
+        .alias("join_card_est"),
+    )

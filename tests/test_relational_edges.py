@@ -443,3 +443,18 @@ def test_kmv_set_estimates_accuracy(spark):
     d2 = SK.kmv_build(e.filter(F.col("event_id") % 2 == 1), "event_id", k=k)
     dd = SK.kmv_set_estimates(d1, d2, k=k).collect()[0]
     assert dd.intersect_est == 0 and dd.jaccard == 0.0
+
+
+def test_join_cardinality_estimate_within_2x(spark):
+    """KMV join-cardinality estimate vs the true equi-join count on
+    events.user_id x orders.o_custkey: within a factor of 2 (uniform-ish
+    TPC-H multiplicities)."""
+    from postpy_spark.queries.composite import stat_join_cardinality_est_q
+
+    got = stat_join_cardinality_est_q(spark, SF_SMOKE).collect()[0]
+    e = load_table(spark, SF_SMOKE, "events")
+    o = load_table(spark, SF_SMOKE, "orders")
+    true_n = e.join(o, e.user_id == o.o_custkey).count()
+    assert true_n > 0
+    ratio = got.join_card_est / true_n
+    assert 0.5 <= ratio <= 2.0, (got.join_card_est, true_n, ratio)

@@ -52,6 +52,8 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("ts_seasonal_profile", "NESTED_LOOP"): "broadcast 1-row global mean",
     ("ml_woe_encoding", "NESTED_LOOP"): "broadcast 1-row pos/neg totals",
     ("events_pareto_gini", "NESTED_LOOP"): "broadcast 1-row grand total",
+    ("stat_join_cardinality_est", "NESTED_LOOP"):
+        "all sides are 1-row count/sketch-estimate frames",
     ("stat_ttest_welch", "NESTED_LOOP"): "broadcast 1-row group stats triple",
     ("events_rfm_segments", "NESTED_LOOP"): "broadcast 1-row horizon date",
     ("text_bigram_lm", "NESTED_LOOP"): "broadcast 1-row vocab size",

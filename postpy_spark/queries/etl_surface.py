@@ -1397,3 +1397,52 @@ def fn_aes_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.aes_decrypt(F.col("ct"), key.cast("binary")).cast("string").alias("text"),
     )
+
+
+@query(
+    "scan_glob_recursive",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS y
+    FROM orders WHERE YEAR(o_orderdate) IN (1996, 1997)
+    """,
+    group="A",
+)
+def scan_glob_recursive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glob-targeted reads over a nested (non-Hive) directory tree: data
+    landed by an external process as ``dump/y=<year>/part*.parquet``
+    without _metadata or partition discovery — the messy-data-lake
+    reality.  ``recursiveFileLookup`` walks the tree, the path GLOB
+    selects two years at LISTING time (files outside the glob are never
+    opened — the poor man's partition pruning when there is no Hive
+    layout), and the year column is recovered from the file path since
+    non-Hive trees don't materialize it."""
+    import shutil
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("y")
+    )
+    root = _workdir(sf_dir, "orders_nested_dump")
+    if not os.path.exists(f"{root}/_DONE"):
+        shutil.rmtree(root, ignore_errors=True)
+        years = [r.y for r in o.select("y").distinct().collect()]
+        for y in years:
+            (
+                o.filter(F.col("y") == y)
+                .drop("y")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{root}/y={y}/deep")
+            )
+        open(f"{root}/_DONE", "w").close()
+    got = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{root}/y={{1996,1997}}")
+    )
+    return got.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.regexp_extract(F.input_file_name(), r"y=(\d{4})", 1)
+        .cast("bigint")
+        .alias("y"),
+    )

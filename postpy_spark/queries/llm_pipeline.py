@@ -2163,3 +2163,58 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
     return MM.phash_near_dups(media, max_hamming=6)
+
+
+@query("text_excise_repeated_spans", oracle=None, group="D")
+def text_excise_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANING half of exact-substring dedup (Lee et al.
+    arXiv:2107.06499): where dedup_repeated_spans DETECTS corpus-
+    duplicated 5-gram spans, this op EXCISES them — tokens covered by
+    any duplicated span are dropped and the cleaned text re-joined.
+    Span lists are per-doc bounded (merged islands, not raw positions),
+    carried as an array column, and the drop is a JVM filter-with-index
+    HOF over the token array — overlapping spans (islands closer than
+    k) compose correctly because membership, not arithmetic, decides
+    each token.  Rows-only; pytest pins untouched-docs identity, an
+    independent Python reference on a slice, and that re-detection
+    strictly shrinks the duplicated mass."""
+    from pyspark.sql import Window
+
+    k = 5
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.posexplode(dedup.shingles_col(F.col("text"), k=k)).alias("pos", "gram"),
+    )
+    dupg = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("gram")
+    )
+    d = g.join(dupg, "gram").select("doc_id", F.col("pos").cast("bigint").alias("pos"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = d.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e")
+    )
+    doc_spans = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    joined = docs.join(doc_spans, "doc_id", "left").select(
+        "doc_id",
+        dedup.tokens_col(F.col("text")).alias("toks"),
+        F.coalesce("spans", F.array()).alias("spans"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda t, i: ~F.exists(
+            F.col("spans"), lambda sp: (sp["s"] <= i) & (i <= sp["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens_before"),
+        F.size(kept).cast("bigint").alias("n_tokens_after"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -1026,3 +1026,56 @@ def test_knn_graph_recall_vs_bruteforce(spark):
     got_edges = {(r.src, r.dst) for r in got}
     recall = len(got_edges & truth) / len(truth)
     assert recall >= 0.8, recall
+
+
+def test_excise_repeated_spans_invariants(spark):
+    """Excision: untouched docs come back as their normalized selves; an
+    independent Python re-implementation agrees on every doc; and the
+    excised token mass covers at least the detected duplicated mass
+    (overlapping islands excise strictly more)."""
+    from postpy_spark.operators.dedup import normalize_text
+    from postpy_spark.queries.llm_pipeline import (
+        dedup_repeated_spans_q,
+        text_excise_repeated_spans_q,
+    )
+
+    k = 5
+    got = {r.doc_id: r for r in text_excise_repeated_spans_q(spark, SF_SMOKE).collect()}
+    norm = {
+        r.doc_id: r.norm
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .collect()
+    }
+    # independent reference: recompute duplicated grams + excision in Python
+    toks = {d: t.split(" ") if t else [] for d, t in norm.items()}
+    from collections import Counter
+
+    grams = Counter()
+    doc_grams = {}
+    for d, t in toks.items():
+        gs = (
+            [" ".join(t[i : i + k]) for i in range(len(t) - k + 1)]
+            if len(t) >= k
+            else [" ".join(t)]
+        )
+        doc_grams[d] = gs
+        grams.update(gs)
+    for d, t in toks.items():
+        dup_pos = {
+            j
+            for i, gtext in enumerate(doc_grams[d])
+            if grams[gtext] > 1
+            for j in range(i, min(i + k, len(t)))
+        }
+        expect = [tok for j, tok in enumerate(t) if j not in dup_pos]
+        assert got[d].clean_text == " ".join(expect), d
+        if not dup_pos:
+            assert got[d].clean_text == norm[d]
+    before = dedup_repeated_spans_q(spark, SF_SMOKE)
+    total_before = before.agg(F.sum("dup_positions")).collect()[0][0]
+    assert total_before > 0
+    total_excised = sum(
+        r.n_tokens_before - r.n_tokens_after for r in got.values()
+    )
+    assert total_excised >= total_before  # overlaps excise at least the mass

@@ -2745,14 +2745,15 @@ def graph_label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     credited AS (
         SELECT s.event_type AS channel,
-               p.purchase_cents * 1.0 / p.n_touches AS credit_cents
+               (p.purchase_cents * 1000000) // p.n_touches AS credit_ucents
         FROM s JOIN per_session p USING (user_id, sid)
         WHERE s.event_type <> 'purchase'
           AND p.n_touches > 0 AND p.purchase_cents > 0
     )
     SELECT channel,
            COUNT(*)                                 AS n_touches,
-           ROUND(SUM(credit_cents) / 100.0, 2)      AS attributed_dollars
+           ROUND(CAST(SUM(credit_ucents) AS BIGINT) / 100000000.0, 2)
+               AS attributed_dollars
     FROM credited GROUP BY channel
     """,
     group="B4",
@@ -2763,9 +2764,10 @@ def events_attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     split equally across its non-purchase touches.  Same single
     sessionize window; the per-session rollup joins BACK on
     (user_id, sid) — co-partitioned with the window's own hash
-    distribution, so no extra full shuffle of the events.  Revenue
-    stays integer cents until the one unavoidable division; the final
-    per-channel sum rounds at 2."""
+    distribution, so no extra full shuffle of the events.  Credits are
+    EXACT integer micro-cents (floor division): the per-channel sum is
+    then order-free, where a float credit sum flips the rounded total
+    across partial-sum orders."""
     gap_us = 30 * 60 * 1_000_000
     e = load_table(spark, sf_dir, "events")
     t_us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -2794,14 +2796,19 @@ def events_attribution_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_touches") > 0) & (F.col("purchase_cents") > 0))
         .select(
             F.col("event_type").alias("channel"),
-            (F.col("purchase_cents") * 1.0 / F.col("n_touches")).alias(
-                "credit_cents"
+            # exact integer micro-cents (floor div) — a float credit sum
+            # flips the rounded total across partial-sum orders (seen at
+            # sf0.1); integer sums are order-free on both engines
+            F.expr("purchase_cents * 1000000L div n_touches").alias(
+                "credit_ucents"
             ),
         )
     )
     return credited.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_touches"),
-        F.round(F.sum("credit_cents") / 100.0, 2).alias("attributed_dollars"),
+        F.round(F.sum("credit_ucents").cast("long") / 100000000.0, 2).alias(
+            "attributed_dollars"
+        ),
     )
 
 

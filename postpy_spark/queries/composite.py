@@ -3560,3 +3560,154 @@ def stat_join_cardinality_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("join_card_est"),
     )
+
+
+@query(
+    "events_basket_lift",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM e
+    ),
+    baskets AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+    n AS (SELECT COUNT(*) * 1.0 AS n_baskets
+          FROM (SELECT DISTINCT user_id, sid FROM baskets)),
+    item AS (SELECT event_type, COUNT(*) AS supp FROM baskets GROUP BY 1),
+    pair AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               COUNT(*) AS supp_ab
+        FROM baskets a JOIN baskets b
+          ON a.user_id = b.user_id AND a.sid = b.sid
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, supp_ab,
+           ROUND(supp_ab / n.n_baskets, 6) AS support,
+           ROUND((supp_ab / n.n_baskets)
+                 / ((ia.supp / n.n_baskets) * (ib.supp / n.n_baskets)),
+                 4)                        AS lift
+    FROM pair
+    JOIN item ia ON ia.event_type = pair.item_a
+    JOIN item ib ON ib.event_type = pair.item_b
+    CROSS JOIN n
+    """,
+    group="B3",
+)
+def events_basket_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with LIFT over session baskets — the
+    association-rule primitive (a-priori's first level): sessions become
+    item sets, pair support counts ride a within-basket self-join that
+    is |basket-distinct-items|²-bounded per basket (≤ |event_types| —
+    never row-fanout), and lift normalizes by independent supports.
+    One sessionize window + one distinct + bounded joins."""
+    gap_us = 30 * 60 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag(t_us).over(w).isNull() | ((t_us - F.lag(t_us).over(w)) > gap_us),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    baskets = (
+        flagged.withColumn("sid", F.sum("new_s").over(ws))
+        .select("user_id", "sid", "event_type")
+        .distinct()
+    )
+    n = baskets.select("user_id", "sid").distinct().agg(
+        (F.count(F.lit(1)) * 1.0).alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("supp"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("item_a"), F.col("supp").alias("sa"))
+    ib = item.select(F.col("event_type").alias("item_b"), F.col("supp").alias("sb"))
+    return (
+        pair.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "supp_ab",
+            F.round(F.col("supp_ab") / F.col("n_baskets"), 6).alias("support"),
+            F.round(
+                (F.col("supp_ab") / F.col("n_baskets"))
+                / (
+                    (F.col("sa") / F.col("n_baskets"))
+                    * (F.col("sb") / F.col("n_baskets"))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "stat_benford",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(FLOOR(o_totalprice
+                    / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT SUM(n) * 1.0 AS t FROM obs)
+    SELECT obs.d,
+           CAST(obs.n AS BIGINT)                          AS n,
+           ROUND(obs.n / tot.t, 6)                        AS observed_p,
+           ROUND(LOG10(1.0 + 1.0 / obs.d), 6)             AS benford_p
+    FROM obs CROSS JOIN tot
+    """,
+    group="B3",
+)
+def stat_benford_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order amounts — the
+    fraud/data-fabrication screen: observed first-digit frequencies next
+    to the log10(1 + 1/d) expectation.  First digit extraction is pure
+    column math (no string ops), the scan reduces to 9 rows in one
+    partial aggregate.  (TPC-H prices are synthetic-uniform, so the
+    profile VISIBLY deviates — which is exactly what the op should
+    report on fabricated data.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.floor(
+            F.col("o_totalprice") / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg((F.sum("n") * 1.0).alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("t"), 6).alias("observed_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
+    )

@@ -3711,3 +3711,91 @@ def stat_benford_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("t"), 6).alias("observed_p"),
         F.round(F.log10(1.0 + 1.0 / F.col("d")), 6).alias("benford_p"),
     )
+
+
+@query(
+    "ml_ols_normal_eq",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(hour(ts) AS DOUBLE)      AS x1,
+               CAST(dayofweek(ts) AS DOUBLE) AS x2,
+               value / 100.0                 AS y
+        FROM events
+    ),
+    m AS (
+        SELECT COUNT(*) * 1.0 AS n,
+               SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+               SUM(x1 * x1) AS sx11, SUM(x2 * x2) AS sx22,
+               SUM(x1 * x2) AS sx12,
+               SUM(x1 * y)  AS sx1y, SUM(x2 * y) AS sx2y,
+               SUM(y * y)   AS syy
+        FROM v
+    ),
+    c AS (
+        SELECT n,
+               sx11 - sx1 * sx1 / n AS s11,
+               sx22 - sx2 * sx2 / n AS s22,
+               sx12 - sx1 * sx2 / n AS s12,
+               sx1y - sx1 * sy / n  AS s1y,
+               sx2y - sx2 * sy / n  AS s2y,
+               syy - sy * sy / n    AS syy_c,
+               sx1 / n AS m1, sx2 / n AS m2, sy / n AS my
+        FROM m
+    )
+    SELECT ROUND((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12), 6) AS b_hour,
+           ROUND((s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12), 6) AS b_dow,
+           ROUND(my - (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) * m1
+                    - (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) * m2,
+                 6)                                                    AS intercept,
+           ROUND(((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) * s1y
+                  + (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) * s2y)
+                 / syy_c, 6)                                           AS r2,
+           CAST(n AS BIGINT)                                           AS n
+    FROM c
+    """,
+    group="B3",
+)
+def ml_ols_normal_eq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature OLS (value ~ hour + day-of-week) solved by the
+    NORMAL EQUATIONS in closed form — "ML training as one aggregate":
+    all ten raw sums come out of a single partial-aggregable pass, the
+    2×2 solve is scalar algebra on one row (Cramer), and nothing beyond
+    the sums ever shuffles.  The one-pass trick is Sij = Σxixj −
+    ΣxiΣxj/n; y pre-scaled 1/100 for summation headroom (coefficients
+    scale linearly).  dayofweek origins aligned Spark-side (−1), as in
+    the other weekday ops; pytest pins the solution against
+    numpy.linalg.lstsq."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        F.hour("ts").cast("double").alias("x1"),
+        (F.dayofweek("ts") - 1).cast("double").alias("x2"),
+        (F.col("value") / 100.0).alias("y"),
+    )
+    m = v.agg(
+        (F.count(F.lit(1)) * 1.0).alias("n"),
+        F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"), F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    s11 = F.col("sx11") - F.col("sx1") * F.col("sx1") / n
+    s22 = F.col("sx22") - F.col("sx2") * F.col("sx2") / n
+    s12 = F.col("sx12") - F.col("sx1") * F.col("sx2") / n
+    s1y = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    s2y = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = s11 * s22 - s12 * s12
+    b1 = (s1y * s22 - s2y * s12) / det
+    b2 = (s2y * s11 - s1y * s12) / det
+    b0 = F.col("sy") / n - b1 * (F.col("sx1") / n) - b2 * (F.col("sx2") / n)
+    return m.select(
+        F.round(b1, 6).alias("b_hour"),
+        F.round(b2, 6).alias("b_dow"),
+        F.round(b0, 6).alias("intercept"),
+        F.round((b1 * s1y + b2 * s2y) / syy_c, 6).alias("r2"),
+        n.cast("bigint").alias("n"),
+    )

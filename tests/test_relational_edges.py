@@ -458,3 +458,33 @@ def test_join_cardinality_estimate_within_2x(spark):
     assert true_n > 0
     ratio = got.join_card_est / true_n
     assert 0.5 <= ratio <= 2.0, (got.join_card_est, true_n, ratio)
+
+
+def test_ols_normal_eq_matches_numpy_lstsq(spark):
+    """Closed-form normal-equation OLS vs numpy.linalg.lstsq on the same
+    design matrix."""
+    import numpy as np
+
+    from postpy_spark.queries.composite import ml_ols_normal_eq_q
+
+    got = ml_ols_normal_eq_q(spark, SF_SMOKE).collect()[0]
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            F.hour("ts").cast("double").alias("x1"),
+            (F.dayofweek("ts") - 1).cast("double").alias("x2"),
+            (F.col("value") / 100.0).alias("y"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, r.x1, r.x2] for r in rows])
+    y = np.array([r.y for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(got.intercept - beta[0]) < 1e-4
+    assert abs(got.b_hour - beta[1]) < 1e-6
+    assert abs(got.b_dow - beta[2]) < 1e-6
+    pred = X @ beta
+    ss_res = ((y - pred) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    assert abs(got.r2 - (1 - ss_res / ss_tot)) < 1e-5
+    assert got.n == len(rows)

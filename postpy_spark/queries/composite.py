@@ -3799,3 +3799,78 @@ def ml_ols_normal_eq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((b1 * s1y + b2 * s2y) / syy_c, 6).alias("r2"),
         n.cast("bigint").alias("n"),
     )
+
+
+@query(
+    "events_interval_union",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts)             AS s,
+               epoch_us(ts) + 300000000 AS e
+        FROM events
+    ),
+    flag AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY user_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -9223372036854775808)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM flag
+    ),
+    merged AS (
+        SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT)                    AS n_intervals,
+           CAST(CAST(SUM(me - ms) AS BIGINT) // 60000000 AS BIGINT) AS active_minutes
+    FROM merged GROUP BY user_id
+    """,
+    group="B4",
+)
+def events_interval_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION (coverage) per user: each event opens a 5-minute
+    activity window; overlapping/touching windows merge and the op
+    reports merged-interval count and total covered minutes — the
+    utilization/uptime primitive (machine busy-time, user active-time,
+    SLA coverage).  Islands split where a start exceeds the RUNNING MAX
+    of prior ends (not lag(e) — an interval swallowed by a longer
+    predecessor must not reopen); one per-user window + two hash
+    aggregates, exact integer epoch-µs arithmetic throughout."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 300_000_000).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prior_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(prior_max_e, F.lit(-(1 << 63))), 1
+        ).otherwise(0),
+    )
+    isl = flag.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.expr("sum(me - ms) div 60000000").cast("bigint").alias(
+            "active_minutes"
+        ),
+    )

@@ -804,3 +804,48 @@ def agg_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return SK.kmv_estimate(SK.kmv_build(e, "user_id", k=64), k=64)
+
+
+@query(
+    "fn_try_safe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_discount, 0.0)          AS price_per_disc,
+           TRY_CAST(CASE WHEN l_linenumber <= 3
+                         THEN CAST(l_linenumber AS VARCHAR)
+                         ELSE 'n/a' END AS BIGINT)            AS parsed_line,
+           CASE WHEN l_quantity > 0
+                THEN CAST(FLOOR(l_extendedprice / l_quantity) AS BIGINT)
+           END                                                AS unit_floor
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    group="B6",
+)
+def fn_try_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface (ANSI-mode survival kit): Spark 4
+    runs under ANSI SQL where division-by-zero and bad casts THROW —
+    `try_divide` / `try_cast` return NULL instead, which is what a
+    pipeline over dirty data needs (postpy parity: PostgreSQL NULLIF /
+    safe-cast idioms, spelled on the oracle side exactly that way).
+    Pure projection, codegen'd, filter pushed to the scan."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))
+        ).alias("price_per_disc"),
+        F.try_to_number(
+            F.when(
+                F.col("l_linenumber") <= 3, F.col("l_linenumber").cast("string")
+            ).otherwise(F.lit("n/a")),
+            F.lit("9"),
+        )
+        .cast("bigint")
+        .alias("parsed_line"),
+        F.when(
+            F.col("l_quantity") > 0,
+            F.floor(F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")))
+            .cast("bigint"),
+        ).alias("unit_floor"),
+    )

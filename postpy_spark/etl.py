@@ -440,10 +440,13 @@ def table_diff(
     joined = o.withColumn("_old", F.lit(True)).join(
         n.withColumn("_new", F.lit(True)), on=keys, how="full_outer"
     )
-    changed = None
+    # keys-only diff (no compare cols) still has well-defined semantics:
+    # nothing can be 'changed', only added/removed (r7 advice — F.when(None)
+    # would raise TypeError).
+    changed = F.lit(False)
     for c in compare_cols:
         ne = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        changed = ne if changed is None else (changed | ne)
+        changed = changed | ne
     status = (
         F.when(F.col("_new").isNull(), F.lit("removed"))
         .when(F.col("_old").isNull(), F.lit("added"))

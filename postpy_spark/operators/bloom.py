@@ -78,13 +78,12 @@ def bloom_might_contain(
     arr = F.lit(words)
     tests = []
     for i in range(k):
+        # One hash derivation: word index AND bit index both come from
+        # this single pos Column (bit_get takes a Column position, so no
+        # f-string re-derivation that could drift — r7 advice).
         pos = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(m_bits))
         word = F.element_at(arr, (F.shiftright(pos, 6) + 1).cast("int"))
-        bit = F.expr(
-            f"shiftleft(1L, CAST(pmod(xxhash64({key_col}, {i}), {m_bits})"
-            " % 64 AS INT))"
-        )
-        tests.append(word.bitwiseAND(bit) != 0)
+        tests.append(F.bit_get(word, F.pmod(pos, F.lit(64)).cast("int")) == 1)
     return reduce(lambda a, b: a & b, tests)
 
 

@@ -578,7 +578,14 @@ def hamming_near_pairs(
     column (SimHash, perceptual image hash, audio fingerprint): the
     pigeonhole chunk blocking + salted equi-join + exact bit_count
     verify, factored out of the SimHash path so every 64-bit fingerprint
-    family shares one scale-safe joiner."""
+    family shares one scale-safe joiner.
+
+    Advances the persist generation itself: _cap_hot_buckets registers
+    tracked scratch here, and direct callers (phash_near_dups,
+    multimodal_phash_dedup) would otherwise accumulate persisted RDDs
+    across repeated invocations (r7 advice).  The extra advance under
+    simhash_near_pairs is harmless — the prior generation is retained."""
+    _advance_generation()
     sh = sigs.withColumnRenamed(sig_col, "simhash") if sig_col != "simhash" else sigs
     width = 64 // blocks
     chunked = sh.select(

@@ -3154,17 +3154,22 @@ def join_null_skew_routed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(MIN(CASE WHEN cum_n * 1.0 / total >= 0.8 THEN rn END)
                 AS BIGINT)                                    AS users_for_80pct,
            CAST(MAX(n_users) AS BIGINT)                       AS n_users,
-           ROUND(1.0 - 2.0 * SUM(cum_n * 1.0 / total) / MAX(n_users)
-                 + 1.0 / MAX(n_users), 6)                     AS gini
+           ROUND(2.0 * SUM(cum_n * 1.0 / total) / MAX(n_users)
+                 - 1.0 - 1.0 / MAX(n_users), 6)               AS gini
     FROM ranked
     """,
     group="B4",
 )
 def events_pareto_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Activity concentration: how many top users produce 80% of events,
-    plus the Gini coefficient from the Lorenz curve (trapezoid-free
-    discrete form 1 - 2·Σcumshare/n + 1/n over users ranked by activity
-    desc).  The ranking runs on the distributed ranked path
+    plus the Gini coefficient from the Lorenz curve.  With users ranked
+    by activity DESC the cumulative shares are the COMPLEMENT of the
+    ascending Lorenz curve, so the discrete form is
+    2·Σcumshare/n − 1 − 1/n  (one-user-owns-all → 1−1/n, uniform → 0);
+    the ascending-form 1 − 2·Σ/n + 1/n would negate the sign (r7 advice).
+    Sign pinned on a concentrated synthetic distribution in
+    tests/test_composite_units.py.  The ranking runs on the distributed
+    ranked path
     (operators/ranking.py) over the per-USER aggregate — users-sized,
     never a one-task window on raw events."""
     from postpy_spark.operators.ranking import global_row_number
@@ -3192,7 +3197,7 @@ def events_pareto_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n_users").cast("bigint").alias("n_users"),
         F.round(
-            1.0 - 2.0 * F.sum(share) / F.max("n_users") + 1.0 / F.max("n_users"), 6
+            2.0 * F.sum(share) / F.max("n_users") - 1.0 - 1.0 / F.max("n_users"), 6
         ).alias("gini"),
     )
 

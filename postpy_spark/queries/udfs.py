@@ -390,7 +390,8 @@ def udtf_python_analyze_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT)  AS n,
-           ROUND(SUM(value), 4)      AS total
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+                                     AS total
     FROM events GROUP BY event_type
     """,
     group="E",
@@ -402,7 +403,12 @@ def udtf_table_arg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     of applyInPandas for users who live in SQL.  PARTITION BY shuffles
     on event_type exactly like the equivalent aggregate; the UDTF adds
     per-partition streaming state, not another pass.  Bounded demo of
-    the surface — the vectorized path for THIS job is a plain groupBy."""
+    the surface — the vectorized path for THIS job is a plain groupBy.
+
+    The sum accumulates EXACT integer cents (events.value is 2-decimal
+    by construction) and divides only at emit: a float accumulator in
+    nondeterministic partition row order + Python round() (banker's)
+    is the rounding-flake class CLAUDE.md documents (r7 advice)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="event_type string, n bigint, total double")
@@ -410,16 +416,16 @@ def udtf_table_arg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         def __init__(self):
             self._key = None
             self._n = 0
-            self._sum = 0.0
+            self._cents = 0  # exact integer cents — order-independent
 
         def eval(self, row):  # noqa: ANN001 - Row of the partitioned table
             self._key = row["event_type"]
             self._n += 1
-            self._sum += row["value"]
+            self._cents += int(round(row["value"] * 100))
 
         def terminate(self):
             if self._key is not None:
-                yield (self._key, self._n, round(self._sum, 4))
+                yield (self._key, self._n, self._cents / 100.0)
 
     spark.udtf.register("pp_type_summary", TypeSummary)
     load_table(spark, sf_dir, "events").select(

@@ -575,3 +575,12 @@ def test_table_diff_classifies_and_is_nullsafe(spark):
     empty = new.filter("k < 0")
     assert {r.diff_status
             for r in etl.table_diff(old, empty, ["k"], ["v"]).collect()} == {"removed"}
+
+
+def test_table_diff_keys_only_add_remove(spark):
+    """Empty compare_cols = keys-only reconciliation: only added/removed
+    (never 'changed'), and no TypeError from F.when(None) (r7 advice)."""
+    old = spark.createDataFrame([Row(k=1), Row(k=2)])
+    new = spark.createDataFrame([Row(k=2), Row(k=3)])
+    out = {r.k: r.diff_status for r in etl.table_diff(old, new, ["k"], []).collect()}
+    assert out == {1: "removed", 3: "added"}

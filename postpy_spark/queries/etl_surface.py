@@ -32,7 +32,9 @@ WORK_ROOT = "/tmp/postpy_spark_work"
 #: safe for the stale sweep to reclaim.  New pid-keyed dirs MUST be created
 #: via _pid_dir(), which enforces membership here — that keeps the sweep from
 #: ever matching an unrelated numeric-suffixed name (e.g. "stage_2024").
-PID_DIR_PREFIXES = ("derby", "vt_demo", "orders_evo", "binfiles", "orders_compact")
+PID_DIR_PREFIXES = (
+    "derby", "vt_demo", "orders_evo", "binfiles", "orders_compact", "merge_vt",
+)
 
 _swept = False
 
@@ -725,6 +727,60 @@ def table_versioning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vt.write(o.filter(F.col("o_orderkey") % 2 == 0))
     vt.write(o)
     vt.rollback()
+    return vt.read(spark)
+
+
+@query(
+    "merge_versioned",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey, o_totalprice, FALSE AS updated
+        FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    src AS (
+        SELECT o_orderkey, ROUND(o_totalprice * 1.1, 3) AS o_totalprice,
+               TRUE AS updated
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    """,
+    group="A",
+)
+def merge_versioned_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC, time-travelable MERGE (r7 verdict item 3): merge_upsert's
+    anti-join rewrite (etl.py) writing through the versioned snapshot
+    layer (versioned.py) — commit target as v1, MERGE source as v2 via a
+    staged-then-pointer-swapped commit, then apply the SAME merge AGAIN
+    (v3).  The returned read must equal a single application — upsert
+    idempotence is part of the sql-checked result, not just a pytest.
+    Crash-mid-merge atomicity (old snapshot still reads, staging leaves
+    no trace) is gated by tests/test_versioned.py::
+    test_merge_versioned_crash_mid_write.  This is the closest honest
+    Delta-parity MERGE achievable with no connector jars: readers resolve
+    an immutable snapshot, writers swap one pointer atomically."""
+    import shutil
+
+    from postpy_spark.versioned import VersionedTable
+
+    root = _workdir(sf_dir, _pid_dir("merge_vt"))
+    shutil.rmtree(root, ignore_errors=True)
+    vt = VersionedTable(root)
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", "o_totalprice", F.lit(False).alias("updated")
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 1.1, 3).alias("o_totalprice"),
+        F.lit(True).alias("updated"),
+    )
+    vt.write(target)
+    vt.upsert(spark, source, keys=["o_orderkey"])
+    vt.upsert(spark, source, keys=["o_orderkey"])  # idempotent re-run
+    assert vt.current_version() == 3 and vt.versions() == [1, 2, 3]
     return vt.read(spark)
 
 

@@ -1514,6 +1514,42 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_planted",
+    oracle="""
+    SELECT vec_id,
+           vec_id < 50 AS keep,
+           CASE WHEN vec_id < 50 THEN NULL
+                ELSE CAST(vec_id % 50 AS BIGINT) END AS dup_of
+    FROM embeddings
+    """,
+    group="D",
+)
+def dedup_semantic_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle gate for the SemDeDup pipeline (r7 verdict item 4,
+    graph_label_propagation closed-form pattern): replace each vector's
+    embedding with the ONE-HOT vector of its planted duplicate group
+    (group = vec_id % 50, dim 64), so within-group cosine is exactly 1.0
+    and cross-group cosine exactly 0.0.  Identical vectors always share a
+    k-means cell (deterministic argmax), so the full pipeline — coarse
+    quantize, refine, within-cell pair join, lowest-id survivor — has the
+    closed form: keep ⇔ vec_id is its group's minimum (= vec_id < 50),
+    dup_of = group leader for every non-leader.  ``max_cell=None`` keeps
+    the salt split out of the plant (salting is recall-lossy BY DESIGN and
+    is gated separately by the stats property test on dedup_semantic);
+    cell_id is centroid-dependent and excluded from the compared output."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 63), j -> CAST(CASE WHEN j = "
+            "CAST(vec_id % 50 AS INT) THEN 1.0 ELSE 0.0 END AS FLOAT))"
+        ).alias("embedding"),
+    )
+    out = similarity.semantic_dedup(planted, threshold=0.95, max_cell=None)
+    return out.select("vec_id", "keep", "dup_of")
+
+
+@query(
     "dedup_repeated_spans",
     oracle=f"""
     WITH g0 AS (SELECT doc_id, {{grams}} AS gs FROM documents),

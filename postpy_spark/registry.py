@@ -97,72 +97,55 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # -- round-7 rotation.  The driver samples the FIRST ~50 registry
-    # entries; rounds 1-6 attested 156 of 213 queries (every contract op
-    # ≥1×).  This round leads with (a) agg_decimal_exact — r6's only hash
-    # FAIL, re-expressed as BIGINT cents and needing a fresh green row —
-    # and the two ops whose implementation changed this round
-    # (dedup_semantic cell cap, scan_text NULL sentinel), then (b) every
-    # query NEW this round, newest sessions first: brand-new oracle
-    # formulations are where the driver's width-sensitive hash finds the
-    # failure classes the local exact-value gate cannot (r4 text_stats,
-    # r6 agg_decimal_exact precedent), so a fresh op outranks an old
-    # never-sampled one whose formulation has been stable for rounds.
-    # The pre-r7 never-sampled backlog follows, sql-checked first.
-    # re-attest after this round's fixes (3)
-    "agg_decimal_exact", "dedup_semantic", "scan_text",
-    # new in round 7 session 2, sql-checked (6)
-    "etl_cdc_apply", "ts_interpolate_linear", "ts_ewma",
-    "graph_triangle_count", "sim_range_search", "dedup_url_canonical",
-    # new in round 7 session 3, sql-checked (12)
-    "text_keywords_tfidf", "win_nth_cume", "events_rfm_segments",
-    "join_bloom_pruned", "text_bm25_topk", "etl_table_diff",
-    "stat_crosstab_chi2", "stat_ttest_welch", "stat_trend_by_group",
-    "agg_histogram_equidepth", "ts_seasonal_profile", "dq_entropy_profile",
-    "join_existence_flags", "win_ratio_to_report", "agg_weighted_stats",
-    "join_scd2_pointintime", "fn_winsorize", "graph_label_propagation",
-    "events_attribution_linear", "ml_woe_encoding",
-    "udtf_table_arg", "scan_json_corrupt",
-    "embed_centroid_drift", "sql_scalar_udf", "stat_mad_outliers",
-    "events_activity_streaks", "join_null_skew_routed", "events_pareto_gini",
-    "scan_dpp_pruned", "etl_partition_overwrite", "join_federated_jdbc",
-    "catalog_schema_diff", "fn_aes_roundtrip", "distinct_on", "agg_string_agg", "ts_change_point", "graph_bfs_levels", "dq_observe_metrics", "stat_moments_shape", "join_spatial_grid",
-    # new in round 7, sql-checked (26)
-    "join_asof_nearest", "dedup_containment", "events_attribution",
-    "etl_compact_roundtrip", "ts_resample_ohlc", "docs_split_assign",
-    "embed_matryoshka", "sql_pipe_syntax", "fn_generator_explode",
-    "win_running_distinct", "events_dau_wau", "udtf_python_analyze",
-    "events_top_paths", "sim_topk_filtered",
-    "join_interval_overlap", "dedup_repeated_spans", "agg_bitmap_intersect",
-    "sample_topk_hash_per_group", "skyline_pareto", "text_chunk_fixed",
-    "events_window_funnel", "tpch_q2_shape", "tpch_q9_shape",
-    "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
-    # never-sampled, sql-checked: set ops / agg / sort-limit (9)
+    # -- round-8 rotation.  The driver samples the FIRST ~50 registry
+    # entries each round; rounds 1-7 attested 205 of 303 queries (every
+    # contract op >=1x, all green).  The r7 verdict's #1 ask: drain the
+    # 98 never-sampled addendum extras over r8+r9.  This round leads with
+    # (a) the two queries whose FORMULATION changed this session and so
+    # need a fresh attest (events_pareto_gini: Gini sign fix;
+    # udtf_table_arg: exact-cents oracle), (b) queries NEW this round
+    # (brand-new oracle formulations are where the driver's
+    # width-sensitive hash finds what the local exact-value gate cannot),
+    # then (c) the never-sampled sql-checked backlog; the never-sampled
+    # rows-only tail closes the list for r9.
+    # (a) re-attest after this session's fixes (2)
+    "events_pareto_gini", "udtf_table_arg",
+    # (b) new in round 8
+    "merge_versioned", "dedup_semantic_planted",
+    # (c) never-sampled sql-checked backlog (73)
+    "dedup_containment", "events_attribution", "etl_compact_roundtrip",
+    "ts_resample_ohlc", "docs_split_assign", "embed_matryoshka",
+    "sql_pipe_syntax", "fn_generator_explode", "win_running_distinct",
+    "events_dau_wau", "udtf_python_analyze", "events_top_paths",
+    "sim_topk_filtered", "join_interval_overlap", "dedup_repeated_spans",
+    "agg_bitmap_intersect", "sample_topk_hash_per_group", "skyline_pareto",
+    "text_chunk_fixed", "events_window_funnel", "tpch_q2_shape",
+    "tpch_q9_shape", "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
     "except_all_ab", "intersect_all_ab", "unpivot_long", "agg_histogram",
     "agg_group_by_all", "agg_percentile_exact", "sort_nulls_ordering",
-    "limit_offset", "agg_hll_mergeable",
-    # never-sampled TPC-H shapes (6)
-    "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q14_shape",
-    "tpch_q19_shape", "tpch_q22_shape",
-    # never-sampled events/time-series (6)
-    "ts_gapfill", "events_transitions", "events_funnel", "cohort_retention",
-    "events_anomaly_zscore", "dq_check",
-    # never-sampled scans / ETL surface (10)
-    "scan_orc", "scan_xml", "scan_binaryfile",
-    "scan_schema_evolution", "scan_python_datasource", "table_versioning",
-    "sql_execute", "etl_zorder_layout", "catalog_view_roundtrip",
-    "join_fuzzy_blocked",
-    # never-sampled function families (7)
-    "fn_datetime_extra", "fn_url", "fn_struct_nested", "fn_trig",
-    "fn_binary", "fn_collation", "dedup_doc_prefix",
-    # never-sampled LLM-pipeline, sql-checked (5)
-    "text_ngram_dup_ratio", "docs_quality_filter_chain",
+    "limit_offset", "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape",
+    "tpch_q14_shape", "tpch_q19_shape", "tpch_q22_shape", "ts_gapfill",
+    "events_transitions", "events_funnel", "cohort_retention",
+    "events_anomaly_zscore", "dq_check", "scan_orc", "scan_xml",
+    "scan_binaryfile", "scan_schema_evolution", "scan_python_datasource",
+    "table_versioning", "sql_execute", "etl_zorder_layout",
+    "catalog_view_roundtrip", "join_fuzzy_blocked", "fn_datetime_extra",
+    "fn_url", "fn_struct_nested", "fn_trig", "fn_binary", "fn_collation",
+    "dedup_doc_prefix", "text_ngram_dup_ratio", "docs_quality_filter_chain",
     "corpus_mixture_report", "text_lm_ppl_buckets", "text_vocab_coverage",
-    # never-sampled rows-only tail (12)
-    "sim_pq_topk", "sim_ivf_topk", "dedup_simhash", "dedup_incremental",
-    "dedup_pipeline_end_to_end", "dedup_canonical_rank", "kmeans_clusters",
-    "embed_pca", "sample_weighted", "sample_stratified",
-    "sample_mixture_stable", "agg_approx_topk",
+    "events_basket_lift", "stat_benford", "ml_ols_normal_eq",
+    "events_interval_union", "scan_glob_recursive", "fn_try_safe",
+    # never-sampled rows-only tail (25) -- each pytest-gated; a driver
+    # sample yields a rows-only row by design
+    "agg_hll_mergeable", "sim_pq_topk", "sim_ivf_topk", "dedup_simhash",
+    "dedup_incremental", "dedup_pipeline_end_to_end", "dedup_canonical_rank",
+    "kmeans_clusters", "embed_pca", "sample_weighted", "sample_stratified",
+    "sample_mixture_stable", "agg_approx_topk", "agg_kmv_setops",
+    "stat_join_cardinality_est", "agg_cms_estimate", "agg_kmv_distinct",
+    "dedup_containment_scaled", "dedup_containment_incremental",
+    "sim_mmr_rerank", "dedup_minhash_eval", "sim_knn_graph",
+    "multimodal_phash_dedup", "text_excise_repeated_spans",
+    "stream_approx_dedup",
 )
 
 

@@ -122,3 +122,53 @@ def test_streaming_commits_as_versions(spark, tmp_path, vt):
     assert 0 < first < e.count()
     vt.rollback(to_version=versions[0])
     assert vt.read(spark).count() == first         # stream history rewound
+
+
+def test_merge_versioned_crash_mid_write(spark, vt):
+    """A MERGE that dies mid-write (executor failure during the staged
+    parquet write) must leave the table exactly at the pre-merge snapshot:
+    pointer untouched, no staging junk promoted, old snapshot readable,
+    and the retried merge then commits normally (r7 verdict item 3)."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k BIGINT, tag STRING, v DOUBLE"
+    )
+    vt.write(base)
+    # source whose evaluation explodes only at write time (lazy plan)
+    crash_src = spark.createDataFrame(
+        [(2,)], "k BIGINT"
+    ).selectExpr(
+        "k", "CAST(raise_error('merge crash') AS STRING) AS tag",
+        "CAST(1.0 AS DOUBLE) AS v",
+    )
+    with pytest.raises(Exception):
+        vt.upsert(spark, crash_src, keys=["k"])
+    assert vt.current_version() == 1
+    assert vt.versions() == [1]  # staging cleaned, nothing promoted
+    got = {r.k: (r.tag, r.v) for r in vt.read(spark).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b", 20.0)}
+    # the retried (healthy) merge proceeds from the intact snapshot
+    src = spark.createDataFrame([(2, "B", 99.0)], "k BIGINT, tag STRING, v DOUBLE")
+    assert vt.upsert(spark, src, keys=["k"]) == 2
+    assert {r.k: r.tag for r in vt.read(spark).collect()} == {1: "a", 2: "B"}
+
+
+def test_merge_versioned_idempotent_rerun(spark, vt):
+    """Re-applying the identical MERGE batch (the at-least-once delivery
+    case) commits a new version whose DATA equals the first application,
+    and time travel still exposes every intermediate state."""
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k BIGINT, tag STRING, v DOUBLE"
+    )
+    src = spark.createDataFrame(
+        [(2, "B", 99.0), (3, "c", 30.0)], "k BIGINT, tag STRING, v DOUBLE"
+    )
+    vt.write(base)
+    vt.upsert(spark, src, keys=["k"])
+    vt.upsert(spark, src, keys=["k"])  # identical batch, redelivered
+    assert vt.versions() == [1, 2, 3]
+    once = {tuple(r) for r in vt.read(spark, version=2).collect()}
+    twice = {tuple(r) for r in vt.read(spark, version=3).collect()}
+    assert once == twice == {(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0)}
+    assert {tuple(r) for r in vt.read(spark, version=1).collect()} == {
+        (1, "a", 10.0), (2, "b", 20.0)
+    }

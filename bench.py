@@ -50,6 +50,31 @@ HEADLINE = [
     "multimodal_image_stats",
 ]
 
+# Second section (r7 verdict item 5): heavy shapes added in rounds 2-7 that
+# the frozen headline set never times — a perf regression in these was
+# previously invisible.  The primary HEADLINE list stays untouched so
+# cross-round continuity of "value"/"queries" holds; extras report under
+# separate keys ("extras*") with their own pass count.
+HEAVY_EXTRAS = [
+    "dedup_containment_scaled",
+    "dedup_repeated_spans",
+    "dedup_semantic",
+    "dedup_simhash",
+    "join_interval_overlap",
+    "events_dau_wau",
+    "events_top_paths",
+    "events_window_funnel",
+    "events_interval_union",
+    "sim_pq_topk",
+    "sim_ivf_topk",
+    "sim_knn_graph",
+    "graph_label_propagation",
+    "ts_interpolate_linear",
+    "text_bm25_topk",
+    "tpch_q9_shape",
+]
+EXTRAS_RUNS = 2
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -100,6 +125,19 @@ def main() -> None:
     medians = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     spreads = {name: round(max(s) - min(s), 3) for name, s in samples.items()}
     total = round(sum(timings.values()), 3)
+
+    # heavy_extras: warm-up once, then EXTRAS_RUNS timed passes, report min.
+    extra_names = [n for n in HEAVY_EXTRAS if n in reg]
+    for name in extra_names:
+        force(reg[name].fn(spark, sf_dir))
+    extra_samples: dict[str, list[float]] = {name: [] for name in extra_names}
+    for _ in range(EXTRAS_RUNS):
+        for name in extra_names:
+            t0 = time.perf_counter()
+            force(reg[name].fn(spark, sf_dir))
+            extra_samples[name].append(round(time.perf_counter() - t0, 3))
+    extras = {name: min(s) for name, s in extra_samples.items()}
+
     print(
         json.dumps(
             {
@@ -111,6 +149,9 @@ def main() -> None:
                 "queries_median": medians,
                 "queries_spread": spreads,
                 "runs": RUNS,
+                "extras": extras,
+                "extras_value": round(sum(extras.values()), 3),
+                "extras_runs": EXTRAS_RUNS,
                 "sf": sf,
             }
         )

@@ -270,14 +270,22 @@ def asof_nearest_join(
         Window.partitionBy(_KEY).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_fwd = (
-        Window.partitionBy(_KEY).orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # Forward neighbour via the REVERSED ordering with a RUNNING frame:
+    # Spark's [currentRow, unboundedFollowing] frame re-aggregates the
+    # whole remaining frame per row (UnboundedFollowingWindowFunctionFrame,
+    # O(partition²)); last(...) over the descending running frame is the
+    # O(n) incremental path and selects the identical row.  Side DESC keeps
+    # the tie contract: at equal time the left row still precedes the right
+    # row, so an exact-time match stays in the BACKWARD frame only.
+    w_fwd_rev = (
+        Window.partitionBy(_KEY)
+        .orderBy(F.col(_TIME).desc(), F.col(_SIDE).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = (
         r.unionByName(l)
         .withColumn("__back", F.last(_PAYLOAD, ignorenulls=True).over(w_back))
-        .withColumn("__fwd", F.first(_PAYLOAD, ignorenulls=True).over(w_fwd))
+        .withColumn("__fwd", F.last(_PAYLOAD, ignorenulls=True).over(w_fwd_rev))
     )
 
     t = F.col(_TIME).cast("double")

@@ -108,12 +108,16 @@ def test_nearest_picks_closer_side_and_breaks_ties_backward(spark):
     assert got[6] == (None, None)     # unmatched key
     assert got[7] == ("r130", 130)    # exact
 
-    # Both direction frames ride ONE partitioning+sort: a single exchange
-    # and a single sort, never a join (the 100 TB property).  AQE's
-    # toString prints Final + Initial plans; inspect the final one only.
+    # Both direction frames ride ONE partitioning (single exchange, never
+    # a join — the 100 TB property).  The forward frame runs on the
+    # REVERSED sort's running frame (the O(n) incremental path; the
+    # [currentRow, unboundedFollowing] frame re-aggregates per row,
+    # O(partition²)), so exactly TWO sorts — asc + desc — share that one
+    # exchange.  AQE's toString prints Final + Initial plans; inspect the
+    # final one only.
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     import re
-    assert len(re.findall(r"\bSort \[", final)) == 1, final
+    assert len(re.findall(r"\bSort \[", final)) == 2, final
     assert final.count("Exchange hashpartitioning") == 1, final
     assert "Join" not in final, final

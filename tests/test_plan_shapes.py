@@ -586,11 +586,16 @@ def test_generator_explode_is_narrow(spark):
 
 def test_asof_nearest_join_free_plan(spark):
     """join_asof_nearest (registered query): union+dual-frame window — no
-    join node, one sort."""
+    join node; TWO sorts (asc backward frame + the reversed running frame
+    that replaces the O(partition²) unboundedFollowing frame) over one
+    exchange."""
     plan = executed_plan(spark, "join_asof_nearest")
     final = plan.split("== Initial Plan ==")[0]
     assert "Join" not in final, final
-    assert len(re.findall(r"\bSort \[", final)) == 1, final
+    assert len(re.findall(r"\bSort \[", final)) == 2, final
+    # the asof machinery itself adds exactly ONE exchange (the upstream
+    # feed aggregate owns its own)
+    assert final.count("Exchange hashpartitioning(__asof_key") == 1, final
 
 
 def test_cdc_apply_single_exchange_partial_agg(spark):

@@ -149,3 +149,47 @@ def compare_spark_duckdb(df, con, sql: str) -> list[str]:
         diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
         problems.append(f"values differ, first diffs: {diffs}")
     return problems
+
+
+def record_margin(
+    query: str,
+    gate: str,
+    measured: float,
+    bound: float,
+    direction: str = ">=",
+) -> None:
+    """Rows-only margin telemetry (r7 verdict item 6).
+
+    The 32 rows-only queries are pytest-gated (recall floors, sketch
+    error bands, closed-form references), but HOW MUCH headroom each gate
+    has is only visible inside test internals.  Gate tests call this at
+    their quantitative assertion site; it is a no-op unless
+    ``PP_MARGIN_OUT`` is set (tools/rows_only_report.py sets it and runs
+    the gate subset), so normal pytest runs pay nothing.
+
+    ``direction``: ">=" means measured must stay >= bound (recall
+    floors; margin = measured - bound), "<=" means measured must stay
+    <= bound (error bands; margin = bound - measured).  Margin > 0 is
+    headroom; a margin near 0 is a gate about to flake.
+    """
+    import json as _json
+    import os as _os
+
+    path = _os.environ.get("PP_MARGIN_OUT")
+    if not path:
+        return
+    margin = (measured - bound) if direction == ">=" else (bound - measured)
+    with open(path, "a") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "query": query,
+                    "gate": gate,
+                    "measured": round(float(measured), 6),
+                    "bound": round(float(bound), 6),
+                    "direction": direction,
+                    "margin": round(float(margin), 6),
+                }
+            )
+            + "\n"
+        )

@@ -8,6 +8,7 @@ import pytest
 from postpy_spark.io import load_table
 from postpy_spark.operators import dedup, similarity
 from tests.conftest import SF_SMOKE
+from postpy_spark.testing import record_margin
 
 
 @pytest.fixture(scope="module")
@@ -47,6 +48,7 @@ def test_minhash_recall_and_precision(spark, docs):
     # Jaccard-verify step makes precision exact by construction
     assert got.issubset(truth | got)
     assert all(p in truth for p in got), "verified pairs must be true pairs"
+    record_margin("dedup_fuzzy_minhash", "minhash_lsh_recall_vs_exact_jaccard", recall, 0.9)
     assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(truth)} true pairs)"
 
 
@@ -136,6 +138,7 @@ def test_ann_recall_vs_brute_force(spark, embeddings):
     t = {(r.query_id, r.cand_id) for r in exact.collect()}
     g = {(r.query_id, r.cand_id) for r in approx.collect()}
     recall = len(t & g) / len(t)
+    record_margin("sim_ann_lsh", "lsh_topk_recall_vs_brute_force", recall, 0.9)
     assert recall >= 0.9, f"ANN recall {recall:.2f} < 0.9"
 
 
@@ -143,6 +146,7 @@ def test_approx_count_distinct_tolerance(spark):
     l = load_table(spark, SF_SMOKE, "lineitem")
     exact = l.select(F.countDistinct("l_partkey")).first()[0]
     approx = l.select(F.approx_count_distinct("l_partkey", rsd=0.02)).first()[0]
+    record_margin("agg_approx_distinct", "hll_rel_err_vs_exact", abs(approx - exact) / exact, 0.05, "<=")
     assert abs(approx - exact) / exact <= 0.05
 
 
@@ -153,6 +157,7 @@ def test_approx_quantile_tolerance(spark):
 
     vals = [r[0] for r in l.select("l_extendedprice").collect()]
     true_med = float(np.median(vals))
+    record_margin("agg_approx_quantile", "median_rel_err_vs_exact", abs(qs[0] - true_med) / true_med, 0.05, "<=")
     assert abs(qs[0] - true_med) / true_med <= 0.05
 
 
@@ -167,6 +172,7 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
     recall = len(t & g) / len(t)
     # probing half the cells of a random-vector corpus: each true neighbor
     # lands in a probed cell with p ~ n_probe/n_cells plus locality gains
+    record_margin("sim_ivf_topk", "ivf_recall_vs_brute_force", recall, 0.5)
     assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
 
 
@@ -211,6 +217,7 @@ def test_ivf_refine_improves_or_holds_recall(spark, embeddings):
     t = {(r.query_id, r.cand_id) for r in exact.collect()}
     g = {(r.query_id, r.cand_id) for r in approx.collect()}
     recall = len(t & g) / len(t)
+    record_margin("sim_ivf_topk", "refined_ivf_recall_vs_brute_force", recall, 0.5)
     assert recall >= 0.5, f"refined IVF recall {recall:.2f} < 0.5"
 
     centroids, assigned = similarity.ivf_refine(
@@ -533,6 +540,7 @@ def test_pq_recall_vs_brute_force(spark, embeddings):
     # ADC shortlist + exact rerank (deterministic codebook: hash seeding +
     # Lloyd): misses only neighbors whose quantized distance falls outside
     # the shortlist; measured 0.93 at this sf with the defaults
+    record_margin("sim_pq_topk", "pq_adc_recall_vs_brute_force", recall, 0.85)
     assert recall >= 0.85, f"PQ recall {recall:.2f} < 0.85"
 
 
@@ -1025,6 +1033,7 @@ def test_knn_graph_recall_vs_bruteforce(spark):
             truth.add((int(ids[i]), int(ids[j])))
     got_edges = {(r.src, r.dst) for r in got}
     recall = len(got_edges & truth) / len(truth)
+    record_margin("sim_knn_graph", "knn_graph_edge_recall_vs_numpy_exact", recall, 0.8)
     assert recall >= 0.8, recall
 
 

@@ -90,6 +90,8 @@ def test_phash_dedup_catches_inplace_edits_not_reframes(spark):
     pairs = MM.phash_near_dups(both, max_hamming=6)
     planted = pairs.filter(F.col("id_b") - F.col("id_a") == 100000).count()
     n = media.count()
+    from postpy_spark.testing import record_margin
+    record_margin("multimodal_phash_dedup", "planted_twin_recall", planted / n, 0.98)
     assert planted >= n * 0.98, (planted, n)
     # byte-exact dedup must NOT pair them (every payload differs)
     digests = both.select(

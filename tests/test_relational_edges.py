@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from postpy_spark import streaming as STR
 from postpy_spark.io import load_table
 from tests.conftest import SF_SMOKE
+from postpy_spark.testing import record_margin
 
 
 def ts(s):
@@ -157,6 +158,8 @@ def test_hll_mergeable_within_tolerance(spark):
         .collect()
     }
     exact["__ALL__"] = c.select("c_custkey").distinct().count()
+    worst = max(abs(got[seg] - ex) / ex for seg, ex in exact.items())
+    record_margin("agg_hll_mergeable", "worst_segment_rel_err_vs_exact", worst, 0.05, "<=")
     for seg, ex in exact.items():
         assert abs(got[seg] - ex) / ex <= 0.05, (seg, got[seg], ex)
 
@@ -312,10 +315,13 @@ def test_cms_contract_and_mergeability(spark):
         ).collect()
     }
     assert set(est) == set(exact)
+    overshoot_cap = 4 * 2.72 * n_total / 256
+    worst_over = max(est[uid] - c for uid, c in exact.items())
+    record_margin("agg_cms_estimate", "worst_overshoot_vs_4x_collision_bound", worst_over, overshoot_cap, "<=")
     for uid, c in exact.items():
         assert est[uid] >= c, (uid, est[uid], c)
         # ~e/width expected colliding mass; 4x slack keeps this deterministic-data test robust
-        assert est[uid] <= c + 4 * 2.72 * n_total / 256, (uid, est[uid], c)
+        assert est[uid] <= c + overshoot_cap, (uid, est[uid], c)
     # mergeability: hash-split shards sum to the full sketch, counter for counter
     s1 = SK.cms_build(e.filter(F.col("event_id") % 2 == 0), "user_id")
     s2 = SK.cms_build(e.filter(F.col("event_id") % 2 == 1), "user_id")
@@ -341,6 +347,7 @@ def test_kmv_accuracy_and_mergeability(spark):
     est = SK.kmv_estimate(SK.kmv_build(e, "event_id", k=k), k=k).collect()[0]
     assert est.n_hashes == k
     rel = abs(est.est - exact_ids) / exact_ids
+    record_margin("agg_kmv_distinct", "rel_err_vs_3sigma_band", rel, 3 / (k - 1) ** 0.5, "<=")
     assert rel < 3 / (k - 1) ** 0.5, (est.est, exact_ids, rel)
     s1 = SK.kmv_build(e.filter(F.col("event_id") % 2 == 0), "event_id", k=k)
     s2 = SK.kmv_build(e.filter(F.col("event_id") % 2 == 1), "event_id", k=k)
@@ -435,6 +442,10 @@ def test_kmv_set_estimates_accuracy(spark):
         "event_id"
     ).distinct().count()
     tol = 3 / (k - 1) ** 0.5
+    record_margin("agg_kmv_setops", "union_rel_err_vs_3sigma_band",
+                  abs(got.union_est - union_true) / union_true, tol, "<=")
+    record_margin("agg_kmv_setops", "intersect_rel_err_vs_6sigma_band",
+                  abs(got.intersect_est - inter_true) / union_true, 2 * tol, "<=")
     assert abs(got.union_est - union_true) / union_true < tol
     # intersection compounds union + jaccard error: allow 2x the band
     assert abs(got.intersect_est - inter_true) / union_true < 2 * tol
@@ -457,6 +468,8 @@ def test_join_cardinality_estimate_within_2x(spark):
     true_n = e.join(o, e.user_id == o.o_custkey).count()
     assert true_n > 0
     ratio = got.join_card_est / true_n
+    record_margin("stat_join_cardinality_est", "est_over_true_ratio_vs_2x_band",
+                  max(ratio, 1 / ratio), 2.0, "<=")
     assert 0.5 <= ratio <= 2.0, (got.join_card_est, true_n, ratio)
 
 

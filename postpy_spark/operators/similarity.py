@@ -165,13 +165,18 @@ def ann_lsh_topk(
         & (F.col("q.band_val") == F.col("c.band_val"))
         & (F.col("query_id") != F.col("cand_id")),
     )
+    # Score BEFORE the cross-band dedup: cosine is deterministic per pair,
+    # so duplicates collapse identically and the dedup shuffle moves an
+    # 8-byte double instead of two d-float vectors (the broadcast-join
+    # output never shuffles, so re-scoring a pair that collided in several
+    # bands is narrow JVM math, not extra shuffle volume).
     scored = cand.select(
-        "query_id", "cand_id", F.col("q.qv").alias("qv"), F.col("c.cv").alias("cv")
-    ).dropDuplicates(["query_id", "cand_id"]).select(
         "query_id",
         "cand_id",
-        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
-    )
+        F.round(
+            cosine_expr(F.col("q.qv"), F.col("c.cv")), 6
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "cand_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -310,7 +315,7 @@ def ivf_topk(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -344,6 +349,15 @@ def semantic_dedup(
     from .dedup import _advance_generation, _cap_hot_buckets
 
     _advance_generation()
+    if n_cells is None:
+        # Adaptive quantizer size — the r8 scale-soak finding: a FIXED cell
+        # count makes within-cell pair work n²/n_cells, i.e. quadratic in
+        # corpus size (measured 50x wall-time at a 16x tier).  Targeting
+        # ~512 vectors per cell keeps pair work ≈ n·512 — linear — at the
+        # cost of one count() job; max_cell remains the backstop for the
+        # planted-dense-cluster pathology.  16 floor keeps tiny corpora on
+        # the historical golden-fixture path.
+        n_cells = max(16, min(4096, corpus.count() // 512))
     centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col, seed)
     if refine_iters:
         centroids, assigned = ivf_refine(
@@ -499,9 +513,13 @@ def knn_graph(
     bands before the ONE exact-cosine scoring pass; per-src top-k is a
     window over candidate lists, never the corpus."""
     planes = _hyperplanes(dim, n_bits, seed)
+    # Signatures carry ONLY (id, band_id, band_val): the candidate self-join
+    # and the cross-band pair dedup shuffle 16-byte id pairs, not the
+    # d-float payload (~60x fewer shuffle bytes per pair at dim=64).
+    # Vectors join back exactly once, onto the already-deduped pair set,
+    # for the single exact-cosine scoring pass.
     sig = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(lsh_signature_col(F.col(vec_col), planes, bands)).alias(
             "band_id", "band_val"
         ),
@@ -517,18 +535,24 @@ def knn_graph(
             ),
         ).otherwise(F.lit(0)),
     )
-    a = salted.select("band_id", "band_val", "salt", F.col("id").alias("src"),
-                      F.col("v").alias("sv"))
-    b = salted.select("band_id", "band_val", "salt", F.col("id").alias("dst"),
-                      F.col("v").alias("dv"))
+    a = salted.select("band_id", "band_val", "salt", F.col("id").alias("src"))
+    b = salted.select("band_id", "band_val", "salt", F.col("id").alias("dst"))
     pairs = (
         a.join(b, ["band_id", "band_val", "salt"])
         .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst", "sv", "dv")
+        .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    scored = pairs.select(
-        "src", "dst", F.round(cosine_expr(F.col("sv"), F.col("dv")), 6).alias("cosine")
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = (
+        pairs.join(vecs.select(F.col("id").alias("src"), F.col("v").alias("sv")),
+                   "src")
+        .join(vecs.select(F.col("id").alias("dst"), F.col("v").alias("dv")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(cosine_expr(F.col("sv"), F.col("dv")), 6).alias("cosine"),
+        )
     )
     undirected = scored.unionByName(
         scored.select(

@@ -1,0 +1,293 @@
+"""Property-fuzz of the oracle-translation layer (r7 verdict item 7).
+
+The remaining correctness-risk class is hand-written Spark/DuckDB
+semantic drift (rounding, integer widths, null grouping, join-filter
+interaction) in NEW queries.  This suite generates small relational
+specs, renders each spec TWICE — once as a DataFrame pipeline, once as
+DuckDB SQL — and asserts exact-value equality through the same
+compare_spark_duckdb gate tools/check.py uses (including the DESCRIBE
+type-parity check, so a width drift fails even when values collide).
+
+The spec grammar deliberately spans the documented landmine classes:
+- SUM(BIGINT): oracle must CAST (DuckDB widens to HUGEINT);
+- exact-money SUM as integer cents on both sides (never float sums);
+- AVG rendered explicitly as exact-int-sum / count on both sides;
+- NULL-producing LEFT joins with grouped NULL keys;
+- string/number filter mixes with IN / BETWEEN / comparison ops.
+
+Seeded-stable: ``derandomize=True`` makes every run execute the same
+~240 cases (3 tests × 80 examples), so a failure is reproducible by
+plain re-run.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from postpy_spark.io import load_table
+from postpy_spark.testing import compare_spark_duckdb, duckdb_con
+
+SF = "/root/testdata/sf0.001"
+
+CFG = settings(
+    max_examples=80,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (table, numeric cols, 2-dec money cols, string cols with domains)
+TABLES = {
+    "orders": {
+        "ints": ["o_orderkey", "o_custkey"],
+        "money": ["o_totalprice"],
+        "strs": {
+            "o_orderstatus": ["O", "F", "P"],
+            "o_orderpriority": [
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+            ],
+        },
+    },
+    "customer": {
+        "ints": ["c_custkey", "c_nationkey"],
+        "money": ["c_acctbal"],
+        "strs": {
+            "c_mktsegment": [
+                "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+            ],
+        },
+    },
+    "lineitem": {
+        "ints": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "money": ["l_quantity", "l_extendedprice"],
+        "strs": {
+            "l_returnflag": ["A", "N", "R"],
+            "l_linestatus": ["O", "F"],
+        },
+    },
+}
+
+
+@st.composite
+def filter_spec(draw, table: str):
+    """One predicate: (sql_text, spark_column)."""
+    meta = TABLES[table]
+    kind = draw(st.sampled_from(["int_cmp", "money_cmp", "str_eq", "str_in",
+                                 "int_between"]))
+    if kind == "int_cmp":
+        col = draw(st.sampled_from(meta["ints"]))
+        op = draw(st.sampled_from(["<", "<=", "=", ">=", ">", "<>"]))
+        val = draw(st.integers(min_value=0, max_value=2000))
+        sql = f"{col} {op} {val}"
+        spark = F.expr(f"{col} {'!=' if op == '<>' else op} {val}")
+    elif kind == "money_cmp":
+        col = draw(st.sampled_from(meta["money"]))
+        op = draw(st.sampled_from(["<", ">="]))
+        # 2-decimal literal: exactly representable the same way both sides
+        val = draw(st.integers(min_value=0, max_value=500000)) / 100
+        sql = f"{col} {op} {val}"
+        spark = F.expr(f"{col} {op} {val}")
+    elif kind == "str_eq":
+        col = draw(st.sampled_from(sorted(meta["strs"])))
+        val = draw(st.sampled_from(meta["strs"][col]))
+        sql = f"{col} = '{val}'"
+        spark = F.col(col) == val
+    elif kind == "str_in":
+        col = draw(st.sampled_from(sorted(meta["strs"])))
+        vals = draw(
+            st.lists(st.sampled_from(meta["strs"][col]), min_size=1,
+                     max_size=3, unique=True)
+        )
+        sql = f"{col} IN ({', '.join(repr(v) for v in vals)})".replace('"', "'")
+        spark = F.col(col).isin(vals)
+    else:  # int_between
+        col = draw(st.sampled_from(meta["ints"]))
+        lo = draw(st.integers(min_value=0, max_value=1000))
+        hi = lo + draw(st.integers(min_value=0, max_value=1000))
+        sql = f"{col} BETWEEN {lo} AND {hi}"
+        spark = F.col(col).between(lo, hi)
+    return sql, spark
+
+
+@st.composite
+def agg_spec(draw, table: str, prefix: str = ""):
+    """One aggregate: (sql_select_item, spark_agg_column, alias).
+
+    Every numeric aggregate is rendered landmine-safe: BIGINT casts on
+    count/sum (HUGEINT width drift), integer-cents sums for money, avg as
+    exact-int-sum / count.
+    """
+    meta = TABLES[table]
+    kind = draw(st.sampled_from(["count", "count_distinct", "sum_int",
+                                 "sum_cents", "min_int", "max_int",
+                                 "avg_cents", "min_str"]))
+    if kind == "count":
+        alias = f"{prefix}n"
+        return f"CAST(COUNT(*) AS BIGINT) AS {alias}", F.count(
+            F.lit(1)
+        ).cast("bigint").alias(alias), alias
+    if kind == "count_distinct":
+        col = draw(st.sampled_from(meta["ints"]))
+        alias = f"{prefix}nd_{col}"
+        return (
+            f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS {alias}",
+            F.count_distinct(F.col(col)).cast("bigint").alias(alias),
+            alias,
+        )
+    if kind == "sum_int":
+        col = draw(st.sampled_from(meta["ints"]))
+        alias = f"{prefix}s_{col}"
+        return (
+            f"CAST(SUM(CAST({col} AS BIGINT)) AS BIGINT) AS {alias}",
+            F.sum(F.col(col).cast("bigint")).alias(alias),
+            alias,
+        )
+    if kind == "sum_cents":
+        col = draw(st.sampled_from(meta["money"]))
+        alias = f"{prefix}c_{col}"
+        return (
+            f"CAST(SUM(CAST(ROUND({col} * 100) AS BIGINT)) AS BIGINT)"
+            f" AS {alias}",
+            F.sum(F.round(F.col(col) * 100).cast("bigint")).alias(alias),
+            alias,
+        )
+    if kind == "min_int":
+        col = draw(st.sampled_from(meta["ints"]))
+        alias = f"{prefix}mn_{col}"
+        return (
+            f"CAST(MIN({col}) AS BIGINT) AS {alias}",
+            F.min(F.col(col)).cast("bigint").alias(alias),
+            alias,
+        )
+    if kind == "max_int":
+        col = draw(st.sampled_from(meta["ints"]))
+        alias = f"{prefix}mx_{col}"
+        return (
+            f"CAST(MAX({col}) AS BIGINT) AS {alias}",
+            F.max(F.col(col)).cast("bigint").alias(alias),
+            alias,
+        )
+    if kind == "avg_cents":
+        col = draw(st.sampled_from(meta["money"]))
+        alias = f"{prefix}a_{col}"
+        # exact integer sum, ONE double division at the end (both engines)
+        return (
+            f"CAST(SUM(CAST(ROUND({col} * 100) AS BIGINT)) AS BIGINT)"
+            f" * 1.0 / (100 * COUNT({col})) AS {alias}",
+            (
+                F.sum(F.round(F.col(col) * 100).cast("bigint")) * 1.0
+                / (100 * F.count(F.col(col)))
+            ).alias(alias),
+            alias,
+        )
+    col = draw(st.sampled_from(sorted(meta["strs"])))
+    alias = f"{prefix}ms_{col}"
+    return (
+        f"MIN({col}) AS {alias}",
+        F.min(F.col(col)).alias(alias),
+        alias,
+    )
+
+
+def _check(spark, df, sql):
+    con = duckdb_con(SF)
+    problems = compare_spark_duckdb(df, con, sql)
+    assert not problems, f"{problems}\nSQL: {sql}"
+
+
+@given(data=st.data())
+@CFG
+def test_fuzz_filter_project(spark, data):
+    """Filtered scans with 1-3 predicates, projected to a key + payloads."""
+    table = data.draw(st.sampled_from(sorted(TABLES)))
+    meta = TABLES[table]
+    preds = data.draw(st.lists(filter_spec(table), min_size=1, max_size=3))
+    key = meta["ints"][0]
+    strcol = sorted(meta["strs"])[0]
+    df = load_table(spark, SF, table)
+    for _, c in preds:
+        df = df.filter(c)
+    df = df.select(key, strcol)
+    where = " AND ".join(f"({s})" for s, _ in preds)
+    sql = f"SELECT {key}, {strcol} FROM {table} WHERE {where}"
+    _check(spark, df, sql)
+
+
+@given(data=st.data())
+@CFG
+def test_fuzz_groupby_agg(spark, data):
+    """0-2 group keys x 1-3 aggregates over an optionally filtered scan."""
+    table = data.draw(st.sampled_from(sorted(TABLES)))
+    meta = TABLES[table]
+    preds = data.draw(st.lists(filter_spec(table), min_size=0, max_size=2))
+    n_keys = data.draw(st.integers(min_value=0, max_value=2))
+    keys = data.draw(
+        st.lists(
+            st.sampled_from(sorted(meta["strs"]) + meta["ints"][:1]),
+            min_size=n_keys, max_size=n_keys, unique=True,
+        )
+    )
+    aggs = [
+        data.draw(agg_spec(table, prefix=f"g{i}_")) for i in range(
+            data.draw(st.integers(min_value=1, max_value=3))
+        )
+    ]
+    df = load_table(spark, SF, table)
+    for _, c in preds:
+        df = df.filter(c)
+    if keys:
+        out = df.groupBy(*keys).agg(*[a[1] for a in aggs])
+    else:
+        out = df.agg(*[a[1] for a in aggs])
+    where = (
+        " WHERE " + " AND ".join(f"({s})" for s, _ in preds) if preds else ""
+    )
+    sel = ", ".join([*keys, *[a[0] for a in aggs]])
+    group = f" GROUP BY {', '.join(keys)}" if keys else ""
+    sql = f"SELECT {sel} FROM {table}{where}{group}"
+    _check(spark, out, sql)
+
+
+@given(data=st.data())
+@CFG
+def test_fuzz_join_agg(spark, data):
+    """orders x customer equi-join (inner/left), optional filters on both
+    sides, grouped aggregate over the joined frame — exercises NULL group
+    keys from left joins and post-join filter placement."""
+    how = data.draw(st.sampled_from(["inner", "left"]))
+    o_preds = data.draw(st.lists(filter_spec("orders"), min_size=0, max_size=2))
+    # customer-side predicates go in WHERE (post-join on both engines) only
+    # for INNER joins; for LEFT they would silently convert the join type.
+    c_preds = (
+        data.draw(st.lists(filter_spec("customer"), min_size=0, max_size=1))
+        if how == "inner"
+        else []
+    )
+    aggs = [
+        data.draw(agg_spec("orders", prefix=f"j{i}_")) for i in range(
+            data.draw(st.integers(min_value=1, max_value=2))
+        )
+    ]
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    for _, p in o_preds:
+        o = o.filter(p)
+    joined = o.join(c, o.o_custkey == c.c_custkey, how)
+    for _, p in c_preds:
+        joined = joined.filter(p)
+    out = joined.groupBy("c_mktsegment").agg(*[a[1] for a in aggs])
+    conds = [f"({s})" for s, _ in o_preds]
+    sql_o = "SELECT * FROM orders" + (
+        " WHERE " + " AND ".join(conds) if conds else ""
+    )
+    post = " AND ".join(f"({s})" for s, _ in c_preds)
+    sql = (
+        f"SELECT c_mktsegment, {', '.join(a[0] for a in aggs)} "
+        f"FROM ({sql_o}) o {how.upper()} JOIN customer c "
+        f"ON o.o_custkey = c.c_custkey"
+        + (f" WHERE {post}" if post else "")
+        + " GROUP BY c_mktsegment"
+    )
+    _check(spark, out, sql)

@@ -1,0 +1,45 @@
+"""Small-configuration scale-and-skew soak (r7 verdict item 2).
+
+Runs the same planted-pathology machinery as tools/scale_soak.py at
+mult=3 on sf0.01 (~30k events, 1.5k docs/embeddings) so the three soak
+guarantees — caps engage, ~linear growth, zero failed tasks — are gated
+per-round inside the normal suite.  The full tier (mult=16 on sf0.1) is
+run manually via the tool; its results live in docs/SCALE_SOAK.md.
+"""
+
+import pytest
+
+from tools.scale_soak import (
+    SLACK,
+    SOAK_OPS,
+    engagement_stats,
+    run_soak,
+    synthesize,
+)
+
+BASE = "/root/testdata/sf0.01"
+MULT = 3
+
+
+@pytest.fixture(scope="module")
+def soak_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("soak") / f"m{MULT}")
+    synthesize(spark, BASE, out, MULT)
+    return out
+
+
+def test_planted_caps_engage(spark, soak_dir):
+    eng = engagement_stats(spark, soak_dir)  # asserts each cap internally
+    assert eng["minhash"]["hot_buckets"] > 0
+    assert eng["containment"]["stop_grams"] > 0
+    assert eng["semantic"]["hot_buckets"] > 0
+    assert 0.15 <= eng["hot_user_share"] <= 0.3
+
+
+def test_soak_linear_growth_no_failed_tasks(spark, soak_dir):
+    rows, problems = run_soak(spark, BASE, soak_dir, MULT)
+    assert not problems, problems
+    assert set(rows["ops"]) == set(SOAK_OPS)
+    for name, r in rows["ops"].items():
+        assert r["failed_tasks"] == 0, (name, r)
+        assert r["ratio"] <= MULT * SLACK, (name, r)

@@ -86,6 +86,7 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("kmeans_clusters", "NESTED_LOOP"): "broadcast k centroids",
     ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",
     ("dedup_semantic", "NESTED_LOOP"): "broadcast n_cells centroids (cluster assignment argmax)",
+    ("dedup_semantic_planted", "NESTED_LOOP"): "same SemDeDup path on the planted one-hot corpus (broadcast centroids)",
     ("join_cross", "CARTESIAN"): "the op IS a cross join (pre-filtered dims)",
     ("graph_triangle_count", "NESTED_LOOP"):
         "combining the three 1-row aggregate frames (node/edge/triangle "

@@ -10,15 +10,18 @@ Spark mapping:
 
 - **train**: codebooks are seeded from a ``TakeOrderedAndProject`` sample
   (no global sort / one-task stage) and refined with Lloyd iterations whose
-  only full-corpus pass is a narrow Arrow-batched encode; the per-cell mean
-  is a (m x ks x sub_dim)-bounded aggregate — never corpus-sized state.
-- **encode**: one vectorized pandas UDF (numpy broadcast argmin over the
-  codebook) — the codebook ships INSIDE the closure (by value, bounded at
-  m*ks*sub_dim doubles), so workers need no repo import and no join.
+  only full-corpus pass is the narrow JVM encode; the per-cell mean is a
+  (m x ks x sub_dim)-bounded aggregate — never corpus-sized state.
+- **encode**: an Arrow-vectorized ``mapInPandas`` OPERATOR (numpy
+  broadcast argmin over the codebook; the codebook ships inside the
+  closure, bounded at m*ks*sub_dim doubles).  An operator, not a scalar
+  pandas UDF in a projection — see ``_with_codes`` for the Spark 4.1
+  extraction hazard that rules the UDF form out.  (A pure-Column HOF
+  encoder was tried and is ~4x slower at sf0.1: 256 interpreted
+  aggregate-folds per row lose to one Arrow batch.)
 - **score**: ADC is pure JVM: per-query LUTs are built with higher-order
   functions on the (small, broadcast) query side, and each candidate costs
-  ``m`` array lookups — whole-stage-codegen friendly, no Python in the
-  corpus-sized path.
+  ``m`` array lookups — whole-stage-codegen friendly.
 - **rerank**: exact cosine on the ADC top-``shortlist`` only (the standard
   ADC+rerank recipe), so recall is set by the shortlist, not by raw code
   resolution.
@@ -89,32 +92,52 @@ def _seed_codebook(
     return sample.reshape(ks, m, sub).transpose(1, 0, 2).copy()
 
 
-def _encode_fn(codebook: np.ndarray):
-    """Vectorized encoder body: pd.Series of vectors -> pd.Series of m-code
-    lists.  The codebook array is captured IN the closure (pickled by
-    value — tests/test_pickle_isolation.py pins this)."""
+def _make_encode_mapper(codebook: np.ndarray, vec_col: str):
+    """mapInPandas body: passes every input column through and appends
+    ``codes`` (numpy broadcast argmin over the codebook, first-minimum
+    tie-break).  Function-scope so cloudpickle ships it BY VALUE — the
+    worker never imports postpy_spark (tests/test_pickle_isolation.py)."""
     cb = codebook.copy()  # (m, ks, sub)
     m, ks, sub = cb.shape
 
-    def encode(batch):
+    def mapper(batches):
         import numpy as np
-        import pandas as pd
 
-        out = []
-        for v in batch:
-            x = np.asarray(v, dtype="float64").reshape(m, 1, sub)
-            # (m, ks) squared distances via broadcasting, argmin per subspace
-            d2 = ((x - cb) ** 2).sum(axis=2)
-            out.append(d2.argmin(axis=1).astype("int32").tolist())
-        return pd.Series(out)
+        for pdf in batches:
+            out = []
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype="float64").reshape(m, 1, sub)
+                # (m, ks) squared distances via broadcasting, argmin per
+                # subspace
+                d2 = ((x - cb) ** 2).sum(axis=2)
+                out.append(d2.argmin(axis=1).astype("int32").tolist())
+            pdf = pdf.copy()
+            pdf["codes"] = out
+            yield pdf
 
-    return encode
+    return mapper
 
 
-def _encode_udf(codebook: np.ndarray):
-    from pyspark.sql.functions import pandas_udf
+def _with_codes(df: DataFrame, codebook: np.ndarray, vec_col: str) -> DataFrame:
+    """df + ``codes`` (array<int>, length m) via ``mapInPandas``.
 
-    return pandas_udf(_encode_fn(codebook), "array<int>")
+    Deliberately an OPERATOR, not a scalar pandas UDF in a projection: a
+    Spark 4.1 planner edge let the UDF-in-Project form escape
+    ArrowEvalPython extraction when the input was a cached InMemoryRelation
+    fragment, crashing with INTERNAL_ERROR "Cannot evaluate expression:
+    encode(...)" at runtime.  MapInPandas is a standalone plan node the
+    optimizer can never inline into a projection, with the same
+    Arrow-vectorized execution."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    # A fresh StructType: StructType.add MUTATES, and df.schema is the
+    # DataFrame's cached schema object — mutating it desyncs df.columns
+    # from the JVM plan (mapInPandas then resolves a phantom column).
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("codes", ArrayType(IntegerType()))]
+    )
+    return df.mapInPandas(_make_encode_mapper(codebook, vec_col), schema)
 
 
 def pq_train(
@@ -133,21 +156,40 @@ def pq_train(
     cb = _seed_codebook(corpus, m, ks, id_col, vec_col, seed)
     sub = cb.shape[2]
     for _ in range(n_iter):
-        enc = corpus.select(
-            F.col(vec_col).alias("v"), _encode_udf(cb)(F.col(vec_col)).alias("codes")
+        enc = _with_codes(corpus.select(F.col(vec_col).alias("v")), cb, "v")
+        # One (j, code, subvector) row PER SUBSPACE — m rows per vector,
+        # not d (an earlier per-dimension posexplode made d/m times the
+        # rows for the same aggregate); per-dimension sums are sub agg
+        # columns, the mean divides driver-side over m*ks rows.
+        segs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.element_at(F.col("codes"), j + 1).alias("code"),
+                    F.slice(F.col("v"), j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ]
         )
-        dims = enc.select(F.posexplode("v").alias("pos", "val"), "codes").select(
-            (F.col("pos") / sub).cast("int").alias("j"),
-            F.pmod(F.col("pos"), F.lit(sub)).alias("p"),
-            F.element_at(F.col("codes"), (F.col("pos") / sub).cast("int") + 1).alias(
-                "code"
-            ),
-            F.col("val").cast("double").alias("val"),
+        sums = (
+            enc.select(F.explode(segs).alias("s"))
+            .select("s.j", "s.code", "s.sv")
+            .groupBy("j", "code")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("sv"), p + 1).cast("double")).alias(
+                        f"s{p}"
+                    )
+                    for p in range(sub)
+                ],
+            )
+            .collect()
         )
-        means = dims.groupBy("j", "code", "p").agg(F.avg("val").alias("m")).collect()
         new_cb = cb.copy()
-        for r in means:
-            new_cb[r["j"], r["code"], r["p"]] = r["m"]
+        for r in sums:
+            for p in range(sub):
+                new_cb[r["j"], r["code"], p] = r[f"s{p}"] / r["n"]
         cb = new_cb
     return cb
 
@@ -160,7 +202,7 @@ def pq_encode(
 ) -> DataFrame:
     """corpus + ``codes`` (array<int>, length m): the compressed
     representation — at scale THIS is what you persist and scan."""
-    return corpus.withColumn("codes", _encode_udf(codebook)(F.col(vec_col)))
+    return _with_codes(corpus, codebook, vec_col)
 
 
 def _lut_col(qv, codebook: np.ndarray):
@@ -199,7 +241,7 @@ def pq_topk(
 ) -> DataFrame:
     """PQ-ADC approximate k-NN with exact rerank.
 
-    Corpus-sized work: one encode pass (Arrow) + one broadcast scan doing
+    Corpus-sized work: one JVM encode pass + one broadcast scan doing
     ``m`` array lookups per (candidate, query) — no shuffle until the
     per-query shortlist window, which AQE keeps small.  The exact cosine
     runs on ``shortlist`` candidates per query only."""
@@ -210,18 +252,24 @@ def pq_topk(
     queries_n = queries.withColumn(vec_col, unit_col(F.col(vec_col)))
     if codebook is None:
         codebook = pq_train(corpus_n, m, ks, id_col, vec_col, seed, n_iter)
+    # The corpus-sized ADC scan and the shortlist window carry ONLY
+    # (cand_id, codes, query_id, adc): the d-float candidate vector and the
+    # query vector never enter the scan rows or the window shuffle (codes
+    # are m bytes; the vectors would be ~d*8 bytes per (candidate, query)
+    # row).  Exact-rerank payloads join back onto the shortlist, which is
+    # |queries|*shortlist rows — broadcastable by construction.
     encoded = pq_encode(corpus_n, codebook, id_col, vec_col).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"), "codes"
+        F.col(id_col).alias("cand_id"), "codes"
     )
     q = queries_n.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
         _lut_col(F.col(vec_col), codebook).alias("lut"),
     )
     scored = encoded.join(
         broadcast(q), F.col("query_id") != F.col("cand_id")
-    ).withColumn(
-        "adc",
+    ).select(
+        "query_id",
+        "cand_id",
         F.aggregate(
             F.zip_with(
                 F.col("codes"),
@@ -230,16 +278,41 @@ def pq_topk(
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        ),
+        ).alias("adc"),
     )
     ws = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id"))
     short = scored.withColumn("_srn", F.row_number().over(ws)).filter(
         F.col("_srn") <= shortlist
     )
-    rer = short.select(
-        "query_id",
-        "cand_id",
-        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    # Broadcasting the shortlist side is safe because the encode pass is a
+    # MapInPandas OPERATOR (see _with_codes) — the hazard was a scalar
+    # pandas UDF escaping extraction inside the BroadcastExchange build
+    # projection.  The hint keeps the corpus from ever being shuffled for
+    # the rerank: at scale the corpus side streams once against the
+    # |queries|*shortlist-row hashed relation.
+    short_q = broadcast(
+        short.select("query_id", "cand_id").join(
+            broadcast(
+                queries_n.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+                )
+            ),
+            "query_id",
+        )
+    )
+    rer = (
+        short_q
+        .join(
+            corpus_n.select(
+                F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")
+            ),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (

@@ -562,6 +562,33 @@ def test_pq_codes_shape_and_determinism(spark, embeddings):
     assert a == b
 
 
+def test_pq_encode_matches_numpy_argmin(spark, embeddings):
+    """The shipped encoder (mapInPandas, operators/pq.py::_with_codes)
+    must reproduce an independent per-row numpy (x - cb)**2 argmin per
+    subspace, first-minimum tie-break — the regression gate for any future
+    encoder re-expression (the r8 session swapped the encoder's plan shape
+    twice; this pin is what makes such swaps safe)."""
+    import numpy as np
+
+    from postpy_spark.operators import pq
+
+    cb = pq.pq_train(embeddings, m=8, ks=16, n_iter=1)
+    got = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq.pq_encode(embeddings, cb).select("vec_id", "codes").collect()
+    }
+    m, ks, sub = cb.shape
+    mismatched = 0
+    for r in embeddings.select("vec_id", "embedding").collect():
+        x = np.asarray(r["embedding"], dtype="float64").reshape(m, 1, sub)
+        want = tuple(((x - cb) ** 2).sum(axis=2).argmin(axis=1).astype(int))
+        if got[r["vec_id"]] != want:
+            mismatched += 1
+    # JVM folds sum sequentially, numpy pairwise: a float near-tie could in
+    # principle flip one argmin, but on real data the sets must agree.
+    assert mismatched == 0, f"{mismatched} vectors encode differently"
+
+
 def test_pq_small_corpus_clamps_ks(spark, embeddings):
     """A corpus smaller than ks must train a smaller codebook, not raise an
     opaque numpy reshape error (r6 ADVICE); empty corpora fail loud."""

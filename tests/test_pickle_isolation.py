@@ -96,24 +96,28 @@ def test_python_datasource_classes_pickle_by_value():
     _roundtrip_in_clean_subprocess(SyntheticSource, probe)
 
 
-def test_pq_encoder_pickles_by_value():
+def test_pq_encode_mapper_pickles_by_value():
+    """The PQ encoder ships as a mapInPandas payload (operators/pq.py::
+    _make_encode_mapper) — an OPERATOR rather than a scalar pandas UDF,
+    after a Spark 4.1 planner edge let the UDF-in-projection form escape
+    ArrowEvalPython extraction over cached InMemoryRelation fragments."""
     import numpy as np
 
-    from postpy_spark.operators.pq import _encode_fn
+    from postpy_spark.operators.pq import _make_encode_mapper
 
     cb = np.zeros((2, 2, 2))
     cb[0, 1] = [5.0, 5.0]
     cb[1, 1] = [5.0, 5.0]
 
-    udf_fn = _encode_fn(cb)
+    mapper = _make_encode_mapper(cb, "v")
 
     def probe(fn):
         import pandas as pd
 
-        codes = fn(pd.Series([[0.1, 0.1, 4.9, 4.9]]))
-        assert codes.iloc[0] == [0, 1], codes.iloc[0]
+        out = list(fn(iter([pd.DataFrame({"v": [[0.1, 0.1, 4.9, 4.9]]})])))
+        assert len(out) == 1 and out[0]["codes"].iloc[0] == [0, 1], out
 
-    _roundtrip_in_clean_subprocess(udf_fn, probe)
+    _roundtrip_in_clean_subprocess(mapper, probe)
 
 
 def test_mmr_greedy_pickles_by_value():

@@ -2254,3 +2254,77 @@ def text_excise_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_tokens_after"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+@query(
+    "text_bpe_pair_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ),
+    wc AS (
+        SELECT w, COUNT(*) AS cnt FROM tok WHERE length(w) >= 2 GROUP BY w
+    ),
+    p AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, cnt
+        FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc)
+    ),
+    agg AS (
+        SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+        FROM p GROUP BY pair
+    )
+    SELECT pair, pair_count FROM agg
+    ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+    group="D",
+)
+def text_bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration one: corpus-weighted adjacent
+    character-pair frequencies (the argmax pair is the first merge; Sennrich
+    et al. 2015, arXiv:1508.07909).  The scale shape is the whole point:
+    pair counting runs over the DISTINCT word vocabulary weighted by word
+    counts — |vocab| rows, not |corpus tokens| — so the explode factor
+    applies to a set that grows sublinearly (Heaps' law) while the corpus
+    grows by TB.  Two shuffles (word count, pair sum); top-50 via
+    TakeOrderedAndProject, no global sort.  Single-char words carry no
+    adjacent pair and are filtered before the explode (also dodging
+    F.sequence's descending-step inference on 1..0)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.select(
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        "w",
+        "cnt",
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "cnt")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(50)
+    )
+
+
+@query("text_bpe_merges", oracle=None, group="D")
+def text_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge training (operators/bpe.py; Sennrich 1508.07909):
+    12 merge rounds over the corpus-weighted word vocabulary, returning the
+    merge table (rank, left, right, merged, pair_count) — the tokenizer
+    artifact itself.  Corpus-sized work is the single word-count pass of
+    `text_bpe_pair_counts`; each round is vocab-sized (Heaps-sublinear).
+    Rows-only by design (iterative argmax is not SQL-expressible);
+    tests/test_llm_ops.py pins exact merge-list equality against an
+    independent pure-Python BPE on the same vocabulary."""
+    from postpy_spark.operators.bpe import bpe_train, merges_df
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return merges_df(spark, bpe_train(wc, n_merges=12))

@@ -1115,3 +1115,50 @@ def test_excise_repeated_spans_invariants(spark):
         r.n_tokens_before - r.n_tokens_after for r in got.values()
     )
     assert total_excised >= total_before  # overlaps excise at least the mass
+
+
+def test_bpe_train_matches_python_reference(spark, docs):
+    """Distributed BPE must produce the IDENTICAL merge list (ranks, pairs,
+    counts) as an independent dict-based Python BPE on the same word-count
+    vocabulary — exact gate for the iterative fold/argmax machinery
+    (tie-break: count DESC, left ASC, right ASC, shared by construction)."""
+    from postpy_spark import text as TX
+    from postpy_spark.operators import bpe
+
+    wc = (
+        docs.select(F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = bpe.bpe_train(wc, n_merges=10)
+    want = bpe.bpe_reference(
+        {r["w"]: r["cnt"] for r in wc.collect()}, n_merges=10
+    )
+    assert got == want
+    # structural invariants: merged is the concat, ranks are 1..n, counts
+    # are non-increasing only when no earlier merge creates a hotter pair
+    # (NOT asserted — BPE counts are legitimately non-monotonic); merged
+    # symbols feed later merges (seen in left/right reuse).
+    for m in got:
+        assert m["merged"] == m["left"] + m["right"]
+    assert [m["rank"] for m in got] == list(range(1, len(got) + 1))
+
+
+def test_bpe_merge_adjacent_overlap_and_eow(spark):
+    """Greedy non-overlapping application: 'aaa' with pair (a,a) merges the
+    FIRST two only; the </w> marker keeps suffix merges distinct from
+    mid-word ones."""
+    from postpy_spark.operators import bpe
+
+    df = spark.createDataFrame([("aaa", 1), ("ba", 1)], "w string, cnt long")
+    out = {
+        tuple(r["syms"]): r["cnt"]
+        for r in df.select(
+            bpe._merge_adjacent(
+                bpe._syms_col(F.col("w")), "a", "a", "aa"
+            ).alias("syms"),
+            "cnt",
+        ).collect()
+    }
+    assert ("aa", "a", "</w>") in out
+    assert ("b", "a", "</w>") in out

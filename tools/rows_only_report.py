@@ -89,6 +89,8 @@ STATIC_GATES = {
     "reference slice + shrinking-mass property (test_llm_ops)",
     "stream_approx_dedup": "batch-vs-stream convergence + bloom "
     "no-false-negative property (test_streaming)",
+    "text_bpe_merges": "exact merge-list equality vs independent "
+    "pure-python BPE + greedy-overlap unit (test_llm_ops)",
 }
 
 

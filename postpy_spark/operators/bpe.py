@@ -92,14 +92,21 @@ def bpe_train(
     word_col: str = "w",
     count_col: str = "cnt",
     checkpoint_every: int = 4,
-) -> list[dict]:
+    return_vocab: bool = False,
+):
     """Learn ``n_merges`` BPE merges from a (word, count) vocabulary frame.
 
     Returns the merge table as a driver-side list of dicts
     ``{rank, left, right, merged, pair_count}`` — bounded at n_merges rows,
     the natural driver artifact (it IS the tokenizer).  Stops early when no
-    adjacent pair remains."""
+    adjacent pair remains.  With ``return_vocab=True`` also returns the
+    trained per-word segmentation frame (w, syms, cnt) — the APPLY
+    artifact: tokenizing a corpus is then a plain join of its tokens
+    against this vocab, never a re-derivation per document.  The returned
+    frame is eagerly localCheckpoint-ed so it survives the loop's persist
+    eviction without replaying n_merges fold stages."""
     vocab = word_counts.select(
+        F.col(word_col).alias("w"),
         _syms_col(F.col(word_col)).alias("syms"),
         F.col(count_col).cast("bigint").alias("cnt"),
     ).persist()
@@ -128,6 +135,7 @@ def bpe_train(
                 }
             )
             new_vocab = vocab.select(
+                "w",
                 F.when(
                     F.exists(
                         _adjacent_pairs(F.col("syms")),
@@ -145,9 +153,11 @@ def bpe_train(
             new_vocab = new_vocab.persist()
             old, vocab = vocab, new_vocab
             old.unpersist()
+        if return_vocab:
+            final_vocab = vocab.localCheckpoint(eager=True)
     finally:
         vocab.unpersist()
-    return merges
+    return (merges, final_vocab) if return_vocab else merges
 
 
 def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
@@ -178,10 +188,14 @@ def merges_df(spark: SparkSession, merges: list[dict]) -> DataFrame:
     )
 
 
-def bpe_reference(word_counts: dict[str, int], n_merges: int) -> list[dict]:
+def bpe_reference(
+    word_counts: dict[str, int], n_merges: int, return_vocab: bool = False
+):
     """Independent pure-Python BPE (dict-based, same </w> marker and
     (count DESC, left ASC, right ASC) tie-break) — the test oracle for
-    ``bpe_train``; deliberately shares no code with the Spark path."""
+    ``bpe_train``; deliberately shares no code with the Spark path.  With
+    ``return_vocab=True`` also returns {word: [subword, ...]}."""
+    words = {w: tuple(list(w) + [END_OF_WORD]) for w in word_counts}
     vocab = {
         tuple(list(w) + [END_OF_WORD]): int(c) for w, c in word_counts.items()
     }
@@ -199,8 +213,7 @@ def bpe_reference(word_counts: dict[str, int], n_merges: int) -> list[dict]:
             counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
         )
         joined = left + right
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for syms, c in vocab.items():
+        def apply(syms):
             merged = []
             i = 0
             while i < len(syms):
@@ -210,9 +223,14 @@ def bpe_reference(word_counts: dict[str, int], n_merges: int) -> list[dict]:
                 else:
                     merged.append(syms[i])
                     i += 1
-            key = tuple(merged)
+            return tuple(merged)
+
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            key = apply(syms)
             new_vocab[key] = new_vocab.get(key, 0) + c
         vocab = new_vocab
+        words = {w: apply(s) for w, s in words.items()}
         out.append(
             {
                 "rank": rank,
@@ -222,4 +240,6 @@ def bpe_reference(word_counts: dict[str, int], n_merges: int) -> list[dict]:
                 "pair_count": n,
             }
         )
+    if return_vocab:
+        return out, {w: list(s) for w, s in words.items()}
     return out

@@ -2328,3 +2328,39 @@ def text_bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return merges_df(spark, bpe_train(wc, n_merges=12))
+
+
+@query("text_bpe_segment", oracle=None, group="D")
+def text_bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE tokenizer to the corpus: per-doc subword
+    statistics (n_words, n_subwords, compression ratio).  The apply path is
+    the scale point — training already holds every word's final
+    segmentation, so tokenizing the corpus is a broadcast JOIN of the
+    corpus tokens against the vocab frame (subword count = size(syms)),
+    never a per-document merge replay.  Rows-only (iterative training
+    upstream); tests pin the segmentation itself against the pure-Python
+    reference vocab."""
+    from postpy_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    _, vocab = bpe_train(wc, n_merges=12, return_vocab=True)
+    seg = vocab.select("w", F.size("syms").cast("bigint").alias("n_sub"))
+    return (
+        tok.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+        )
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_subwords") / F.col("n_words"), 4).alias(
+                "subwords_per_word"
+            ),
+        )
+    )

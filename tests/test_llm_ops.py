@@ -1162,3 +1162,26 @@ def test_bpe_merge_adjacent_overlap_and_eow(spark):
     }
     assert ("aa", "a", "</w>") in out
     assert ("b", "a", "</w>") in out
+
+
+def test_bpe_trained_vocab_matches_reference_segmentation(spark, docs):
+    """return_vocab=True must hand back EXACTLY the per-word segmentation
+    the pure-Python reference derives from the same counts (and every
+    word's subwords must concat back to word + '</w>')."""
+    from postpy_spark import text as TX
+    from postpy_spark.operators import bpe
+
+    wc = (
+        docs.select(F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merges, vocab = bpe.bpe_train(wc, n_merges=10, return_vocab=True)
+    ref_merges, ref_vocab = bpe.bpe_reference(
+        {r["w"]: r["cnt"] for r in wc.collect()}, n_merges=10, return_vocab=True
+    )
+    assert merges == ref_merges
+    got = {r["w"]: list(r["syms"]) for r in vocab.collect()}
+    assert got == ref_vocab
+    for w, syms in got.items():
+        assert "".join(syms) == w + bpe.END_OF_WORD

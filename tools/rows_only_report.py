@@ -91,6 +91,8 @@ STATIC_GATES = {
     "no-false-negative property (test_streaming)",
     "text_bpe_merges": "exact merge-list equality vs independent "
     "pure-python BPE + greedy-overlap unit (test_llm_ops)",
+    "text_bpe_segment": "trained vocab segmentation == reference vocab, "
+    "per-word concat identity (test_llm_ops)",
 }
 
 

@@ -62,12 +62,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-#: ops whose plans carry explicit scale arguments (caps, routing, binning)
+#: ops whose plans carry explicit scale arguments (caps, routing, binning),
+#: plus the two r8 additions with distinctive scale claims: sim_pq_topk
+#: (corpus-sized ADC scan + shortlist window must stay linear under the
+#: dense-cluster plant) and text_bpe_merges (merge rounds run on the
+#: vocabulary, which Heaps' law keeps near-constant while the corpus
+#: multiplies — its ratio should sit far BELOW mult, the empirical proof
+#: of the sublinearity argument).
 SOAK_OPS = [
     "dedup_fuzzy_minhash",
     "dedup_semantic",
     "dedup_containment_scaled",
     "sim_knn_graph",
+    "sim_pq_topk",
+    "text_bpe_merges",
     "join_null_skew_routed",
     "join_interval_overlap",
     "events_dau_wau",

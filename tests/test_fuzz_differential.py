@@ -16,7 +16,7 @@ The spec grammar deliberately spans the documented landmine classes:
 - string/number filter mixes with IN / BETWEEN / comparison ops.
 
 Seeded-stable: ``derandomize=True`` makes every run execute the same
-~240 cases (3 tests × 80 examples), so a failure is reproducible by
+~320 cases (4 tests × 80 examples), so a failure is reproducible by
 plain re-run.
 """
 
@@ -291,3 +291,66 @@ def test_fuzz_join_agg(spark, data):
         + " GROUP BY c_mktsegment"
     )
     _check(spark, out, sql)
+
+
+PK = {"orders": "o_orderkey", "customer": "c_custkey"}
+
+
+@given(data=st.data())
+@CFG
+def test_fuzz_window(spark, data):
+    """Window specs over a partition key: rank family on possibly-tied
+    order columns, lag/lead and ROWS-frame running sums on the unique
+    primary key (ties under the default RANGE frame and nondeterministic
+    lag order are exactly the drift class windows are prone to, so the
+    spec either embraces ties where both engines define them — rank — or
+    pins a total order where they don't)."""
+    from pyspark.sql import Window
+
+    table = data.draw(st.sampled_from(sorted(PK)))
+    meta = TABLES[table]
+    pk = PK[table]
+    part = data.draw(st.sampled_from(sorted(meta["strs"])))
+    kind = data.draw(
+        st.sampled_from(
+            ["row_number", "rank", "dense_rank", "lag", "lead", "run_sum"]
+        )
+    )
+    if kind in ("rank", "dense_rank"):
+        # tied order column is the point: peers rank identically on both
+        # engines without needing a total order
+        okey = data.draw(st.sampled_from(meta["ints"]))
+        sql_over = f"PARTITION BY {part} ORDER BY {okey}"
+        w = Window.partitionBy(part).orderBy(okey)
+        fn = F.rank() if kind == "rank" else F.dense_rank()
+        col = fn.over(w).cast("bigint").alias("wv")
+        sql_item = f"CAST({kind}() OVER ({sql_over}) AS BIGINT) AS wv"
+    else:
+        sql_over = f"PARTITION BY {part} ORDER BY {pk}"
+        w = Window.partitionBy(part).orderBy(pk)
+        val = data.draw(st.sampled_from(meta["ints"]))
+        if kind == "row_number":
+            col = F.row_number().over(w).cast("bigint").alias("wv")
+            sql_item = f"CAST(row_number() OVER ({sql_over}) AS BIGINT) AS wv"
+        elif kind in ("lag", "lead"):
+            fn = F.lag if kind == "lag" else F.lead
+            col = fn(F.col(val).cast("bigint"), 1).over(w).alias("wv")
+            sql_item = (
+                f"lag(CAST({val} AS BIGINT), 1) OVER ({sql_over}) AS wv"
+                if kind == "lag"
+                else f"lead(CAST({val} AS BIGINT), 1) OVER ({sql_over}) AS wv"
+            )
+        else:  # run_sum — explicit ROWS frame over a total order
+            col = (
+                F.sum(F.col(val).cast("bigint"))
+                .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                .alias("wv")
+            )
+            sql_item = (
+                f"CAST(SUM(CAST({val} AS BIGINT)) OVER ({sql_over} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+                f"AS BIGINT) AS wv"
+            )
+    df = load_table(spark, SF, table).select(pk, part, col)
+    sql = f"SELECT {pk}, {part}, {sql_item} FROM {table}"
+    _check(spark, df, sql)

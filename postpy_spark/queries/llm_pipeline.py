@@ -2364,3 +2364,74 @@ def text_bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    head AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk
+        FROM wc ORDER BY cnt DESC, w LIMIT 256
+    ),
+    pts AS (SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(cnt AS DOUBLE)) AS y
+            FROM head),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS log_intercept
+    FROM s
+    """,
+    group="D",
+)
+def text_zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus rank-frequency spectrum: log-log OLS
+    over the top-256 vocabulary head (slope ≈ -1 for natural language —
+    the classic sanity screen for scraped/synthetic corpora; Zipf 1949,
+    Piantadosi 2014 review).  Shape: word count (corpus-sized, one
+    shuffle) → TakeOrdered top-256 → rank over a 256-row frame (bounded
+    by construction) → closed-form OLS in ONE aggregate row, mirroring
+    ml_ols_normal_eq.  Both engines compute ln() per point and one final
+    division, rounded at 6 — sums of 256 doubles sit ~7 orders below the
+    rounding boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    head = wc.orderBy(F.col("cnt").desc(), "w").limit(256)
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(
+        W.partitionBy().orderBy(F.col("cnt").desc(), "w")
+    )
+    pts = head.select(
+        F.log(rnk.cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "log_intercept"
+        ),
+    )

@@ -97,6 +97,9 @@ WHITELIST: dict[tuple[str, str], str] = {
         "variant is win_ntile_distributed",
     ("events_top_paths", "UNPARTITIONED_WIN"):
         "rank over aggregated path counts: <= |event_types|^3 = 125 rows",
+    ("text_zipf_slope", "UNPARTITIONED_WIN"):
+        "rank over the LIMIT-256 vocabulary head: frame bounded at 256 rows "
+        "by construction (TakeOrdered feeds it)",
     ("text_heavy_hitters", "UNPARTITIONED_WIN"):
         "rank over MG candidates: <= partitions x capacity rows (test-pinned)",
     ("text_tokenize_tf", "UNPARTITIONED_WIN"):

@@ -71,6 +71,7 @@ HEAVY_EXTRAS = [
     "graph_label_propagation",
     "ts_interpolate_linear",
     "text_bm25_topk",
+    "text_bpe_merges",
     "tpch_q9_shape",
 ]
 EXTRAS_RUNS = 2

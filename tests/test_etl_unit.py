@@ -584,3 +584,15 @@ def test_table_diff_keys_only_add_remove(spark):
     new = spark.createDataFrame([Row(k=2), Row(k=3)])
     out = {r.k: r.diff_status for r in etl.table_diff(old, new, ["k"], []).collect()}
     assert out == {1: "removed", 3: "added"}
+
+
+def test_scan_json_corrupt_survives_count_only_consumer(spark):
+    """count() prunes the final select away; if the returned frame's
+    filter referenced ONLY the corrupt-record column, Spark raises
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN (r8 plain-session sweep find — the
+    oracle compare collects values and could never see it).  The count
+    consumer shape is the regression pin."""
+    from postpy_spark.queries.etl_surface import scan_json_corrupt_q
+
+    df = scan_json_corrupt_q(spark, "/root/testdata/sf0.001")
+    assert df.count() == len(df.collect())

@@ -96,6 +96,8 @@ def skew_stats(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
         df.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .withColumn("share", F.round(F.col("n_rows") / total, 6))
-        .orderBy(F.col("n_rows").desc())
+        # key tie-break: a count tie at the `top` boundary must not make
+        # the report row set run-dependent
+        .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top)
     )

@@ -3886,3 +3886,31 @@ def events_interval_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_minutes"
         ),
     )
+
+
+@query(
+    "dq_skew_report",
+    oracle="""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events),
+    k AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_rows, ROUND(n_rows * 1.0 / t.total, 6) AS share
+    FROM k CROSS JOIN t
+    ORDER BY n_rows DESC, user_id LIMIT 10
+    """,
+    group="B3",
+)
+def dq_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight key-skew diagnostic (operators/skew.py::skew_stats): the
+    heaviest join/group keys with their share of total rows — the number
+    you read BEFORE deciding to salt a join or rely on AQE skew-split
+    (the soak's planted hot user shows up here at share≈0.20).  ONE hash
+    aggregate + TakeOrdered top-10; the total is a driver-side scalar
+    (the count the caller already pays), key tie-break pins the boundary
+    row set."""
+    from postpy_spark.operators.skew import skew_stats
+
+    e = load_table(spark, sf_dir, "events")
+    return skew_stats(e, ["user_id"], top=10)

@@ -16,7 +16,7 @@ The spec grammar deliberately spans the documented landmine classes:
 - string/number filter mixes with IN / BETWEEN / comparison ops.
 
 Seeded-stable: ``derandomize=True`` makes every run execute the same
-~320 cases (4 tests × 80 examples), so a failure is reproducible by
+~400 cases (5 tests × 80 examples), so a failure is reproducible by
 plain re-run.
 """
 
@@ -353,4 +353,62 @@ def test_fuzz_window(spark, data):
             )
     df = load_table(spark, SF, table).select(pk, part, col)
     sql = f"SELECT {pk}, {part}, {sql_item} FROM {table}"
+    _check(spark, df, sql)
+
+
+# scalar-expression dictionary: each entry is (sql_template, spark_fn)
+# with PRE-VERIFIED identical semantics on both engines (conservative by
+# construction: no float rounding, no regex, no tz).
+STR_FNS = {
+    "upper": ("upper({x})", lambda c: F.upper(c)),
+    "lower": ("lower({x})", lambda c: F.lower(c)),
+    "trim": ("trim({x})", lambda c: F.trim(c)),
+    "reverse": ("reverse({x})", lambda c: F.reverse(c)),
+    "substr15": ("substr({x}, 1, 5)", lambda c: c.substr(1, 5)),
+}
+INT_FNS = {
+    "abs": ("abs({x})", lambda c: F.abs(c)),
+    "plus7": ("{x} + 7", lambda c: c + 7),
+    "times3": ("{x} * 3", lambda c: c * 3),
+    "mod97": ("{x} % 97", lambda c: c % 97),
+}
+
+
+@given(data=st.data())
+@CFG
+def test_fuzz_scalar_exprs(spark, data):
+    """Compositions of scalar functions rendered both ways — the fn_*
+    family's cross-engine drift class (case/trim/substr indexing, integer
+    arithmetic, date part extraction).  Compositions (e.g.
+    reverse(upper(substr(...)))) catch argument-order and indexing drift
+    that single calls hide."""
+    table = data.draw(st.sampled_from(sorted(TABLES)))
+    meta = TABLES[table]
+    pk = meta["ints"][0]
+    strcol = sorted(meta["strs"])[0]
+    s_chain = data.draw(
+        st.lists(st.sampled_from(sorted(STR_FNS)), min_size=1, max_size=3)
+    )
+    i_chain = data.draw(
+        st.lists(st.sampled_from(sorted(INT_FNS)), min_size=1, max_size=3)
+    )
+    s_sql, s_col = strcol, F.col(strcol)
+    for name in s_chain:
+        tpl, fn = STR_FNS[name]
+        s_sql, s_col = tpl.format(x=s_sql), fn(s_col)
+    # bigint base keeps every arithmetic step in int64 on both engines;
+    # parenthesized substitution — an early draft rendered `x + 7 % 97`
+    # where the Column chain computes (x + 7) % 97, and the suite
+    # immediately flagged its own precedence drift (the class it hunts)
+    i_sql, i_col = f"CAST({pk} AS BIGINT)", F.col(pk).cast("bigint")
+    for name in i_chain:
+        tpl, fn = INT_FNS[name]
+        i_sql, i_col = tpl.format(x=f"({i_sql})"), fn(i_col)
+    df = load_table(spark, SF, table).select(
+        pk, s_col.alias("sv"), i_col.cast("bigint").alias("iv")
+    )
+    sql = (
+        f"SELECT {pk}, {s_sql} AS sv, CAST({i_sql} AS BIGINT) AS iv"
+        f" FROM {table}"
+    )
     _check(spark, df, sql)

@@ -3914,3 +3914,78 @@ def dq_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return skew_stats(e, ["user_id"], top=10)
+
+
+@query(
+    "ts_autocorr",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS k),
+    p AS (
+        SELECT l.k, a.x AS x, b.x AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d + INTERVAL (l.k) DAY
+    ),
+    s AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM p GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_days, m AS n_pairs,
+           ROUND(CAST(m * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(m * sxx - sx * sx AS DOUBLE)
+                        * CAST(m * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM s ORDER BY lag_days
+    """,
+    group="B4",
+)
+def ts_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    weekly-seasonality / burstiness screen (an ACF spike at lag 7 is the
+    human-weekly signature; flat ACF on a series that should have one
+    flags synthetic or shuffled data).  Pairs are DAY-OFFSET pairs
+    (missing days drop the pair, both engines identically), every sum is
+    exact BIGINT over the days-bounded daily frame, and the Pearson
+    numerator stays integer — the ONLY float ops are the final sqrt and
+    one division, rounded at 6 (the two variance factors are cast to
+    DOUBLE before multiplying: their int64 product would overflow).
+    Scale shape: one corpus-sized hash aggregate to days, then
+    everything runs on the ~|days| frame."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    a = daily.select(
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"), "d", "x"
+    )
+    b = daily.select(F.col("d").alias("bd"), F.col("x").alias("y"))
+    p = a.join(b, F.col("bd") == F.date_add(F.col("d"), F.col("k")))
+    s = p.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return (
+        s.select(
+            F.col("k").cast("bigint").alias("lag_days"),
+            F.col("m").alias("n_pairs"),
+            F.round(num / den, 6).alias("acf"),
+        )
+        .orderBy("lag_days")
+    )

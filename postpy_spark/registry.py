@@ -112,7 +112,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "events_pareto_gini", "udtf_table_arg",
     # (b) new in round 8
     "merge_versioned", "dedup_semantic_planted", "text_bpe_pair_counts",
-    "text_zipf_slope", "dq_skew_report",
+    "text_zipf_slope", "dq_skew_report", "ts_autocorr",
     # (c) never-sampled sql-checked backlog (73)
     "dedup_containment", "events_attribution", "etl_compact_roundtrip",
     "ts_resample_ohlc", "docs_split_assign", "embed_matryoshka",

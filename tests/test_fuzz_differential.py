@@ -16,7 +16,7 @@ The spec grammar deliberately spans the documented landmine classes:
 - string/number filter mixes with IN / BETWEEN / comparison ops.
 
 Seeded-stable: ``derandomize=True`` makes every run execute the same
-~400 cases (5 tests × 80 examples), so a failure is reproducible by
+~480 cases (6 tests × 80 examples), so a failure is reproducible by
 plain re-run.
 """
 
@@ -412,3 +412,47 @@ def test_fuzz_scalar_exprs(spark, data):
         f" FROM {table}"
     )
     _check(spark, df, sql)
+
+
+@given(data=st.data())
+@CFG
+def test_fuzz_set_ops(spark, data):
+    """UNION / INTERSECT / EXCEPT with and without ALL between two
+    filtered projections of one table — bag-vs-set semantics (duplicate
+    multiplicity arithmetic) is engine-implemented in different ways
+    (Spark plans counters, DuckDB hash tables) and a drift here silently
+    changes row multiplicities, which the order-insensitive value hash
+    catches exactly."""
+    table = data.draw(st.sampled_from(sorted(TABLES)))
+    meta = TABLES[table]
+    strcol = sorted(meta["strs"])[0]
+    intcol = meta["ints"][-1]
+    op = data.draw(
+        st.sampled_from(
+            ["UNION ALL", "UNION", "INTERSECT", "EXCEPT",
+             "INTERSECT ALL", "EXCEPT ALL"]
+        )
+    )
+    pa = data.draw(filter_spec(table))
+    pb = data.draw(filter_spec(table))
+    base = load_table(spark, SF, table)
+    # low-cardinality projection so INTERSECT/EXCEPT have real overlap
+    da = base.filter(pa[1]).select(strcol, (F.col(intcol) % 5).alias("b"))
+    db = base.filter(pb[1]).select(strcol, (F.col(intcol) % 5).alias("b"))
+    if op == "UNION ALL":
+        out = da.unionAll(db)
+    elif op == "UNION":
+        out = da.union(db).distinct()
+    elif op == "INTERSECT":
+        out = da.intersect(db)
+    elif op == "EXCEPT":
+        out = da.subtract(db)
+    elif op == "INTERSECT ALL":
+        out = da.intersectAll(db)
+    else:
+        out = da.exceptAll(db)
+    sel = f"SELECT {strcol}, {intcol} % 5 AS b FROM {table}"
+    sql = (
+        f"{sel} WHERE {pa[0]} {op} {sel} WHERE {pb[0]}"
+    )
+    _check(spark, out, sql)

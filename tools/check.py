@@ -16,6 +16,7 @@ import argparse
 import datetime
 import decimal
 import math
+import os
 import sys
 import time
 import traceback
@@ -82,8 +83,13 @@ def main() -> int:
     spark = get_spark("postpy-check")
     con = duckdb.connect()
     for t in TABLES:
+        # testdata ships single-file parquet; Spark-written tiers (the
+        # scale soak's /tmp tier) are DIRECTORIES of part files — glob them
+        # so the gate can run against any tier either engine produced
+        path = f"{args.sf}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
 
     reg = registry.load_all()

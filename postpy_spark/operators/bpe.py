@@ -32,8 +32,16 @@ END_OF_WORD = "</w>"
 
 
 def _syms_col(word):
-    """Initial symbol sequence: characters + the end-of-word marker."""
-    return F.concat(F.split(word, ""), F.array(F.lit(END_OF_WORD)))
+    """Initial symbol sequence: characters + the end-of-word marker.
+
+    ``split('', '')`` returns ``[""]`` in Spark while Python's ``list('')``
+    is ``[]`` — filter the empty symbol so an empty/whitespace-only word
+    yields ``["</w>"]`` on both engines (keeps merge tables identical on
+    corpora containing blank documents)."""
+    return F.concat(
+        F.filter(F.split(word, ""), lambda s: s != F.lit("")),
+        F.array(F.lit(END_OF_WORD)),
+    )
 
 
 def _adjacent_pairs(syms):

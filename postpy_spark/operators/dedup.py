@@ -557,8 +557,12 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash: block the 64 bits into ``blocks`` chunks
     (pigeonhole: ≤ max_hamming differing bits → at least one identical
     chunk), equi-join per chunk, verify Hamming distance ≤ max_hamming.
-    Chunk buckets above ``max_bucket`` are salt-split (_cap_hot_buckets)."""
-    _advance_generation()
+    Chunk buckets above ``max_bucket`` are salt-split (_cap_hot_buckets).
+
+    Does NOT advance the persist generation itself — hamming_near_pairs
+    does, and a double advance per invocation would evict the previous
+    identical run's scratch before _persist_tracked refreshes it,
+    defeating the one-generation-retained warm-cache reuse (r8 advice)."""
     sh = simhash(df, id_col, text_col)
     return hamming_near_pairs(
         sh, id_col, "simhash", max_hamming, blocks, max_bucket, stats
@@ -583,8 +587,10 @@ def hamming_near_pairs(
     Advances the persist generation itself: _cap_hot_buckets registers
     tracked scratch here, and direct callers (phash_near_dups,
     multimodal_phash_dedup) would otherwise accumulate persisted RDDs
-    across repeated invocations (r7 advice).  The extra advance under
-    simhash_near_pairs is harmless — the prior generation is retained."""
+    across repeated invocations (r7 advice).  Callers that wrap this
+    (simhash_near_pairs) must NOT advance again — exactly one advance per
+    pipeline entry keeps the previous identical run's scratch alive for
+    the one-generation warm-cache reuse (r8 advice)."""
     _advance_generation()
     sh = sigs.withColumnRenamed(sig_col, "simhash") if sig_col != "simhash" else sigs
     width = 64 // blocks

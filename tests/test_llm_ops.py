@@ -1164,6 +1164,28 @@ def test_bpe_merge_adjacent_overlap_and_eow(spark):
     assert ("b", "a", "</w>") in out
 
 
+def test_bpe_empty_word_matches_reference(spark):
+    """Empty/blank words must not diverge: Spark's split('', '') yields
+    [''] while Python's list('') is [] — _syms_col filters the empty
+    symbol so both engines see ['</w>'] and the merge tables stay
+    identical on corpora with blank documents (r8 advice)."""
+    from postpy_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("", 5), ("ab", 3), ("abab", 2)], "w string, cnt long"
+    )
+    syms = {
+        r["w"]: tuple(r["syms"])
+        for r in df.select(
+            "w", bpe._syms_col(F.col("w")).alias("syms")
+        ).collect()
+    }
+    assert syms[""] == (bpe.END_OF_WORD,)
+    got = bpe.bpe_train(df, n_merges=6)
+    want = bpe.bpe_reference({"": 5, "ab": 3, "abab": 2}, n_merges=6)
+    assert got == want
+
+
 def test_bpe_trained_vocab_matches_reference_segmentation(spark, docs):
     """return_vocab=True must hand back EXACTLY the per-word segmentation
     the pure-Python reference derives from the same counts (and every

@@ -36,10 +36,17 @@ def test_planted_caps_engage(spark, soak_dir):
     assert 0.15 <= eng["hot_user_share"] <= 0.3
 
 
-def test_soak_linear_growth_no_failed_tasks(spark, soak_dir):
+def test_soak_no_failed_tasks(spark, soak_dir):
+    """Caps + zero-failed-tasks only.  The wall-clock growth ratio is NOT
+    asserted here: bench wall-clock swings ±25% with driver-machine load
+    (docs/BENCH_NOTES.md), so a loaded machine during the base timing
+    could flake the pre-commit suite (r8 advice).  The timing-ratio bound
+    lives in the manual tier — tools/scale_soak.py at mult=16 — whose
+    interleaved results are committed in docs/SCALE_SOAK.md."""
     rows, problems = run_soak(spark, BASE, soak_dir, MULT)
     assert not problems, problems
     assert set(rows["ops"]) == set(SOAK_OPS)
     for name, r in rows["ops"].items():
         assert r["failed_tasks"] == 0, (name, r)
-        assert r["ratio"] <= MULT * SLACK, (name, r)
+        # ratio recorded but not gated (load-dependent); visible on failure
+        assert r["ratio"] > 0, (name, r)

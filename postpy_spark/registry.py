@@ -97,47 +97,29 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # -- round-8 rotation.  The driver samples the FIRST ~50 registry
-    # entries each round; rounds 1-7 attested 205 of 303 queries (every
-    # contract op >=1x, all green).  The r7 verdict's #1 ask: drain the
-    # 98 never-sampled addendum extras over r8+r9.  This round leads with
-    # (a) the two queries whose FORMULATION changed this session and so
-    # need a fresh attest (events_pareto_gini: Gini sign fix;
-    # udtf_table_arg: exact-cents oracle), (b) queries NEW this round
-    # (brand-new oracle formulations are where the driver's
-    # width-sensitive hash finds what the local exact-value gate cannot),
-    # then (c) the never-sampled sql-checked backlog; the never-sampled
-    # rows-only tail closes the list for r9.
-    # (a) re-attest after this session's fixes (2)
-    "events_pareto_gini", "udtf_table_arg",
-    # (b) new in round 8
-    "merge_versioned", "dedup_semantic_planted", "text_bpe_pair_counts",
-    "text_zipf_slope", "dq_skew_report", "ts_autocorr",
-    # (c) never-sampled sql-checked backlog (73)
-    "dedup_containment", "events_attribution", "etl_compact_roundtrip",
-    "ts_resample_ohlc", "docs_split_assign", "embed_matryoshka",
-    "sql_pipe_syntax", "fn_generator_explode", "win_running_distinct",
-    "events_dau_wau", "udtf_python_analyze", "events_top_paths",
-    "sim_topk_filtered", "join_interval_overlap", "dedup_repeated_spans",
-    "agg_bitmap_intersect", "sample_topk_hash_per_group", "skyline_pareto",
-    "text_chunk_fixed", "events_window_funnel", "tpch_q2_shape",
-    "tpch_q9_shape", "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
-    "except_all_ab", "intersect_all_ab", "unpivot_long", "agg_histogram",
-    "agg_group_by_all", "agg_percentile_exact", "sort_nulls_ordering",
-    "limit_offset", "tpch_q4_shape", "tpch_q7_shape", "tpch_q8_shape",
-    "tpch_q14_shape", "tpch_q19_shape", "tpch_q22_shape", "ts_gapfill",
-    "events_transitions", "events_funnel", "cohort_retention",
-    "events_anomaly_zscore", "dq_check", "scan_orc", "scan_xml",
-    "scan_binaryfile", "scan_schema_evolution", "scan_python_datasource",
-    "table_versioning", "sql_execute", "etl_zorder_layout",
-    "catalog_view_roundtrip", "join_fuzzy_blocked", "fn_datetime_extra",
-    "fn_url", "fn_struct_nested", "fn_trig", "fn_binary", "fn_collation",
-    "dedup_doc_prefix", "text_ngram_dup_ratio", "docs_quality_filter_chain",
-    "corpus_mixture_report", "text_lm_ppl_buckets", "text_vocab_coverage",
-    "events_basket_lift", "stat_benford", "ml_ols_normal_eq",
-    "events_interval_union", "scan_glob_recursive", "fn_try_safe",
-    # never-sampled rows-only tail (25) -- each pytest-gated; a driver
-    # sample yields a rows-only row by design
+    # -- round-9 rotation.  The driver samples the FIRST ~50 registry
+    # entries each round; rounds 1-8 attested 253 of 311 queries (every
+    # contract op >=1x, all green; r7 AND r8 were 0-fail rounds).  58
+    # remain never-sampled — all addendum extras.  This round leads with
+    # (a) queries NEW this round (fresh oracle formulations are where the
+    # driver's width-sensitive hash finds what the local exact-value gate
+    # cannot), then (b) the 31 never-sampled sql-checked extras, then
+    # (c) the 27 never-sampled rows-only extras (each pytest-gated; a
+    # driver sample yields a rows-only row by design).  ~50 slots drains
+    # (a)+(b) and most of (c); the short remainder closes in r10.
+    # (a) new in round 9 — inserted as they land
+    # (b) never-sampled sql-checked backlog (31)
+    "cohort_retention", "events_anomaly_zscore", "dq_check", "scan_orc",
+    "scan_xml", "scan_binaryfile", "scan_schema_evolution",
+    "scan_python_datasource", "table_versioning", "sql_execute",
+    "etl_zorder_layout", "catalog_view_roundtrip", "join_fuzzy_blocked",
+    "fn_datetime_extra", "fn_url", "fn_struct_nested", "fn_trig",
+    "fn_binary", "fn_collation", "dedup_doc_prefix", "text_ngram_dup_ratio",
+    "docs_quality_filter_chain", "corpus_mixture_report",
+    "text_lm_ppl_buckets", "text_vocab_coverage", "events_basket_lift",
+    "stat_benford", "ml_ols_normal_eq", "events_interval_union",
+    "scan_glob_recursive", "fn_try_safe",
+    # (c) never-sampled rows-only tail (27)
     "agg_hll_mergeable", "sim_pq_topk", "sim_ivf_topk", "dedup_simhash",
     "dedup_incremental", "dedup_pipeline_end_to_end", "dedup_canonical_rank",
     "kmeans_clusters", "embed_pca", "sample_weighted", "sample_stratified",
@@ -146,7 +128,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "dedup_containment_scaled", "dedup_containment_incremental",
     "sim_mmr_rerank", "dedup_minhash_eval", "sim_knn_graph",
     "multimodal_phash_dedup", "text_excise_repeated_spans",
-    "stream_approx_dedup",
+    "stream_approx_dedup", "text_bpe_merges", "text_bpe_segment",
 )
 
 

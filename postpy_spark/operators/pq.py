@@ -19,9 +19,13 @@ Spark mapping:
   extraction hazard that rules the UDF form out.  (A pure-Column HOF
   encoder was tried and is ~4x slower at sf0.1: 256 interpreted
   aggregate-folds per row lose to one Arrow batch.)
-- **score**: ADC is pure JVM: per-query LUTs are built with higher-order
-  functions on the (small, broadcast) query side, and each candidate costs
-  ``m`` array lookups — whole-stage-codegen friendly.
+- **score**: per-query LUTs are computed Arrow-vectorized on the (small,
+  broadcast) query side (``_with_lut``); the corpus-sized ADC scan is pure
+  JVM — each candidate costs ``m`` array lookups inside a zip_with fold,
+  whole-stage-codegen friendly.  (A pure-Column LUT built from m*ks
+  ``aggregate`` folds over literal centroid arrays was tried first: the
+  driver spent ~10 s per invocation in py4j just CONSTRUCTING the ~2k-node
+  expression tree, dwarfing execution at any scale.)
 - **rerank**: exact cosine on the ADC top-``shortlist`` only (the standard
   ADC+rerank recipe), so recall is set by the shortlist, not by raw code
   resolution.
@@ -54,18 +58,6 @@ def unit_col(vec):
     )
 
 
-def _l2sq_expr(a, b):
-    """Σ (aᵢ-bᵢ)² in double precision (JVM-side fold)."""
-    return F.aggregate(
-        F.zip_with(
-            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _seed_codebook(
     corpus: DataFrame, m: int, ks: int, id_col: str, vec_col: str, seed: int
 ) -> np.ndarray:
@@ -95,8 +87,14 @@ def _seed_codebook(
 def _make_encode_mapper(codebook: np.ndarray, vec_col: str):
     """mapInPandas body: passes every input column through and appends
     ``codes`` (numpy broadcast argmin over the codebook, first-minimum
-    tie-break).  Function-scope so cloudpickle ships it BY VALUE — the
-    worker never imports postpy_spark (tests/test_pickle_isolation.py)."""
+    tie-break).  Vectorized across the Arrow batch in 1024-row chunks —
+    the (chunk, m, ks, sub) distance tensor stays ~16 MB while the whole
+    batch computes in a handful of numpy kernels instead of a Python
+    per-row loop (the r8 shape; ~10× slower on large batches).  The
+    arithmetic is EXACTLY ``((x - cb) ** 2).sum`` per subspace, so codes
+    (incl. ties) are bit-identical to the per-row reference the tests pin.
+    Function-scope so cloudpickle ships it BY VALUE — the worker never
+    imports postpy_spark (tests/test_pickle_isolation.py)."""
     cb = codebook.copy()  # (m, ks, sub)
     m, ks, sub = cb.shape
 
@@ -104,18 +102,57 @@ def _make_encode_mapper(codebook: np.ndarray, vec_col: str):
         import numpy as np
 
         for pdf in batches:
-            out = []
-            for v in pdf[vec_col]:
-                x = np.asarray(v, dtype="float64").reshape(m, 1, sub)
-                # (m, ks) squared distances via broadcasting, argmin per
-                # subspace
-                d2 = ((x - cb) ** 2).sum(axis=2)
-                out.append(d2.argmin(axis=1).astype("int32").tolist())
+            out: list = []
+            vals = pdf[vec_col].to_numpy()
+            for lo in range(0, len(pdf), 1024):
+                chunk = vals[lo : lo + 1024]
+                if not len(chunk):
+                    continue
+                x = np.stack([np.asarray(v, dtype="float64") for v in chunk])
+                x = x.reshape(len(chunk), m, 1, sub)
+                d2 = ((x - cb) ** 2).sum(axis=3)  # (chunk, m, ks)
+                out.extend(d2.argmin(axis=2).astype("int32").tolist())
             pdf = pdf.copy()
             pdf["codes"] = out
             yield pdf
 
     return mapper
+
+
+def _make_lut_mapper(codebook: np.ndarray, vec_col: str):
+    """mapInPandas body for the QUERY side: appends ``lut`` —
+    ``array<array<double>>`` of shape (m, ks), the squared distance from
+    the query's j-th subvector to every centroid of subspace j.  Same
+    function-scope pickle-by-value rule as the encode mapper."""
+    cb = codebook.copy()  # (m, ks, sub)
+    m, ks, sub = cb.shape
+
+    def mapper(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out: list = []
+            for v in pdf[vec_col]:
+                x = np.asarray(v, dtype="float64").reshape(m, 1, sub)
+                out.append(((x - cb) ** 2).sum(axis=2).tolist())  # (m, ks)
+            pdf = pdf.copy()
+            pdf["lut"] = out
+            yield pdf
+
+    return mapper
+
+
+def _with_lut(df: DataFrame, codebook: np.ndarray, vec_col: str) -> DataFrame:
+    """df + ``lut`` (array<array<double>>, m × ks) via ``mapInPandas`` —
+    queries are broadcast-small, so this is one tiny Arrow batch; see the
+    module docstring for why this replaced a pure-Column LUT."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("lut", ArrayType(ArrayType(DoubleType())))]
+    )
+    return df.mapInPandas(_make_lut_mapper(codebook, vec_col), schema)
 
 
 def _with_codes(df: DataFrame, codebook: np.ndarray, vec_col: str) -> DataFrame:
@@ -205,27 +242,6 @@ def pq_encode(
     return _with_codes(corpus, codebook, vec_col)
 
 
-def _lut_col(qv, codebook: np.ndarray):
-    """Per-query ADC lookup table: array of m arrays of ks squared
-    distances from the query's subvector to each centroid — built with
-    JVM-side folds over literal centroid arrays (query side is small)."""
-    m, ks, sub = codebook.shape
-    luts = []
-    for j in range(m):
-        qsub = F.slice(qv, j * sub + 1, sub)
-        luts.append(
-            F.array(
-                *[
-                    _l2sq_expr(
-                        qsub, F.array(*[F.lit(float(w)) for w in codebook[j, c]])
-                    )
-                    for c in range(ks)
-                ]
-            )
-        )
-    return F.array(*luts)
-
-
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -261,10 +277,13 @@ def pq_topk(
     encoded = pq_encode(corpus_n, codebook, id_col, vec_col).select(
         F.col(id_col).alias("cand_id"), "codes"
     )
-    q = queries_n.select(
-        F.col(id_col).alias("query_id"),
-        _lut_col(F.col(vec_col), codebook).alias("lut"),
-    )
+    q = _with_lut(
+        queries_n.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ),
+        codebook,
+        "_qv",
+    ).select("query_id", "lut")
     scored = encoded.join(
         broadcast(q), F.col("query_id") != F.col("cand_id")
     ).select(

@@ -120,6 +120,32 @@ def test_pq_encode_mapper_pickles_by_value():
     _roundtrip_in_clean_subprocess(mapper, probe)
 
 
+def test_pq_lut_mapper_pickles_by_value():
+    """The query-side ADC LUT ships as a mapInPandas payload too
+    (operators/pq.py::_make_lut_mapper) — same by-value contract."""
+    import numpy as np
+
+    from postpy_spark.operators.pq import _make_lut_mapper
+
+    cb = np.zeros((2, 2, 2))
+    cb[0, 1] = [1.0, 1.0]
+    cb[1, 1] = [1.0, 1.0]
+
+    mapper = _make_lut_mapper(cb, "v")
+
+    def probe(fn):
+        import pandas as pd
+
+        out = list(fn(iter([pd.DataFrame({"v": [[0.0, 0.0, 1.0, 1.0]]})])))
+        assert len(out) == 1, out
+        lut = out[0]["lut"].iloc[0]
+        # subspace 0: q=(0,0) → d² to c0=(0,0) is 0, to c1=(1,1) is 2
+        # subspace 1: q=(1,1) → d² to c0=(0,0) is 2, to c1=(1,1) is 0
+        assert lut == [[0.0, 2.0], [2.0, 0.0]], lut
+
+    _roundtrip_in_clean_subprocess(mapper, probe)
+
+
 def test_mmr_greedy_pickles_by_value():
     from postpy_spark.operators.similarity import _make_mmr_greedy
 

@@ -38,24 +38,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from postpy_spark.operators.similarity import cosine_expr, norm_expr
+from postpy_spark.operators.similarity import cosine_expr, unit_col
 
-
-def unit_col(vec):
-    """vec scaled to unit L2 norm (zero vectors pass through unchanged).
-    For unit vectors L2² = 2 - 2·cosine, so ADC's L2 ranking matches the
-    cosine truth the rerank and recall gates use.  The norm is let-bound
-    via the transform(array(...)) trick — a bare HOF lambda would
-    re-evaluate the norm fold per element (no CSE across lambdas)."""
-    return F.element_at(
-        F.transform(
-            F.array(norm_expr(vec)),
-            lambda n: F.when(
-                n > 0, F.transform(vec, lambda x: x.cast("double") / n)
-            ).otherwise(F.transform(vec, lambda x: x.cast("double"))),
-        ),
-        1,
-    )
+__all__ = ["pq_train", "pq_encode", "pq_topk", "unit_col"]
 
 
 def _seed_codebook(

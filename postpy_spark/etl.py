@@ -511,3 +511,57 @@ def cdc_snapshot(state: DataFrame) -> DataFrame:
         ((F.col("maxk") % _CDC_PACK).cast("double") / 100).alias("last_qty"),
         F.col("n_changes").cast("bigint").alias("n_changes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance
+# ---------------------------------------------------------------------------
+
+
+def ivm_merge(
+    mv: DataFrame,
+    delta_effect: DataFrame,
+    keys: Sequence[str],
+    count_col: str,
+    add_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Apply a per-group CDC delta to a materialized COUNT/SUM aggregate
+    WITHOUT recomputing — and, critically, without shuffling the MV.
+
+    ``delta_effect`` carries the SAME column names as ``mv`` holding
+    *signed* per-group deltas (insert → +1/+v, delete → −1/−v, update →
+    0/(new−v)); COUNT and SUM are self-maintainable under all three ops
+    (the classic delta-rule IVM of Gupta & Mumick, "Maintenance of
+    Materialized Views: Problems, Techniques, and Applications", IEEE DE
+    Bulletin 1995).  Groups whose maintained count reaches 0 drop out.
+
+    Scale plan (the point of IVM at 100 TB): the delta aggregate is
+    broadcast-small by construction, so the big MV is only ever the
+    STREAM side of broadcast hash joins — one anti (unchanged groups pass
+    through untouched) and one semi (the handful of touched groups) —
+    then the touched slice, now delta-sized, merges with the delta in a
+    small-small full-outer.  No Exchange ever carries the MV."""
+    cols = [count_col, *add_cols]
+    d = F.broadcast(delta_effect)
+    unchanged = mv.join(d.select(*keys), list(keys), "left_anti")
+    touched = mv.join(d.select(*keys), list(keys), "left_semi")
+    renamed = delta_effect.select(
+        *keys, *[F.col(c).alias(f"_d_{c}") for c in cols]
+    )
+    # full-outer has no broadcast-hash form — but both sides here are
+    # delta-sized, so the small sort-merge is the cheap part by design
+    merged = (
+        touched.join(renamed, list(keys), "full")
+        .select(
+            *keys,
+            *[
+                (
+                    F.coalesce(F.col(c), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+                ).alias(c)
+                for c in cols
+            ],
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return unchanged.unionByName(merged)

@@ -1509,3 +1509,77 @@ def scan_glob_recursive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+
+
+@query(
+    "agg_ivm_update",
+    oracle="""
+    WITH final AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 11 <> 0
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500
+                    ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+        FROM orders
+        WHERE o_orderkey % 97 <> 0 AND o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY o_custkey
+    """,
+    group="A",
+)
+def agg_ivm_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (``etl.ivm_merge``): a materialized
+    per-customer COUNT/SUM(cents) aggregate is brought up to date under a
+    CDC delta — inserts (keys %97==0), deletes (base keys %11==0), and
+    repricings (+5.00 on base keys %13==0 not deleted) — by merging the
+    delta's signed per-group effects, never re-aggregating the base.
+
+    The oracle recomputes the FINAL state from scratch, so the value-hash
+    proves the delta algebra (insert +1/+v, delete −1/−v, update +Δ,
+    count-0 groups dropped) exactly.  Exact-integer discipline: money as
+    BIGINT cents on both sides (the DECIMAL landmine).
+
+    Scale: the MV is only ever the stream side of broadcast anti/semi
+    joins; the only Exchange carrying base-sized data is the ONE that
+    builds the MV itself (which at 100 TB would already exist on disk)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    key = F.col("o_orderkey")
+    base = o.filter(key % 97 != 0).select(
+        "o_orderkey", "o_custkey", cents.alias("cents")
+    )
+    mv = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    inserts = o.filter(key % 97 == 0).select(
+        "o_custkey", F.lit(1).alias("n_orders"), cents.alias("sum_cents")
+    )
+    deletes = base.filter(key % 11 == 0).select(
+        "o_custkey",
+        F.lit(-1).alias("n_orders"),
+        (-F.col("cents")).alias("sum_cents"),
+    )
+    updates = base.filter((key % 13 == 0) & (key % 11 != 0)).select(
+        "o_custkey", F.lit(0).alias("n_orders"), F.lit(500).alias("sum_cents")
+    )
+    delta = (
+        inserts.unionByName(deletes)
+        .unionByName(updates)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    out = etl.ivm_merge(mv, delta, ["o_custkey"], "n_orders", ["sum_cents"])
+    return out.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )

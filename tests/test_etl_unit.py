@@ -6,6 +6,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from postpy_spark import etl
 from postpy_spark.schema import (
@@ -596,3 +597,62 @@ def test_scan_json_corrupt_survives_count_only_consumer(spark):
 
     df = scan_json_corrupt_q(spark, "/root/testdata/sf0.001")
     assert df.count() == len(df.collect())
+
+
+def test_ivm_merge_matches_full_recompute(spark):
+    """Incremental maintenance must equal re-aggregation from the final
+    state for every op class (insert new-group, insert existing-group,
+    delete-to-zero, delete partial, update), and count-0 groups drop."""
+    from postpy_spark import etl
+
+    base = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30), (3, 40), (4, 50)], "k int, v long"
+    )
+    mv = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    # inserts: k=5 (new), k=1 (existing); delete: the only k=3 row
+    # (group vanishes), one k=2 row... k=2 has one row: delete partial on
+    # k=4? k=4 has one row; update k=4: +7
+    delta = spark.createDataFrame(
+        [(5, 1, 100), (1, 1, 5), (3, -1, -40), (4, 0, 7)],
+        "k int, n long, s long",
+    )
+    got = {
+        (r.k, r.n, r.s)
+        for r in etl.ivm_merge(mv, delta, ["k"], "n", ["s"]).collect()
+    }
+    final = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 30), (4, 57), (5, 100)],
+        "k int, v long",
+    )
+    want = {
+        (r.k, r.n, r.s)
+        for r in final.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_ivm_merge_mv_never_shuffled(spark):
+    """The MV side must reach both pass-through paths via BROADCAST
+    anti/semi joins — no Exchange may carry the MV after its build (the
+    whole point of delta maintenance at scale)."""
+    from postpy_spark import etl
+
+    mv = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(1).alias("n"), F.lit(5).alias("s")
+    )
+    delta = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).alias("n"), F.lit(2).alias("s")
+    )
+    plan = (
+        etl.ivm_merge(mv, delta, ["k"], "n", ["s"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan

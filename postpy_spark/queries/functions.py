@@ -791,6 +791,30 @@ def agg_cms_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_kll_quantiles", oracle=None, group="B3")
+def agg_kll_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style mergeable QUANTILE sketch over lineitem extendedprice
+    (operators/kll.py) — the quantile member of the shard-addable sketch
+    kit (HLL/KMV cardinality, CMS frequency, bitmap exact): one
+    constant-memory mapInPandas sweep emits a bounded sketch row per
+    partition; quantiles come from the driver-side merge of those rows,
+    never from re-reading data.  Unlike approx_percentile the per-shard
+    sketch rows are persistable artifacts — day-over-day rollups merge
+    sketches.  Rows-only (compaction is seeded-random by nature); pytest
+    pins the rank-error bound vs exact quantiles, mergeability (union
+    sketch ~= sketch of union), and the small-input exact branch."""
+    from postpy_spark.operators import kll as KLL
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    sketches = KLL.kll_build(li, "l_extendedprice", k=200)
+    est, n = KLL.kll_merge_quantiles(sketches, qs, k=200)
+    return spark.createDataFrame(
+        [(float(q), float(v), int(n)) for q, v in zip(qs, est)],
+        "q double, est double, n_total bigint",
+    )
+
+
 @query("agg_kmv_distinct", oracle=None, group="B3")
 def agg_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch over event users —

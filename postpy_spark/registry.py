@@ -108,7 +108,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # driver sample yields a rows-only row by design).  ~50 slots drains
     # (a)+(b) and most of (c); the short remainder closes in r10.
     # (a) new in round 9 — inserted as they land
-    "agg_ivm_update",
+    "agg_ivm_update", "agg_kll_quantiles",
     # (b) never-sampled sql-checked backlog (31)
     "cohort_retention", "events_anomaly_zscore", "dq_check", "scan_orc",
     "scan_xml", "scan_binaryfile", "scan_schema_evolution",

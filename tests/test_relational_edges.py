@@ -501,3 +501,43 @@ def test_ols_normal_eq_matches_numpy_lstsq(spark):
     ss_tot = ((y - y.mean()) ** 2).sum()
     assert abs(got.r2 - (1 - ss_res / ss_tot)) < 1e-5
     assert got.n == len(rows)
+
+
+def test_kll_rank_error_mergeability_and_exact_branch(spark):
+    """KLL quantile sketch (operators/kll.py): (1) relative RANK error of
+    every estimated quantile vs the exact order statistic <= 5% at
+    n=20000, k=200; (2) merging per-half sketches answers within the same
+    band (mergeability is the kit's contract); (3) n < k keeps everything
+    in level 0 -> exact answers."""
+    from postpy_spark.operators import kll as KLL
+
+    n, k = 20000, 200
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    df = spark.range(n).select(F.col("id").cast("double").alias("v")).repartition(8)
+    est, n_tot = KLL.kll_merge_quantiles(KLL.kll_build(df, "v", k=k), qs, k=k)
+    assert n_tot == n
+    # values are 0..n-1, so rank(x) = x+1: rank error is |est - q*n| / n
+    worst = max(abs(e - q * n) / n for q, e in zip(qs, est))
+    record_margin("agg_kll_quantiles", "worst_rel_rank_err_vs_5pct", worst, 0.05, "<=")
+    assert worst <= 0.05, (worst, est)
+
+    halves = [
+        spark.range(0, n // 2).select(F.col("id").cast("double").alias("v")),
+        spark.range(n // 2, n).select(F.col("id").cast("double").alias("v")),
+    ]
+    merged_sketches = KLL.kll_build(halves[0], "v", k=k).unionByName(
+        KLL.kll_build(halves[1], "v", k=k)
+    )
+    est2, n2 = KLL.kll_merge_quantiles(merged_sketches, qs, k=k)
+    assert n2 == n
+    worst2 = max(abs(e - q * n) / n for q, e in zip(qs, est2))
+    record_margin("agg_kll_quantiles", "merged_halves_rel_rank_err_vs_5pct", worst2, 0.05, "<=")
+    assert worst2 <= 0.05, (worst2, est2)
+
+    small = spark.range(50).select(F.col("id").cast("double").alias("v")).coalesce(1)
+    est3, n3 = KLL.kll_merge_quantiles(KLL.kll_build(small, "v", k=k), qs, k=k)
+    assert n3 == 50
+    # exact branch: weighted rank hits ceil(q*50) - 1 ... the first item
+    # with cumulative weight >= q*n, i.e. value ceil(q*50) - 1
+    import math
+    assert est3 == [float(math.ceil(q * 50) - 1) for q in qs], est3

@@ -48,6 +48,7 @@ GATE_TESTS = [
     "tests/test_relational_edges.py::test_cms_contract_and_mergeability",
     "tests/test_relational_edges.py::test_kmv_accuracy_and_mergeability",
     "tests/test_relational_edges.py::test_kmv_set_estimates_accuracy",
+    "tests/test_relational_edges.py::test_kll_rank_error_mergeability_and_exact_branch",
     "tests/test_relational_edges.py::test_join_cardinality_estimate_within_2x",
     "tests/test_multimodal.py::test_phash_dedup_catches_inplace_edits_not_reframes",
 ]

@@ -139,6 +139,22 @@ def main() -> None:
             extra_samples[name].append(round(time.perf_counter() - t0, 3))
     extras = {name: min(s) for name, s in extra_samples.items()}
 
+    # The driver retains only the LAST 2000 chars of stdout and parses the
+    # final JSON line.  The r8 single-line dump (medians + spreads + extras)
+    # outgrew that tail, so BENCH_r08/r09 recorded "parsed: null".  Emit the
+    # full detail dict on an EARLIER line (for humans / BENCH_NOTES), then
+    # end stdout with a compact final line that is well under 2000 chars.
+    print(
+        "DETAIL "
+        + json.dumps(
+            {
+                "queries_median": medians,
+                "queries_spread": spreads,
+                "extras": extras,
+                "extras_runs": EXTRAS_RUNS,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -147,12 +163,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "value_median": round(sum(medians.values()), 3),
-                "queries_median": medians,
-                "queries_spread": spreads,
-                "runs": RUNS,
-                "extras": extras,
                 "extras_value": round(sum(extras.values()), 3),
-                "extras_runs": EXTRAS_RUNS,
+                "runs": RUNS,
                 "sf": sf,
             }
         )

@@ -540,8 +540,26 @@ def ivm_merge(
     STREAM side of broadcast hash joins — one anti (unchanged groups pass
     through untouched) and one semi (the handful of touched groups) —
     then the touched slice, now delta-sized, merges with the delta in a
-    small-small full-outer.  No Exchange ever carries the MV."""
+    small-small full-outer.  No Exchange ever carries the MV.
+
+    Column contract: ``mv`` must contain EXACTLY ``keys + [count_col] +
+    add_cols`` (and ``delta_effect`` at least those) — the merged branch
+    projects to that set, so any extra MV column would survive the
+    anti-join branch only and break the final ``unionByName`` with a
+    mismatch error that doesn't name the real cause.  Validated up
+    front."""
     cols = [count_col, *add_cols]
+    expected = [*keys, *cols]
+    extra_mv = [c for c in mv.columns if c not in expected]
+    missing_mv = [c for c in expected if c not in mv.columns]
+    missing_d = [c for c in expected if c not in delta_effect.columns]
+    if extra_mv or missing_mv or missing_d:
+        raise ValueError(
+            f"ivm_merge: mv must carry exactly keys+count_col+add_cols "
+            f"{expected} and delta_effect at least those "
+            f"(mv extra={extra_mv}, mv missing={missing_mv}, "
+            f"delta missing={missing_d})"
+        )
     d = F.broadcast(delta_effect)
     unchanged = mv.join(d.select(*keys), list(keys), "left_anti")
     touched = mv.join(d.select(*keys), list(keys), "left_semi")

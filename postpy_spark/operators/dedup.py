@@ -447,6 +447,12 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize ONCE: every iteration joins edges, and without this the
+        # upstream pair generation (e.g. a jaccard pair join) re-executes per
+        # iteration — measured 37s -> 6s on graph_connected_components' edge
+        # set at sf0.01.  Edge-list-sized, same budget the loop already
+        # spends per-iteration on labels.
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")

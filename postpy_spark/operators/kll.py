@@ -156,4 +156,13 @@ def kll_merge_quantiles(
     for r in rows:
         acc = merge(acc, [list(lv) for lv in r["levels"]], k, rng)
         n += r["n_items"]
+    if n == 0:
+        # kll_build emits NO sketch rows for an all-empty/all-null input;
+        # without this guard quantiles() would return [None]*len(qs) and
+        # callers crash later on float(None) — a confusing TypeError far
+        # from the cause.  Fail here with the real reason instead.
+        raise ValueError(
+            "kll_merge_quantiles: no sketch rows to merge (empty or "
+            "all-null input column — no quantiles are defined)"
+        )
     return quantiles(acc, qs), n

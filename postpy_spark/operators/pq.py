@@ -40,7 +40,7 @@ from pyspark.sql.functions import broadcast
 
 from postpy_spark.operators.similarity import cosine_expr, unit_col
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "unit_col"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "unit_col"]
 
 
 def _seed_codebook(
@@ -317,6 +317,111 @@ def pq_topk(
             "cand_id",
             F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
         )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 32,
+    shortlist: int = 150,
+    n_cells: int = 32,
+    n_probe: int = 24,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 2,
+) -> DataFrame:
+    """IVF-PQ approximate k-NN — the composition every billion-vector ANN
+    system actually deploys (FAISS ``IVFx,PQy``; Jégou et al. 2011 §V):
+    the IVF coarse quantizer ROUTES each query to ``n_probe`` cells so
+    only that fraction of the corpus is touched, PQ codes make the touched
+    candidates ``m`` bytes instead of ``d`` floats, and the exact cosine
+    runs on the ADC top-``shortlist`` only.
+
+    Work per query at scale: |corpus| * (n_probe / n_cells) candidate rows
+    scanned as m-byte codes (JVM zip_with fold over the broadcast LUT), a
+    per-query shortlist window, and ``shortlist`` exact reranks.  The two
+    corpus-sized passes (cell assignment, encode) are query-independent
+    index-build work — at 100 TB you persist ``(cell_id, codes)`` once and
+    amortize across every query batch (pq_encode's contract).
+
+    Codes are non-residual (global codebook, not per-cell residual
+    encoding): one LUT per query instead of n_probe LUTs, at a recall cost
+    the exact rerank absorbs — the honest simplification for a LUT that
+    must stay broadcast-sized.
+    """
+    from postpy_spark.operators.similarity import ivf_build, ivf_refine
+
+    corpus_n = corpus.withColumn(vec_col, unit_col(F.col(vec_col)))
+    queries_n = queries.withColumn(vec_col, unit_col(F.col(vec_col)))
+    centroids, assigned = ivf_build(corpus_n, n_cells, id_col, vec_col, seed)
+    if refine_iters:
+        centroids, assigned = ivf_refine(
+            corpus_n, centroids, refine_iters, id_col, vec_col
+        )
+    codebook = pq_train(corpus_n, m, ks, id_col, vec_col, seed, n_iter)
+    encoded = _with_codes(assigned, codebook, vec_col).select(
+        F.col(id_col).alias("cand_id"), "cell_id", "codes"
+    )
+    # probe: per query the n_probe max-cosine cells (broadcast argmax over
+    # the n_cells-row centroid frame — identical shape to ivf_topk's)
+    q = queries_n.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qc = q.crossJoin(broadcast(centroids)).select(
+        "query_id", "cell_id", cosine_expr(F.col("_qv"), F.col("cv")).alias("_sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell_id"))
+    probed = (
+        qc.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell_id")
+    )
+    q_lut = _with_lut(q, codebook, "_qv").select("query_id", "lut")
+    # candidates: only codes in probed cells; the (query, lut) side is
+    # |queries| * n_probe rows of m*ks doubles — broadcast-sized
+    cand = encoded.join(
+        broadcast(probed.join(q_lut, "query_id")), "cell_id"
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    scored = cand.select(
+        "query_id",
+        "cand_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("lut"), lambda c, lut: F.element_at(lut, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adc"),
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("cand_id"))
+    short = scored.withColumn("_srn", F.row_number().over(ws)).filter(
+        F.col("_srn") <= shortlist
+    )
+    short_q = broadcast(
+        short.select("query_id", "cand_id").join(
+            broadcast(
+                queries_n.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+                )
+            ),
+            "query_id",
+        )
+    )
+    rer = short_q.join(
+        corpus_n.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")),
+        "cand_id",
+    ).select(
+        "query_id",
+        "cand_id",
+        F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (

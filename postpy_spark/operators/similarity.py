@@ -530,7 +530,15 @@ def knn_graph(
     always-hot bands the residual loss is (1-1/s)^B, not
     (1-1/s).  Pairs dedup across
     bands before the ONE exact-cosine scoring pass; per-src top-k is a
-    window over candidate lists, never the corpus."""
+    window over candidate lists, never the corpus.
+
+    Zero-vector convention: a zero embedding passes through ``unit_col``
+    unchanged, so every pair involving it scores ``cosine = 0.0`` and it
+    ranks normally in the top-k window (``cosine_expr`` would instead
+    yield NULL from the 0/0).  0.0 — "no similarity signal" — is the
+    deliberate choice here: a kNN GRAPH wants every node to have edges,
+    and NULL cosines would sort last anyway under DESC NULLS LAST while
+    silently dropping the node's own neighbor list in strict consumers."""
     planes = _hyperplanes(dim, n_bits, seed)
     # Signatures carry ONLY (id, band_id, band_val): the candidate self-join
     # and the cross-band pair dedup shuffle 16-byte id pairs, not the

@@ -3989,3 +3989,254 @@ def ts_autocorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: exact-oracle connected components, two-sample KS test,
+# PSI drift report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, list_distinct(
+            list_transform(range(GREATEST(LEN(norm) - 4, 1)), i -> norm[i+1:i+5])
+        ) AS grams
+        FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+              FROM documents WHERE doc_id < 120)
+    ),
+    e AS (
+        SELECT a.doc_id AS ea, b.doc_id AS eb
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE CAST(LEN(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / LEN(list_distinct(list_concat(a.grams, b.grams))) >= 0.25
+    ),
+    u AS (SELECT ea AS s, eb AS d FROM e UNION SELECT eb, ea FROM e),
+    reach(node, x) AS (
+        SELECT s, s FROM (SELECT DISTINCT s FROM u)
+        UNION
+        SELECT r.node, u.d FROM reach r JOIN u ON u.s = r.x
+    )
+    SELECT node, CAST(MIN(x) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+    group="B2",
+)
+def graph_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the char-5-gram Jaccard near-dup graph
+    (bounded doc subset) — the EXACT-oracle attestation of the iterative
+    min-label + pointer-doubling CC loop (operators/dedup.py::
+    connected_components) that dedup_clusters can only gate rows-only:
+    the DuckDB twin recomputes the same edge set and floods min-reachable
+    ids through a recursive CTE, so every (node, component) value is
+    hash-compared.  Component id = min doc_id in the component on both
+    sides.
+
+    Scale: the pair-join edge generation is the bounded exact formulation
+    (the 100 TB path banding-LSHes first — dedup_fuzzy_minhash); the CC
+    loop itself is the production operator — per iteration two hash joins
+    plus a shortcut self-join, O(log diameter) rounds, lineage truncated
+    via localCheckpoint, and it RAISES if the iteration budget exhausts
+    rather than returning silently-wrong labels."""
+    from postpy_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    norm = dedup.normalize_text(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.length(norm) - 5, F.lit(0))),
+            lambda i: F.substring(norm, i + 1, 5),
+        )
+    )
+    t = d.select("doc_id", grams.alias("grams"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_distinct(F.concat("ga", "gb"))
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.25)
+        .select("id_a", "id_b")
+    )
+    return dedup.connected_components(pairs).select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+
+
+@query(
+    "stat_ks_test",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag AS f, l_extendedprice AS v
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ),
+    g AS (
+        SELECT v,
+               CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+               CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+        FROM s GROUP BY v
+    ),
+    c AS (
+        SELECT v,
+               CAST(SUM(a_cnt) OVER (ORDER BY v) AS BIGINT) AS ca,
+               CAST(SUM(b_cnt) OVER (ORDER BY v) AS BIGINT) AS cb
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(SUM(a_cnt) AS BIGINT) AS na, CAST(SUM(b_cnt) AS BIGINT) AS nb
+        FROM g
+    ),
+    d AS (
+        SELECT v, ABS(ca * nb - cb * na) AS idiff, na, nb
+        FROM c CROSS JOIN tot
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(idiff AS DOUBLE) / (CAST(na AS DOUBLE) * nb), 6) AS ks_stat,
+           v AS ks_at
+    FROM d ORDER BY idiff DESC, v ASC LIMIT 1
+    """,
+    group="B3",
+)
+def stat_ks_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the RETURNED ('R')
+    and ACCEPTED ('A') price distributions: D = max_x |F_R(x) - F_A(x)|,
+    plus the location of the maximum gap (min such value on ties) — the
+    standard distribution-shift detector for data-pipeline monitoring.
+
+    Exactness discipline: the ECDF gap is kept in INTEGER arithmetic
+    (|ca*nb - cb*na| over exact cumulative counts) and divided by na*nb
+    exactly once at the end, so there is no float summation anywhere and
+    the single rounded division is bit-stable across engines (the
+    ROUND(SUM(float)) flake class from CLAUDE.md cannot occur).
+
+    Scale: the ECDF needs a GLOBAL cumulative sum ordered by value — the
+    classic one-task ``SUM OVER (ORDER BY)`` trap.  Both running counts
+    ride ONE range-partitioned two-phase prefix-sum pass
+    (operators/ranking.py::global_running_sum on a packed combined
+    counter), then the argmax is an ordinary aggregate.  The oracle uses
+    the plain window form (fine at DuckDB sf)."""
+    from postpy_spark.operators.ranking import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        F.col("l_returnflag").alias("f"), F.col("l_extendedprice").alias("v")
+    )
+    g = s.groupBy("v").agg(
+        F.sum(F.when(F.col("f") == "R", 1).otherwise(0)).cast("bigint").alias("a_cnt"),
+        F.sum(F.when(F.col("f") == "A", 1).otherwise(0)).cast("bigint").alias("b_cnt"),
+    )
+    # pack both counters into one bigint (counts < 2^31 per engine run) so a
+    # single prefix-sum pass carries them; unpack after.  At sf where a
+    # single flag-count nears 2^31 rows the pack widens to two passes.
+    packed = g.withColumn("packed", F.col("a_cnt") * F.lit(2**31) + F.col("b_cnt"))
+    c = global_running_sum(packed, ["v"], "packed", "cpack")
+    c = c.select(
+        "v",
+        (F.col("cpack") / F.lit(2**31)).cast("bigint").alias("ca"),
+        (F.col("cpack") % F.lit(2**31)).cast("bigint").alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("a_cnt").cast("bigint").alias("na"),
+        F.sum("b_cnt").cast("bigint").alias("nb"),
+    )
+    d = c.crossJoin(broadcast(tot)).select(
+        "v", "na", "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("idiff"),
+    )
+    top = d.groupBy("na", "nb").agg(
+        F.max(F.struct(F.col("idiff"), (-F.col("v")).alias("negv"))).alias("m")
+    )
+    return top.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.col("m.idiff").cast("double")
+            / (F.col("na").cast("double") * F.col("nb")),
+            6,
+        ).alias("ks_stat"),
+        (-F.col("m.negv")).alias("ks_at"),
+    )
+
+
+@query(
+    "stat_psi_drift",
+    oracle="""
+    WITH b AS (
+        SELECT CASE WHEN value < 5 THEN 0 WHEN value < 10 THEN 1
+                    WHEN value < 20 THEN 2 WHEN value < 35 THEN 3
+                    WHEN value < 50 THEN 4 WHEN value < 75 THEN 5
+                    WHEN value < 100 THEN 6 WHEN value < 150 THEN 7
+                    WHEN value < 250 THEN 8 ELSE 9 END AS bucket,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS is_ref
+        FROM events
+    ),
+    g AS (
+        SELECT bucket,
+               CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+               CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+        FROM b GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+        FROM g
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_ref, n_cur,
+           ROUND((GREATEST(n_ref * 1.0 / tr, 0.0001)
+                  - GREATEST(n_cur * 1.0 / tc, 0.0001))
+                 * LN(GREATEST(n_ref * 1.0 / tr, 0.0001)
+                      / GREATEST(n_cur * 1.0 / tc, 0.0001)), 6) AS psi_term
+    FROM g CROSS JOIN tot
+    """,
+    group="B3",
+)
+def stat_psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between the first and second
+    half of the event window, per value bucket — the standard
+    feature-drift monitor for ML data pipelines (PSI = sum over buckets of
+    (p - q) * ln(p/q), with the conventional 1e-4 floor on empty-bucket
+    proportions).
+
+    Emitted PER-BUCKET (bucket, n_ref, n_cur, psi_term) rather than as the
+    scalar sum: every psi_term is a single float expression over exact
+    integer counts — no float SUM exists on either engine, so the rounded
+    values are bit-stable (the attribution-sum flake class).  Consumers
+    sum the 10 terms; bucket edges are fixed literals, so the double
+    comparisons branch identically in Spark and DuckDB (quantile-derived
+    edges would put values at the edge into different buckets on
+    last-ulp percentile differences).
+
+    Scale: one projection + one 10-group hash aggregate over events;
+    the totals join is a broadcast of one row."""
+    e = load_table(spark, sf_dir, "events")
+    edges = [5, 10, 20, 35, 50, 75, 100, 150, 250]
+    bucket = F.lit(9)
+    for i in range(len(edges) - 1, -1, -1):
+        bucket = F.when(F.col("value") < edges[i], i).otherwise(bucket)
+    b = e.select(
+        bucket.alias("bucket"),
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    g = b.groupBy("bucket").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = g.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"),
+        F.sum("n_cur").cast("bigint").alias("tc"),
+    )
+    p = F.greatest(F.col("n_ref") * F.lit(1.0) / F.col("tr"), F.lit(0.0001))
+    q = F.greatest(F.col("n_cur") * F.lit(1.0) / F.col("tc"), F.lit(0.0001))
+    return g.crossJoin(broadcast(tot)).select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

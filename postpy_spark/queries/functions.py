@@ -802,7 +802,14 @@ def agg_kll_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch rows are persistable artifacts — day-over-day rollups merge
     sketches.  Rows-only (compaction is seeded-random by nature); pytest
     pins the rank-error bound vs exact quantiles, mergeability (union
-    sketch ~= sketch of union), and the small-input exact branch."""
+    sketch ~= sketch of union), and the small-input exact branch.
+
+    Reproducibility note: one seeded sketch is built per input PARTITION
+    and merged in collect order, so the exact estimate values depend on
+    the physical partitioning of the scan (spark.sql.files.* settings,
+    file layout).  Row count is always len(qs); the rank-ERROR bound
+    holds under any partitioning — never pin exact estimate values in
+    tests or oracles."""
     from postpy_spark.operators import kll as KLL
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -663,10 +663,20 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_ivf_topk", oracle=None, group="D")
 def sim_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN (deterministic coarse quantizer + cell probing);
-    recall gate vs brute force lives in pytest."""
+    recall gate vs brute force lives in pytest (bound 0.9, BASELINE.md's
+    declared ANN bar).
+
+    Parameter note: the synthetic embeddings are ISOTROPIC random vectors —
+    no cluster structure — so IVF recall ≈ probed corpus mass and hitting
+    0.9 requires probing 24/32 cells (measured 0.95 with 2 Lloyd
+    refinements).  That is a property of the data, not the index: on
+    planted-cluster data the same quantizer reaches recall 1.0 probing
+    2/32 cells (tests/test_llm_ops.py::test_ivf_planted_clusters_low_probe
+    pins this), which is the regime a real embedding corpus at 100 TB
+    sits in."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(queries, e, k=5, n_cells=16, n_probe=8)
+    return similarity.ivf_topk(queries, e, k=5, n_cells=32, n_probe=24, refine_iters=2)
 
 
 @query(
@@ -1138,13 +1148,21 @@ def embed_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitening before clustering or ANN): two Arrow passes + a d²-bounded
     moment reduction, driver eig only on the d×d covariance
     (operators/linalg.py).  Rows-only: pytest gates orthonormality,
-    variance ordering, and reconstruction error."""
+    variance ordering, and reconstruction error.
+
+    Output is EXPLODED to scalar ``(vec_id, component, value)`` rows: the
+    driver's rows-only canonicalizer sorts cells with pandas and cannot
+    hash a top-level ``array<double>`` column (the r9 driver-red row —
+    ``TypeError: unhashable type: 'numpy.ndarray'``).  All registered
+    queries are scalar-guarded now (testing.nonscalar_top_level_columns)."""
     from postpy_spark.operators.linalg import pca_project
 
     e = load_table(spark, sf_dir, "embeddings")
     out = pca_project(e, k=8)
-    return out.select(
-        "vec_id", F.transform("pca", lambda x: F.round(x, 4)).alias("pca")
+    return out.select("vec_id", F.posexplode("pca").alias("component", "value")).select(
+        "vec_id",
+        F.col("component").cast("bigint").alias("component"),
+        F.round("value", 4).alias("value"),
     )
 
 
@@ -1441,6 +1459,20 @@ def sim_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 5)
     return pq_topk(queries, e, k=5)
+
+
+@query("sim_ivfpq_topk", oracle=None, group="D")
+def sim_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate k-NN (operators/pq.py::ivfpq_topk) — the
+    deployed-at-scale composition: IVF routing bounds the touched corpus
+    fraction, PQ codes bound the bytes per touched candidate, exact rerank
+    bounds the recall loss.  Rows-only (codebook/quantizer dependent);
+    pytest gates recall vs brute force at the PQ bar (>= 0.85)."""
+    from postpy_spark.operators.pq import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(queries, e, k=5)
 
 
 @query("dedup_canonical_rank", oracle=None, group="D")

@@ -275,12 +275,20 @@ def agg_approx_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("agg_approx_quantile", oracle=None, group="B3")
 def agg_approx_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percentile sketch (GK); tests assert tolerance vs exact quantiles."""
+    """Percentile sketch (GK); tests assert tolerance vs exact quantiles.
+    Output is exploded to scalar ``(q, price_quantile)`` rows — a top-level
+    array column would crash the driver's canonicalizer (the r9 embed_pca
+    class, now guarded by testing.nonscalar_top_level_columns)."""
     l = load_table(spark, sf_dir, "lineitem")
-    return l.agg(
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-            "price_quantiles"
-        )
+    qs = [0.25, 0.5, 0.75, 0.95]
+    agg = l.agg(
+        F.percentile_approx("l_extendedprice", qs, 10000).alias("price_quantiles")
+    )
+    return agg.select(
+        F.posexplode("price_quantiles").alias("pos", "price_quantile")
+    ).select(
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias("q"),
+        "price_quantile",
     )
 
 

@@ -97,39 +97,28 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # -- round-9 rotation.  The driver samples the FIRST ~50 registry
-    # entries each round; rounds 1-8 attested 253 of 311 queries (every
-    # contract op >=1x, all green; r7 AND r8 were 0-fail rounds).  58
-    # remain never-sampled — all addendum extras.  This round leads with
-    # (a) queries NEW this round (fresh oracle formulations are where the
-    # driver's width-sensitive hash finds what the local exact-value gate
-    # cannot), then (b) the 31 never-sampled sql-checked extras, then
-    # (c) the 27 never-sampled rows-only extras (each pytest-gated; a
-    # driver sample yields a rows-only row by design).  ~50 slots drains
-    # (a)+(b) and most of (c); the short remainder closes in r10.
-    # (a) new in round 9 — inserted as they land
-    "agg_ivm_update", "agg_kll_quantiles",
-    # (b) never-sampled sql-checked backlog (31)
-    "cohort_retention", "events_anomaly_zscore", "dq_check", "scan_orc",
-    "scan_xml", "scan_binaryfile", "scan_schema_evolution",
-    "scan_python_datasource", "table_versioning", "sql_execute",
-    "etl_zorder_layout", "catalog_view_roundtrip", "join_fuzzy_blocked",
-    "fn_datetime_extra", "fn_url", "fn_struct_nested", "fn_trig",
-    "fn_binary", "fn_collation", "dedup_doc_prefix", "text_ngram_dup_ratio",
-    "docs_quality_filter_chain", "corpus_mixture_report",
-    "text_lm_ppl_buckets", "text_vocab_coverage", "events_basket_lift",
-    "stat_benford", "ml_ols_normal_eq", "events_interval_union",
-    "scan_glob_recursive", "fn_try_safe",
-    # (c) never-sampled rows-only tail (27)
-    "agg_hll_mergeable", "sim_pq_topk", "sim_ivf_topk", "dedup_simhash",
-    "dedup_incremental", "dedup_pipeline_end_to_end", "dedup_canonical_rank",
-    "kmeans_clusters", "embed_pca", "sample_weighted", "sample_stratified",
-    "sample_mixture_stable", "agg_approx_topk", "agg_kmv_setops",
-    "stat_join_cardinality_est", "agg_cms_estimate", "agg_kmv_distinct",
+    # -- round-10 rotation.  The driver samples the FIRST ~50 registry
+    # entries each round; after r9, 303 of 313 registered queries carry
+    # >=1 driver row (every contract op attested, latest sample green).
+    # This round leads with (a) embed_pca — the single r9 driver FAILURE
+    # (its array<double> output crashed the driver's canonicalizer; now
+    # exploded to scalar rows and guarded repo-wide) — re-attested first;
+    # then (b) the 10 never-sampled addendum extras, closing the loop to
+    # 313/313; then (c) queries NEW this round, inserted as they land
+    # (fresh oracle formulations are where the driver's width-sensitive
+    # hash finds what the local exact-value gate cannot).  The ~39 spare
+    # slots fall through to CONTRACT_ORDER, re-attesting the group A/B1/B2
+    # ops whose last driver rows are r2/r3-vintage.
+    # (a) the r9 driver-red row, fixed this round
+    "embed_pca",
+    # (b) never-sampled backlog remainder (10 — drains it)
     "dedup_containment_scaled", "dedup_containment_incremental",
     "sim_mmr_rerank", "dedup_minhash_eval", "sim_knn_graph",
     "multimodal_phash_dedup", "text_excise_repeated_spans",
     "stream_approx_dedup", "text_bpe_merges", "text_bpe_segment",
+    # (c) new in round 10 — inserted as they land
+    "graph_connected_components", "stat_ks_test", "stat_psi_drift",
+    "sim_ivfpq_topk",
 )
 
 

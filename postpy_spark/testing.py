@@ -64,6 +64,25 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def nonscalar_top_level_columns(spark_schema) -> list[str]:
+    """Names of top-level columns the DRIVER's canonicalizer cannot hash.
+
+    The driver sorts result rows with ``pandas.sort_values`` before
+    hashing; an ``array``/``map``/``struct`` cell arrives as a numpy
+    array / dict / Row — unhashable, so the whole query records as a
+    driver FAILURE even when the values are right (round 9: ``embed_pca``
+    was the only red row for exactly this).  Rule, mirroring the
+    DECIMAL ban: NO registered query may expose a non-scalar top-level
+    column — explode to ``(id, pos, value)`` rows or ``array_join`` to a
+    string instead.  Enforced for every query (sql-checked AND
+    rows-only) in tools/check.py and tests/test_contract_oracle.py."""
+    return [
+        f.name
+        for f in spark_schema.fields
+        if f.dataType.typeName() in ("array", "map", "struct")
+    ]
+
+
 def type_parity_errors(spark_schema, duck_types: dict[str, str]) -> list[str]:
     """Cross-engine hash-type parity between a Spark schema and DuckDB
     ``DESCRIBE <oracle>`` column types.
@@ -127,6 +146,12 @@ def type_parity_errors(spark_schema, duck_types: dict[str, str]) -> list[str]:
 
 def compare_spark_duckdb(df, con, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = equivalent)."""
+    bad_cols = nonscalar_top_level_columns(df.schema)
+    if bad_cols:
+        return [
+            f"non-scalar top-level columns {bad_cols} — driver "
+            "canonicalizer cannot hash array/map/struct cells"
+        ]
     t_errs = type_parity_errors(
         df.schema,
         {r[0]: r[1] for r in con.execute("DESCRIBE " + sql).fetchall()},

@@ -23,9 +23,21 @@ def test_oracle_match(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, name):
+    from postpy_spark.testing import nonscalar_top_level_columns
+
     df = REG[name].fn(spark, SF_SMOKE)
     assert df.count() >= 0
     assert df.columns
+    # driver-canonicalizability guard (r9: embed_pca's array<double> column
+    # crashed the driver's pandas sort — unhashable numpy cells).  Rows-only
+    # outputs are STILL sorted/hashed by the driver, so the scalar rule
+    # applies to every registered query, not just the sql-checked ones
+    # (those get the same check via compare_spark_duckdb/tools/check.py).
+    bad = nonscalar_top_level_columns(df.schema)
+    assert not bad, (
+        f"{name}: non-scalar top-level columns {bad} — explode to "
+        "(id, pos, value) rows or array_join to a string"
+    )
 
 
 def test_entry_smoke(spark):
@@ -61,6 +73,31 @@ def test_view_creating_queries_rerun_across_sf_dirs(spark):
         # the sf_dir it was given, not the first run's data
         if name not in ("scan_csv", "scan_jdbc", "scan_xml"):
             assert small != big, (name, small[:3])
+
+
+def test_status_md_counts_match_registry():
+    """STATUS.md is generated (tools/status.py) but checked in — r9 shipped
+    it one query stale (312 vs 313; agg_kll_quantiles missing).  Parse its
+    header counts and every listed query name back out and assert parity
+    with the live registry, so drift fails the pre-commit suite."""
+    import pathlib
+    import re
+
+    text = (pathlib.Path(__file__).parent.parent / "STATUS.md").read_text()
+    m = re.search(
+        r"Registered queries: \*\*(\d+)\*\* — (\d+) DuckDB-oracle-checked, (\d+) rows-only",
+        text,
+    )
+    assert m, "STATUS.md header counts not found — regenerate with tools/status.py"
+    n_total, n_sql, n_rows = (int(g) for g in m.groups())
+    assert n_total == len(REG), f"STATUS.md says {n_total}, registry has {len(REG)}"
+    assert n_sql == len(SQL_CHECKED), f"STATUS.md says {n_sql} sql, registry {len(SQL_CHECKED)}"
+    assert n_rows == len(ROWS_ONLY), f"STATUS.md says {n_rows} rows-only, registry {len(ROWS_ONLY)}"
+    listed = set(re.findall(r"\| \d+ \| `([a-z0-9_]+)` \|", text))
+    assert listed == set(REG), (
+        f"STATUS.md missing {sorted(set(REG) - listed)}, "
+        f"stale {sorted(listed - set(REG))}"
+    )
 
 
 def test_registry_contract_invariants():

@@ -166,14 +166,48 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
 
     queries = embeddings.filter(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(queries, embeddings, k=5)
-    approx = similarity.ivf_topk(queries, embeddings, k=5, n_cells=16, n_probe=8)
+    approx = similarity.ivf_topk(
+        queries, embeddings, k=5, n_cells=32, n_probe=24, refine_iters=2
+    )
     t = {(r.query_id, r.cand_id) for r in exact.collect()}
     g = {(r.query_id, r.cand_id) for r in approx.collect()}
     recall = len(t & g) / len(t)
-    # probing half the cells of a random-vector corpus: each true neighbor
-    # lands in a probed cell with p ~ n_probe/n_cells plus locality gains
-    record_margin("sim_ivf_topk", "ivf_recall_vs_brute_force", recall, 0.5)
-    assert recall >= 0.5, f"IVF recall {recall:.2f} < 0.5"
+    # BASELINE.md's declared ANN bar.  The corpus is isotropic-random, so
+    # recall ~ probed mass and 0.9 costs probing 24/32 cells here (measured
+    # 0.95); test_ivf_planted_clusters_low_probe shows the same quantizer
+    # needs only 2/32 probes once the data has real cluster structure.
+    record_margin("sim_ivf_topk", "ivf_recall_vs_brute_force", recall, 0.9)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
+
+
+def test_ivf_planted_clusters_low_probe(spark):
+    """The index-selectivity claim behind sim_ivf_topk: once the corpus has
+    CLUSTER structure (every real embedding corpus does), IVF reaches the
+    0.9 recall bar probing a small fraction of cells — here 2/32 ≈ 6% of
+    the corpus.  The high probe fraction the contract query needs (24/32)
+    is purely a property of the isotropic-random synthetic testdata, where
+    no partition of space can concentrate neighbors."""
+    import numpy as np
+
+    from postpy_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(32, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(512) % 32] + 0.05 * rng.normal(size=(512, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(512)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = df.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(queries, df, k=5)
+    approx = similarity.ivf_topk(
+        queries, df, k=5, n_cells=32, n_probe=2, refine_iters=2
+    )
+    t = {(r.query_id, r.cand_id) for r in exact.collect()}
+    g = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(t & g) / len(t)
+    assert recall >= 0.9, f"planted-cluster IVF recall {recall:.2f} < 0.9 at 2/32 probes"
 
 
 def test_ivf_assignment_partitions_corpus(spark, embeddings):
@@ -212,13 +246,13 @@ def test_ivf_refine_improves_or_holds_recall(spark, embeddings):
     queries = embeddings.filter(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(queries, embeddings, k=5)
     approx = similarity.ivf_topk(
-        queries, embeddings, k=5, n_cells=16, n_probe=8, refine_iters=1
+        queries, embeddings, k=5, n_cells=32, n_probe=24, refine_iters=1
     )
     t = {(r.query_id, r.cand_id) for r in exact.collect()}
     g = {(r.query_id, r.cand_id) for r in approx.collect()}
     recall = len(t & g) / len(t)
-    record_margin("sim_ivf_topk", "refined_ivf_recall_vs_brute_force", recall, 0.5)
-    assert recall >= 0.5, f"refined IVF recall {recall:.2f} < 0.5"
+    record_margin("sim_ivf_topk", "refined_ivf_recall_vs_brute_force", recall, 0.9)
+    assert recall >= 0.9, f"refined IVF recall {recall:.2f} < 0.9"
 
     centroids, assigned = similarity.ivf_refine(
         embeddings, similarity.ivf_build(embeddings, n_cells=16)[0], n_iter=1
@@ -542,6 +576,23 @@ def test_pq_recall_vs_brute_force(spark, embeddings):
     # the shortlist; measured 0.93 at this sf with the defaults
     record_margin("sim_pq_topk", "pq_adc_recall_vs_brute_force", recall, 0.85)
     assert recall >= 0.85, f"PQ recall {recall:.2f} < 0.85"
+
+
+def test_ivfpq_recall_vs_brute_force(spark, embeddings):
+    """IVF-PQ composition: routing (24/32 probed cells on this
+    structure-free corpus) stacked on ADC+rerank must still clear the PQ
+    recall bar — the routing loss and the quantization loss compound, and
+    the exact rerank only repairs what the shortlist retained."""
+    from postpy_spark.operators import pq
+
+    queries = embeddings.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(queries, embeddings, k=5)
+    approx = pq.ivfpq_topk(queries, embeddings, k=5)
+    t = {(r.query_id, r.cand_id) for r in exact.collect()}
+    g = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(t & g) / len(t)
+    record_margin("sim_ivfpq_topk", "ivfpq_recall_vs_brute_force", recall, 0.85)
+    assert recall >= 0.85, f"IVF-PQ recall {recall:.2f} < 0.85"
 
 
 def test_pq_codes_shape_and_determinism(spark, embeddings):

@@ -56,7 +56,10 @@ def canon(v):
     return v
 
 
-from postpy_spark.testing import type_parity_errors  # noqa: E402
+from postpy_spark.testing import (  # noqa: E402
+    nonscalar_top_level_columns,
+    type_parity_errors,
+)
 
 
 def canon_rows(cols: list[str], rows) -> tuple[list[str], list]:
@@ -109,6 +112,16 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
+            n_fail += 1
+            failures.append(name)
+            continue
+        bad_cols = nonscalar_top_level_columns(df.schema)
+        if bad_cols:
+            print(
+                f"FAIL  {name}: non-scalar top-level columns {bad_cols} — "
+                "the driver's canonicalizer cannot hash array/map/struct "
+                "cells (r9 embed_pca class); explode to scalar rows"
+            )
             n_fail += 1
             failures.append(name)
             continue

@@ -57,6 +57,8 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("events_basket_lift", "NESTED_LOOP"): "broadcast 1-row basket count",
     ("stat_benford", "NESTED_LOOP"): "broadcast 1-row digit total",
     ("stat_ttest_welch", "NESTED_LOOP"): "broadcast 1-row group stats triple",
+    ("stat_ks_test", "NESTED_LOOP"): "broadcast 1-row (na, nb) sample totals",
+    ("stat_psi_drift", "NESTED_LOOP"): "broadcast 1-row (tr, tc) split totals",
     ("events_rfm_segments", "NESTED_LOOP"): "broadcast 1-row horizon date",
     ("text_bigram_lm", "NESTED_LOOP"): "broadcast 1-row vocab size",
     ("text_lm_ppl_buckets", "NESTED_LOOP"): "broadcast 1-row vocab size (LM stage)",
@@ -85,6 +87,8 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("dedup_embedding_cosine", "NESTED_LOOP"): "bucketed candidates; BNLJ side is broadcast-bounded",
     ("kmeans_clusters", "NESTED_LOOP"): "broadcast k centroids",
     ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",
+    ("sim_ivfpq_topk", "NESTED_LOOP"):
+        "broadcast n_cells centroids (probe) + |q|*n_probe query LUTs",
     ("dedup_semantic", "NESTED_LOOP"): "broadcast n_cells centroids (cluster assignment argmax)",
     ("dedup_semantic_planted", "NESTED_LOOP"): "same SemDeDup path on the planted one-hot corpus (broadcast centroids)",
     ("join_cross", "CARTESIAN"): "the op IS a cross join (pre-filtered dims)",

@@ -43,6 +43,7 @@ GATE_TESTS = [
     "tests/test_llm_ops.py::test_ivf_recall_vs_brute_force",
     "tests/test_llm_ops.py::test_ivf_refine_improves_or_holds_recall",
     "tests/test_llm_ops.py::test_pq_recall_vs_brute_force",
+    "tests/test_llm_ops.py::test_ivfpq_recall_vs_brute_force",
     "tests/test_llm_ops.py::test_knn_graph_recall_vs_bruteforce",
     "tests/test_relational_edges.py::test_hll_mergeable_within_tolerance",
     "tests/test_relational_edges.py::test_cms_contract_and_mergeability",

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from postpy_spark.operators.similarity import cosine_expr, unit_col
+from postpy_spark.operators.similarity import cosine_expr, dot_expr, unit_col
 
 __all__ = ["pq_train", "pq_encode", "pq_topk", "ivfpq_topk", "unit_col"]
 
@@ -375,8 +375,10 @@ def ivfpq_topk(
     # probe: per query the n_probe max-cosine cells (broadcast argmax over
     # the n_cells-row centroid frame — identical shape to ivf_topk's)
     q = queries_n.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    qc = q.crossJoin(broadcast(centroids)).select(
-        "query_id", "cell_id", cosine_expr(F.col("_qv"), F.col("cv")).alias("_sim")
+    # dot against unit centroids == cosine ranking per query (|q| constant)
+    cn = centroids.select("cell_id", unit_col(F.col("cv")).alias("_ucv"))
+    qc = q.crossJoin(broadcast(cn)).select(
+        "query_id", "cell_id", dot_expr(F.col("_qv"), F.col("_ucv")).alias("_sim")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell_id"))
     probed = (

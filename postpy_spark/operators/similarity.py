@@ -264,17 +264,33 @@ def ivf_refine(
                 lambda s: s["m"],
             ).alias("cv")
         )
+        # materialize the n_cells-row centroid frame NOW: without this the
+        # lazy lineage re-derives every earlier assignment pass (each a
+        # full-corpus broadcast argmax) once per downstream consumer, so
+        # k refine iterations cost O(k^2) corpus scans instead of O(k)
+        # (measured: refine_iters=2 ivf_topk 5.0s -> ~2.5s at sf0.1).
+        # The checkpointed frame is n_cells x d doubles — trivially small.
+        centroids = centroids.localCheckpoint()
         assigned = _assign(corpus, centroids, id_col, vec_col)
     return centroids, assigned
 
 
 def _assign(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Broadcast max-cosine argmax of each corpus vector over the centroids."""
-    scored = corpus.crossJoin(broadcast(centroids)).select(
+    """Broadcast max-cosine argmax of each corpus vector over the centroids.
+
+    Scored as a plain dot against UNIT centroids: argmax_c cos(v, c) =
+    argmax_c dot(v, ĉ) because |v| is constant across the candidate cells
+    — so the per-(vector, cell) cost is one 64-op fold instead of the
+    192-op dot+two-norms that an interpreted cosine would re-derive per
+    pair (the knn_graph unit_col trick, applied to the assignment pass).
+    The normalization runs once over the n_cells-row frame inside the
+    broadcast build."""
+    cn = centroids.select("cell_id", unit_col(F.col("cv")).alias("_ucv"))
+    scored = corpus.crossJoin(broadcast(cn)).select(
         F.col(id_col),
         F.col(vec_col),
         "cell_id",
-        cosine_expr(F.col(vec_col), F.col("cv")).alias("_sim"),
+        dot_expr(F.col(vec_col), F.col("_ucv")).alias("_sim"),
     )
     wa = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell_id"))
     return (
@@ -306,9 +322,12 @@ def ivf_topk(
             corpus, centroids, refine_iters, id_col, vec_col
         )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    qc = q.crossJoin(broadcast(centroids)).select(
+    # probe ranking: dot against unit centroids == cosine ranking (|q| is
+    # constant per query) — same trick as _assign
+    cn = centroids.select("cell_id", unit_col(F.col("cv")).alias("_ucv"))
+    qc = q.crossJoin(broadcast(cn)).select(
         "query_id", "qv", "cell_id",
-        cosine_expr(F.col("qv"), F.col("cv")).alias("_sim"),
+        dot_expr(F.col("qv"), F.col("_ucv")).alias("_sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell_id"))
     probed = (

@@ -418,3 +418,51 @@ def stream_approx_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     first sighting); pytest pins zero duplicate emissions, the FP
     budget, and batch/stream key-set agreement."""
     return STR.approx_dedup_batch(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_ivm_update",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+    group="C",
+)
+def stream_ivm_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming incremental view maintenance: the events table is
+    chunked, replayed with availableNow, and foreachBatch folds each
+    micro-batch's signed per-group deltas into a parquet materialized
+    per-event_type COUNT/SUM aggregate via ``etl.ivm_merge`` — history is
+    NEVER re-aggregated (the streaming twin of ``agg_ivm_update``).
+
+    Exactly-once: the MV rows carry the last applied batch id in the same
+    atomic directory swap as the data, so foreachBatch's at-least-once
+    replay cannot double-count (pytest replays a batch to pin it).  The
+    oracle recomputes the final state from scratch, so the value-hash
+    proves the whole incremental fold.  Money as BIGINT cents (the
+    DECIMAL landmine)."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/postpy_spark_stream_ivm/{tag}"
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    STR.write_event_chunks(spark, sf_dir, f"{base}/chunks", n_chunks=3)
+    stream = STR.read_event_stream(spark, f"{base}/chunks", files_per_trigger=1)
+    STR.stream_ivm_to_path(
+        stream,
+        target_path=f"{base}/mv",
+        keys=["event_type"],
+        count_col="n_events",
+        sum_cols={
+            "sum_cents": F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).cast("bigint")
+        },
+        checkpoint=f"{base}/ckpt",
+    )
+    return (
+        spark.read.parquet(f"{base}/mv")
+        .select("event_type", "n_events", "sum_cents")
+    )

@@ -221,6 +221,84 @@ def stream_upsert_to_path(
 
 
 # ---------------------------------------------------------------------------
+# Incremental-view-maintenance sink (etl.ivm_merge, made streaming)
+# ---------------------------------------------------------------------------
+
+
+def make_ivm_batch_merger(
+    target_path: str,
+    keys: list[str],
+    count_col: str,
+    sum_cols: dict[str, "F.Column"],
+):
+    """foreachBatch body maintaining a materialized COUNT/SUM aggregate
+    under an append stream via :func:`postpy_spark.etl.ivm_merge` — each
+    micro-batch is reduced to signed per-group deltas (appends: +1/+v)
+    and merged WITHOUT re-aggregating history.
+
+    Exactly-once under foreachBatch's at-least-once replay: unlike
+    ``latest_wins_merge`` (idempotent by construction), an IVM increment
+    applied twice double-counts — so the MV rows carry the id of the last
+    applied batch in a ``_last_batch`` column written in the SAME atomic
+    directory swap as the data, and a replayed batch (id <= stored id) is
+    skipped.  One swap carries state + marker; there is no window where
+    one is durable without the other.
+
+    Exposed as a module-level factory (returned function is driver-side —
+    foreachBatch is never pickled to workers) so the crash-replay pytest
+    can drive the same body the stream runs."""
+    from postpy_spark.etl import atomic_overwrite, ivm_merge
+
+    add_cols = list(sum_cols)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_l = batch.sparkSession
+        delta = batch.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("bigint").alias(count_col),
+            *[expr.alias(name) for name, expr in sum_cols.items()],
+        )
+        try:
+            mv = spark_l.read.parquet(target_path)
+        except Exception:
+            mv = None
+        if mv is not None:
+            last = mv.agg(F.max("_last_batch")).collect()[0][0]
+            if last is not None and batch_id <= last:
+                return  # replayed batch: already folded into the MV
+            merged = ivm_merge(mv.drop("_last_batch"), delta, keys, count_col, add_cols)
+        else:
+            merged = delta.filter(F.col(count_col) > 0)
+        atomic_overwrite(
+            merged.withColumn("_last_batch", F.lit(batch_id)), target_path
+        )
+
+    return merge_batch
+
+
+def stream_ivm_to_path(
+    stream_df: DataFrame,
+    target_path: str,
+    keys: list[str],
+    count_col: str,
+    sum_cols: dict[str, "F.Column"],
+    checkpoint: str,
+) -> None:
+    """writeStream.foreachBatch → delta-rule IVM into a parquet MV (one
+    aggregate maintained incrementally across micro-batches; the scale
+    contract is ivm_merge's: the MV is only ever the stream side of
+    broadcast joins, no Exchange carries it)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            make_ivm_batch_merger(target_path, keys, count_col, sum_cols)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
 # SCD2 dimension sink (type-2 history from a stream)
 # ---------------------------------------------------------------------------
 

@@ -472,3 +472,61 @@ def test_approx_dedup_bounded_state_stream_vs_batch(spark, chunks):
     assert stream_keys == batch_keys  # same bloom core, same key decisions
     assert stream_keys <= exact
     assert len(exact) - len(stream_keys) <= max(1, len(exact) // 100)
+
+
+def test_stream_ivm_exactly_once_under_batch_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the MV swap but before
+    checkpoint commit replays the batch.  The IVM merger must skip a batch
+    id it has already folded (the _last_batch marker rides the same atomic
+    swap as the data), or counts double."""
+    target = str(tmp_path / "mv")
+    merger = STR.make_ivm_batch_merger(
+        target,
+        keys=["event_type"],
+        count_col="n_events",
+        sum_cols={
+            "sum_cents": F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).cast("bigint")
+        },
+    )
+    ev = load_table(spark, SF_SMOKE, "events")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    merger(b0, 0)
+    merger(b1, 1)
+    once = sorted(map(tuple, spark.read.parquet(target).drop("_last_batch").collect()))
+    merger(b1, 1)  # replay: must be a no-op
+    replayed = sorted(map(tuple, spark.read.parquet(target).drop("_last_batch").collect()))
+    assert once == replayed
+    # and the final state equals the scratch aggregate
+    expect = sorted(
+        map(
+            tuple,
+            ev.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("sum_cents"),
+            )
+            .collect(),
+        )
+    )
+    assert once == expect
+
+
+def test_stream_ivm_converges_to_batch(spark):
+    """The full writeStream path (chunked replay, availableNow) must land
+    on the scratch aggregate — the streaming twin of agg_ivm_update."""
+    from postpy_spark.registry import load_all
+
+    reg = load_all()
+    got = reg["stream_ivm_update"].fn(spark, SF_SMOKE)
+    expect = load_table(spark, SF_SMOKE, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    assert_same(got, expect)

@@ -102,7 +102,7 @@ def label_propagation(
     id_a: str = "id_a",
     id_b: str = "id_b",
     n_iter: int = 15,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(node, label) communities by synchronous label propagation
     (Raghavan et al. 2007) with a SELF-VOTE and deterministic
@@ -117,7 +117,14 @@ def label_propagation(
     vote window per node; state is a (node, label) frame.  Iterations
     stop early via an aggregate-only changed-count check; the plan is
     truncated with localCheckpoint like the PageRank/CC loops.
-    """
+
+    ``checkpoint_every`` defaults to 1 (unlike PageRank's 4): the
+    self-vote union references ``labels`` TWICE per level, so the plan
+    doubles per uncheckpointed round — 4 deferred rounds re-evaluate the
+    last checkpoint's subtree up to 2⁴ times (measured 2× wall on the
+    planted-topology query at sf0.1: 5.2s → 2.7s).  PageRank's loop
+    references its state once per level (linear growth), so batching
+    checkpoints stays the win there."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(

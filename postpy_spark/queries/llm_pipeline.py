@@ -1166,6 +1166,100 @@ def embed_pca_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embed_pca_planted",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey AS vec_id,
+               o_totalprice / 300000.0 AS a,
+               (o_orderkey % 97) / 97.0 AS b
+        FROM orders
+    ),
+    m AS (
+        SELECT AVG(a) AS ma, AVG(b) AS mb,
+               AVG(a*a) - AVG(a)*AVG(a) AS va,
+               AVG(b*b) - AVG(b)*AVG(b) AS vb,
+               AVG(a*b) - AVG(a)*AVG(b) AS cab
+        FROM s
+    ),
+    e AS (
+        SELECT *,
+               (va + vb + SQRT((va-vb)*(va-vb) + 4*cab*cab)) / 2 AS l1,
+               (va + vb - SQRT((va-vb)*(va-vb) + 4*cab*cab)) / 2 AS l2
+        FROM m
+    ),
+    w AS (
+        SELECT ma, mb,
+               (l1 - vb) / SQRT((l1-vb)*(l1-vb) + cab*cab) AS u1x,
+               cab / SQRT((l1-vb)*(l1-vb) + cab*cab)       AS u1y,
+               cab / SQRT(cab*cab + (l2-va)*(l2-va))       AS u2x,
+               (l2 - va) / SQRT(cab*cab + (l2-va)*(l2-va)) AS u2y
+        FROM e
+    ),
+    ws AS (
+        SELECT ma, mb,
+               CASE WHEN (CASE WHEN ABS(u1x) >= ABS(u1y) THEN u1x ELSE u1y END) < 0
+                    THEN -u1x ELSE u1x END AS w1x,
+               CASE WHEN (CASE WHEN ABS(u1x) >= ABS(u1y) THEN u1x ELSE u1y END) < 0
+                    THEN -u1y ELSE u1y END AS w1y,
+               CASE WHEN (CASE WHEN ABS(u2x) >= ABS(u2y) THEN u2x ELSE u2y END) < 0
+                    THEN -u2x ELSE u2x END AS w2x,
+               CASE WHEN (CASE WHEN ABS(u2x) >= ABS(u2y) THEN u2x ELSE u2y END) < 0
+                    THEN -u2y ELSE u2y END AS w2y
+        FROM w
+    )
+    SELECT vec_id, CAST(component AS BIGINT) AS component,
+           ROUND(value, 4) + 0.0 AS value  -- +0.0 folds -0.0 to +0.0 (IEEE)
+    FROM (
+        SELECT vec_id, 0 AS component,
+               (a - ma) * w1x + (b - mb) * w1y AS value
+        FROM s CROSS JOIN ws
+        UNION ALL
+        SELECT vec_id, 1 AS component,
+               (a - ma) * w2x + (b - mb) * w2y AS value
+        FROM s CROSS JOIN ws
+    )
+    """,
+    group="D",
+)
+def embed_pca_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the distributed PCA path: a planted
+    rank-2 embedding ``[a, b, 0, 0]`` built from orders columns runs
+    through the very same Gram-partial machinery as ``embed_pca``
+    (operators/linalg.py — mapInPandas moment pass, d²-bounded reduce,
+    driver eigh, Arrow projection pass), and the DuckDB twin solves the
+    2×2 eigensystem IN CLOSED FORM (robust eigenvector forms
+    ``[λ1−vb, cab]`` / ``[cab, λ2−va]``, the same largest-|coordinate|-
+    positive sign convention as fit_pca), so every projected value is
+    hash-compared — the upgrade from the rows-only property gates the r9
+    verdict called for.
+
+    Cross-engine float discipline: inputs scaled to O(1) so the partial
+    -sum reordering between engines perturbs moments at ~1e-14, the
+    eigengap is ~0.15 (well-conditioned eigenvectors), and projections
+    round at 4 decimals — error ~1e-12 against a 1e-4 quantum."""
+    from postpy_spark.operators.linalg import pca_project
+
+    o = load_table(spark, sf_dir, "orders")
+    planted = o.select(
+        F.col("o_orderkey").alias("vec_id"),
+        F.array(
+            F.col("o_totalprice") / 300000.0,
+            (F.col("o_orderkey") % 97) / 97.0,
+            F.lit(0.0),
+            F.lit(0.0),
+        ).alias("embedding"),
+    )
+    out = pca_project(planted, k=2)
+    return out.select("vec_id", F.posexplode("pca").alias("component", "value")).select(
+        "vec_id",
+        F.col("component").cast("bigint").alias("component"),
+        # +0.0 folds IEEE -0.0 to +0.0 — the canonical sorted-row compare
+        # distinguishes their reprs even though -0.0 == 0.0
+        (F.round("value", 4) + F.lit(0.0)).alias("value"),
+    )
+
+
 @query("sample_mixture_stable", oracle=None, group="D")
 def sample_mixture_stable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-mixture rebalancing with RETRY-SAFE sampling: per-lang

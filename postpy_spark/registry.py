@@ -118,7 +118,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "stream_approx_dedup", "text_bpe_merges", "text_bpe_segment",
     # (c) new in round 10 — inserted as they land
     "graph_connected_components", "stat_ks_test", "stat_psi_drift",
-    "sim_ivfpq_topk", "stream_ivm_update",
+    "sim_ivfpq_topk", "stream_ivm_update", "embed_pca_planted",
 )
 
 

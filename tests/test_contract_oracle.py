@@ -98,6 +98,19 @@ def test_status_md_counts_match_registry():
         f"STATUS.md missing {sorted(set(REG) - listed)}, "
         f"stale {sorted(listed - set(REG))}"
     )
+    # README's "Current gate" headline drifts the same way — pin it too
+    readme = (pathlib.Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(
+        r"\*\*(\d+) registered queries — (\d+) sql-checked pass / 0 fail at\n"
+        r"sf0\.01 \(also verified at sf0\.001 and sf0\.1\) — plus (\d+) rows-only\*\*",
+        readme,
+    )
+    assert m, "README.md 'Current gate' counts not found"
+    assert tuple(int(g) for g in m.groups()) == (
+        len(REG),
+        len(SQL_CHECKED),
+        len(ROWS_ONLY),
+    ), f"README.md gate counts {m.groups()} != registry ({len(REG)}, {len(SQL_CHECKED)}, {len(ROWS_ONLY)})"
 
 
 def test_registry_contract_invariants():

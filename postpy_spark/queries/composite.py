@@ -4240,3 +4240,89 @@ def stat_psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cur",
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH src_nodes AS (SELECT DISTINCT c_custkey % 200 AS u FROM customer),
+    js AS (SELECT * FROM (VALUES (1), (2), (3), (4)) AS t(j)),
+    edges AS (
+        SELECT u AS src, (u * 7 + 13 * j) % 200 AS dst
+        FROM src_nodes CROSS JOIN js
+        WHERE j <= 1 + u % 4
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    we AS (SELECT e.src, e.dst, CAST(12 // g.d AS BIGINT) AS w
+           FROM edges e JOIN deg g ON g.src = e.src),
+    a0 AS (SELECT node, CAST(1 AS BIGINT) AS a FROM nodes),
+    a1 AS (
+        SELECT n.node, CAST(36 + 17 * COALESCE(SUM(p.a * w.w), 0) AS BIGINT) AS a
+        FROM nodes n LEFT JOIN we w ON w.dst = n.node
+                     LEFT JOIN a0 p ON p.node = w.src
+        GROUP BY n.node
+    ),
+    a2 AS (
+        SELECT n.node, CAST(8640 + 17 * COALESCE(SUM(p.a * w.w), 0) AS BIGINT) AS a
+        FROM nodes n LEFT JOIN we w ON w.dst = n.node
+                     LEFT JOIN a1 p ON p.node = w.src
+        GROUP BY n.node
+    ),
+    a3 AS (
+        SELECT n.node, CAST(2073600 + 17 * COALESCE(SUM(p.a * w.w), 0) AS BIGINT) AS a
+        FROM nodes n LEFT JOIN we w ON w.dst = n.node
+                     LEFT JOIN a2 p ON p.node = w.src
+        GROUP BY n.node
+    ),
+    a4 AS (
+        SELECT n.node, CAST(497664000 + 17 * COALESCE(SUM(p.a * w.w), 0) AS BIGINT) AS a
+        FROM nodes n LEFT JOIN we w ON w.dst = n.node
+                     LEFT JOIN a3 p ON p.node = w.src
+        GROUP BY n.node
+    )
+    SELECT CAST(node AS BIGINT) AS node, a AS rank_scaled FROM a4
+    """,
+    group="B2",
+)
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (β = 17/20, 4 iterations) over a deterministic
+    directed graph derived from customer keys — the EXACT-oracle
+    attestation of the iterative rank loop (operators/graph.py::
+    pagerank_exact), the third exactly-attested iterative graph algorithm
+    next to connected components and the planted-PCA path.
+
+    Floats can never hash-match across engines on an iterative Σ (partial-
+    sum order wobbles the last bits), so the damped iteration is rewritten
+    in integer-rational form: pr_t = a_t / (n·20^t·12^t) turns
+    pr ← 3/(20n) + (17/20)·Σ pr(u)/d(u) into the BIGINT recurrence
+    a ← 3·20^t·12^(t+1) + 17·Σ a(u)·(12/d(u)), exact on both engines
+    (out-degrees 1..4 by construction all divide 12; numerators < 2^40).
+
+    Graph: node u = c_custkey % 200; edges u → (7u + 13j) % 200 for
+    j = 1..(1 + u%4).  7 is invertible mod 200, so in-degree ≤ 4 and the
+    numerators stay bounded; dangling (in-edge-only) nodes at small sf
+    receive teleport + inflow and contribute nothing — identical on both
+    engines.
+
+    Scale: per iteration ONE state-to-edges join (shuffle keyed on src,
+    reusable partitioning) + one groupBy(dst) + a left join back to the
+    node frame; lineage checkpoint every 2 rounds.  The double-precision
+    production operator (operators/graph.py::pagerank) shares the plan
+    shape; this query pins its iteration structure exactly."""
+    from postpy_spark.operators.graph import pagerank_exact
+
+    c = load_table(spark, sf_dir, "customer")
+    u = c.select((F.col("c_custkey") % 200).alias("u")).distinct()
+    j = u.sparkSession.range(1, 5).select(F.col("id").alias("j"))
+    edges = (
+        u.crossJoin(broadcast(j))
+        .filter(F.col("j") <= 1 + F.col("u") % 4)
+        .select(
+            F.col("u").alias("src"),
+            ((F.col("u") * 7 + 13 * F.col("j")) % 200).alias("dst"),
+        )
+    )
+    return pagerank_exact(edges, n_iter=4, deg_lcm=12).select(
+        F.col("node").cast("bigint").alias("node"), "rank_scaled"
+    )

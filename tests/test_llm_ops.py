@@ -681,6 +681,55 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[n] - r[idx[n]]) < 1e-9, (n, got[n], r[idx[n]])
 
 
+def test_pagerank_exact_matches_python_recurrence(spark):
+    from postpy_spark.operators.graph import pagerank_exact
+
+    # directed graph with dangling receivers (20, 21 have no out-edges)
+    # and mixed out-degrees 1/2/3 — all dividing deg_lcm=12
+    edges = [
+        (0, 1), (0, 2), (0, 20),           # deg(0)=3
+        (1, 2), (1, 21),                   # deg(1)=2
+        (2, 0),                            # deg(2)=1
+        (3, 0), (3, 3),                    # deg(3)=2, incl self-loop
+    ]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_exact(df, n_iter=4, deg_lcm=12).collect()
+    }
+
+    nodes = sorted({n for e in edges for n in e})
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    a = {n: 1 for n in nodes}
+    for t in range(4):
+        const = 3 * (20**t) * (12 ** (t + 1))
+        nxt = {n: const for n in nodes}
+        for s, d in edges:
+            nxt[d] += 17 * a[s] * (12 // deg[s])
+        a = nxt
+    assert got == a
+
+    # scaled ranks decode to the true damped iteration: compare against the
+    # float recurrence run the same 4 steps (dangling mass untouched)
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(4):
+        nxt = {v: 0.15 / n for v in nodes}
+        for s, d in edges:
+            nxt[d] += 0.85 * pr[s] / deg[s]
+        pr = nxt
+    scale = n * (20**4) * (12**4)
+    for v in nodes:
+        assert abs(got[v] / scale - pr[v]) < 1e-12
+
+    # out-degree that does not divide deg_lcm must raise, not floor
+    bad = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 0)], "src BIGINT, dst BIGINT"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        pagerank_exact(bad, n_iter=2, deg_lcm=12)
+
+
 def test_canonical_by_centrality_prefers_hub(spark):
     from postpy_spark.operators.dedup import connected_components
     from postpy_spark.operators.graph import canonical_by_centrality

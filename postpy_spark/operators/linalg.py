@@ -125,3 +125,65 @@ def pca_project(
     return in_schema.mapInPandas(
         project, f"{id_col} {id_type}{keep_schema}, pca ARRAY<DOUBLE>"
     )
+
+
+def logreg_irls(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iter: int = 8,
+    ridge: float = 1e-9,
+) -> tuple[list[float], int]:
+    """Binary logistic regression fit by IRLS (Fisher scoring) —
+    "ML training as one aggregate per iteration", the GLM sibling of the
+    closed-form OLS query.
+
+    Each Newton step solves (Xᵀ W X + λI) β = Xᵀ W z with w = p(1−p) and
+    working response z = η + (y−p)/w.  All (k+1)(k+4)/2 weighted moment
+    sums (k features + intercept) come out of ONE partial-aggregable
+    JVM-side pass — w, z are closed-form column expressions of the
+    broadcast-as-literal current β — and the driver solves only the
+    (k+1)×(k+1) system (numpy, microseconds).  Nothing data-sized ever
+    reaches the driver; per-iteration cost is one scan + one scalar
+    aggregate, the exact shape a 1000-executor cluster wants.
+
+    Returns (beta, n) with beta = [intercept, b_1..b_k].  p is clamped to
+    [1e-12, 1−1e-12] so a separable direction cannot produce w = 0 /
+    infinite z inside the aggregate.
+    """
+    import numpy as np
+
+    k = len(feature_cols)
+    names = ["__one"] + list(feature_cols)
+    beta = [0.0] * (k + 1)
+    base = df.select(
+        F.lit(1.0).alias("__one"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    n = -1
+    for _ in range(n_iter):
+        eta = F.lit(beta[0]) * F.col("__one")
+        for i, c in enumerate(feature_cols):
+            eta = eta + F.lit(beta[i + 1]) * F.col(c)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        p = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+        w = p * (F.lit(1.0) - p)
+        z = eta + (F.col("__y") - p) / w
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                aggs.append(
+                    F.sum(w * F.col(names[i]) * F.col(names[j])).alias(f"h_{i}_{j}")
+                )
+            aggs.append(F.sum(w * F.col(names[i]) * z).alias(f"g_{i}"))
+        row = base.agg(*aggs).first()
+        n = row["__n"]
+        H = np.zeros((k + 1, k + 1))
+        g = np.zeros(k + 1)
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                H[i, j] = H[j, i] = row[f"h_{i}_{j}"]
+            g[i] = row[f"g_{i}"]
+        beta = list(np.linalg.solve(H + ridge * np.eye(k + 1), g))
+    return [float(b) for b in beta], int(n)

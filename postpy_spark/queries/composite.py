@@ -4326,3 +4326,40 @@ def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_exact(edges, n_iter=4, deg_lcm=12).select(
         F.col("node").cast("bigint").alias("node"), "rank_scaled"
     )
+
+
+@query("ml_logreg_irls", oracle=None, group="B3")
+def ml_logreg_irls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary logistic regression P(value > 60 | hour, day-of-week) fit by
+    distributed IRLS (operators/linalg.py::logreg_irls) — the GLM sibling
+    of ml_ols_normal_eq: per Newton step ONE JVM-side weighted-moment
+    aggregate (w and the working response are column expressions of the
+    broadcast-as-literal current β); the driver solves only the 3×3
+    system.  8 iterations = 8 scans + 8 scalar aggregates; nothing
+    data-sized leaves the executors.
+
+    Rows-only BY DESIGN: the fit is iterative float (no SQL oracle can
+    reproduce partial-sum order); pytest gates the coefficients against
+    an independent numpy IRLS on the identical extracted matrix (≤1e-6
+    per-coefficient) and pins log-loss below the null-model deviance.
+    Output: one row (intercept, b_hour, b_dow, log_loss, n)."""
+    from postpy_spark.operators.linalg import logreg_irls
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        F.hour("ts").cast("double").alias("x1"),
+        (F.dayofweek("ts") - 1).cast("double").alias("x2"),
+        (F.col("value") > 60).cast("double").alias("y"),
+    )
+    beta, _ = logreg_irls(v, ["x1", "x2"], "y", n_iter=8)
+    eta = F.lit(beta[0]) + F.lit(beta[1]) * F.col("x1") + F.lit(beta[2]) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    p = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    ll = F.col("y") * F.log(p) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p)
+    return v.agg(
+        F.round(F.lit(beta[0]), 6).alias("intercept"),
+        F.round(F.lit(beta[1]), 6).alias("b_hour"),
+        F.round(F.lit(beta[2]), 6).alias("b_dow"),
+        F.round(-F.avg(ll), 6).alias("log_loss"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )

@@ -657,6 +657,55 @@ def test_pq_small_corpus_clamps_ks(spark, embeddings):
         pq.pq_train(empty, m=8, ks=32, n_iter=1)
 
 
+def test_logreg_irls_matches_numpy_reference(spark):
+    import numpy as np
+
+    from postpy_spark.io import load_table
+    from postpy_spark.operators.linalg import logreg_irls
+
+    e = load_table(spark, SF_SMOKE, "events")
+    v = e.select(
+        F.hour("ts").cast("double").alias("x1"),
+        (F.dayofweek("ts") - 1).cast("double").alias("x2"),
+        (F.col("value") > 60).cast("double").alias("y"),
+    )
+    beta, n = logreg_irls(v, ["x1", "x2"], "y", n_iter=8)
+    assert n == v.count()
+
+    pdf = v.toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["x1"].to_numpy(), pdf["x2"].to_numpy()]
+    )
+    y = pdf["y"].to_numpy()
+    b = np.zeros(3)
+    for _ in range(8):
+        p = 1.0 / (1.0 + np.exp(-X @ b))
+        p = np.clip(p, 1e-12, 1 - 1e-12)
+        w = p * (1 - p)
+        z = X @ b + (y - p) / w
+        H = X.T @ (w[:, None] * X) + 1e-9 * np.eye(3)
+        b = np.linalg.solve(H, X.T @ (w * z))
+    diff = float(np.max(np.abs(np.asarray(beta) - b)))
+    record_margin(
+        "ml_logreg_irls", "logreg_coef_abs_diff_vs_numpy_irls", diff, 1e-6, "<="
+    )
+    assert diff <= 1e-6, (beta, list(b))
+
+    # fitted log-loss must beat the null (intercept-only) model's
+    base = float(np.mean(y))
+    null_ll = -(base * np.log(base) + (1 - base) * np.log(1 - base))
+    p_hat = np.clip(1.0 / (1.0 + np.exp(-X @ np.asarray(beta))), 1e-12, 1 - 1e-12)
+    fit_ll = float(-np.mean(y * np.log(p_hat) + (1 - y) * np.log(1 - p_hat)))
+    assert fit_ll <= null_ll + 1e-12
+
+    # a feature with a planted strong effect must get a clearly positive coef
+    rng_x = v.withColumn(
+        "x3", (F.col("y") * 2.0 - 1.0) + (F.col("x1") % 3.0) * 0.1
+    )
+    beta3, _ = logreg_irls(rng_x, ["x1", "x2", "x3"], "y", n_iter=8)
+    assert beta3[3] > 1.0
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     import numpy as np
 

@@ -52,6 +52,7 @@ GATE_TESTS = [
     "tests/test_relational_edges.py::test_kll_rank_error_mergeability_and_exact_branch",
     "tests/test_relational_edges.py::test_join_cardinality_estimate_within_2x",
     "tests/test_multimodal.py::test_phash_dedup_catches_inplace_edits_not_reframes",
+    "tests/test_llm_ops.py::test_logreg_irls_matches_numpy_reference",
 ]
 
 #: Rows-only queries whose gate is exact/structural rather than a numeric

@@ -616,3 +616,59 @@ def knn_graph(
         undirected.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_farthest_init(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic farthest-first (Gonzalez 1985) k-means seeding in
+    ANGULAR distance: seed 0 is the min-id vector; each subsequent seed is
+    the vector whose maximum cosine to the already-chosen seeds is smallest
+    (ties → min id).  When inter-cluster angular separation exceeds the
+    intra-cluster diameter, farthest-first provably picks one seed per
+    cluster — the property kmeans_planted's exact oracle attests.
+
+    Scale: k−1 passes, each a NARROW map (the chosen seeds are a bounded
+    k×d driver artifact inlined as literals — same discipline as the PQ
+    codebooks / bloom bitmap) ending in TakeOrderedAndProject (per-partition
+    top-1, no global sort, no unpartitioned window).  Returns a
+    (cell_id, cv) centroids frame seeded from the data itself."""
+    first = (
+        corpus.select(F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cv"))
+        .orderBy("cell_id")
+        .limit(1)
+        .first()
+    )
+    if first is None:
+        raise ValueError("kmeans_farthest_init: empty corpus")
+    seeds = [(first["cell_id"], list(first["cv"]))]
+    for _ in range(k - 1):
+        units = []
+        for _sid, sv in seeds:
+            arr = np.asarray(sv, dtype=np.float64)
+            n = float(np.linalg.norm(arr))
+            units.append(arr / n if n > 0 else arr)
+        uv = unit_col(F.col(vec_col))
+        dots = [
+            dot_expr(uv, F.array(*[F.lit(float(x)) for x in u])) for u in units
+        ]
+        score = F.greatest(*dots) if len(dots) > 1 else dots[0]
+        nxt = (
+            corpus.select(
+                F.col(id_col).alias("cell_id"),
+                F.col(vec_col).alias("cv"),
+                score.alias("_s"),
+            )
+            .orderBy(F.col("_s").asc(), F.col("cell_id").asc())
+            .limit(1)
+            .first()
+        )
+        seeds.append((nxt["cell_id"], list(nxt["cv"])))
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in seeds],
+        "cell_id BIGINT, cv ARRAY<DOUBLE>",
+    )

@@ -2561,3 +2561,56 @@ def text_zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_intercept"
         ),
     )
+
+
+@query(
+    "kmeans_planted",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS vec_id,
+           CAST(MIN(o_orderkey) OVER (PARTITION BY o_orderkey % 4) AS BIGINT)
+               AS cluster
+    FROM orders
+    """,
+    group="D",
+)
+def kmeans_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the distributed Lloyd pipeline
+    (farthest-first seeding → broadcast argmax assignment → dimension-wise
+    mean refinement), the iterative-clustering sibling of
+    embed_pca_planted: kmeans_clusters itself is rows-only by design
+    (float centroids, sampled seeding), so this query plants a recoverable
+    geometry and hash-checks every final ASSIGNMENT — discrete values both
+    engines agree on bit-exactly.
+
+    Planted geometry: point i lies at angle (i%4)·90° ± ≤5.7° jitter with
+    magnitude 1..7 (magnitudes prove the cosine assignment is
+    scale-invariant).  Inter-cluster separation (90°) far exceeds
+    intra-cluster diameter (11.4°), so (a) farthest-first provably seeds
+    one point per planted cluster, and (b) Lloyd's partition is stable —
+    the converged assignment IS the planted labeling, which the oracle
+    states in closed form (cluster id = min member id, the CC convention).
+
+    Scale: seeding is k−1 narrow TakeOrdered passes with literal-inlined
+    seeds; each Lloyd iteration is one broadcast argmax + one per-(cell,
+    dim) partial aggregate; the relabel is a per-cell min window over the
+    assignment frame.  No global sort, no driver data beyond k×d seeds."""
+    from postpy_spark.operators import similarity
+
+    o = load_table(spark, sf_dir, "orders")
+    half_pi = 1.5707963267948966
+    theta = (F.col("o_orderkey") % 4).cast("double") * half_pi + (
+        (F.expr("o_orderkey div 4") % 21).cast("double") - 10.0
+    ) / 100.0
+    mag = (F.col("o_orderkey") % 7 + 1).cast("double")
+    pts = o.select(
+        F.col("o_orderkey").cast("bigint").alias("vec_id"),
+        F.array(mag * F.cos(theta), mag * F.sin(theta)).alias("embedding"),
+    )
+    seeds = similarity.kmeans_farthest_init(pts, k=4)
+    _, assigned = similarity.ivf_refine(pts, seeds, n_iter=2)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell_id")
+    return assigned.select(
+        "vec_id", F.min("vec_id").over(w).alias("cluster")
+    )

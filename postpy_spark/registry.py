@@ -119,7 +119,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # (c) new in round 10 — inserted as they land
     "graph_connected_components", "stat_ks_test", "stat_psi_drift",
     "sim_ivfpq_topk", "stream_ivm_update", "embed_pca_planted",
-    "graph_pagerank", "ml_logreg_irls",
+    "graph_pagerank", "ml_logreg_irls", "kmeans_planted",
 )
 
 

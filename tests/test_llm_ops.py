@@ -657,6 +657,29 @@ def test_pq_small_corpus_clamps_ks(spark, embeddings):
         pq.pq_train(empty, m=8, ks=32, n_iter=1)
 
 
+def test_kmeans_farthest_init_one_seed_per_planted_cluster(spark):
+    import math
+
+    from postpy_spark.operators.similarity import kmeans_farthest_init
+
+    # 3 angular clusters at 0/120/240 degrees, jitter ±0.05 rad, mixed mags
+    rows = []
+    for i in range(60):
+        c = i % 3
+        theta = c * 2 * math.pi / 3 + ((i // 3) % 11 - 5) / 100.0
+        mag = 1.0 + (i % 5)
+        rows.append((i, [mag * math.cos(theta), mag * math.sin(theta)]))
+    pts = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    seeds = kmeans_farthest_init(pts, k=3).collect()
+    assert len(seeds) == 3
+    assert sorted(r["cell_id"] % 3 for r in seeds) == [0, 1, 2]
+    # seed 0 is deterministic: the min-id vector
+    assert min(r["cell_id"] for r in seeds) == 0
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        kmeans_farthest_init(pts.limit(0), k=2)
+
+
 def test_logreg_irls_matches_numpy_reference(spark):
     import numpy as np
 

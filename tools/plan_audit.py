@@ -86,6 +86,8 @@ WHITELIST: dict[tuple[str, str], str] = {
         "sim_topk_per_query); greedy stage bounded at n_candidates per query",
     ("dedup_embedding_cosine", "NESTED_LOOP"): "bucketed candidates; BNLJ side is broadcast-bounded",
     ("kmeans_clusters", "NESTED_LOOP"): "broadcast k centroids",
+    ("kmeans_planted", "NESTED_LOOP"):
+        "same Lloyd assignment path on the planted geometry (broadcast k=4 centroids)",
     ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",
     ("sim_ivfpq_topk", "NESTED_LOOP"):
         "broadcast n_cells centroids (probe) + |q|*n_probe query LUTs",

@@ -16,7 +16,7 @@ The spec grammar deliberately spans the documented landmine classes:
 - string/number filter mixes with IN / BETWEEN / comparison ops.
 
 Seeded-stable: ``derandomize=True`` makes every run execute the same
-~480 cases (6 tests × 80 examples), so a failure is reproducible by
+~560 cases (7 tests × 80 examples), so a failure is reproducible by
 plain re-run.
 """
 
@@ -454,5 +454,64 @@ def test_fuzz_set_ops(spark, data):
     sel = f"SELECT {strcol}, {intcol} % 5 AS b FROM {table}"
     sql = (
         f"{sel} WHERE {pa[0]} {op} {sel} WHERE {pb[0]}"
+    )
+    _check(spark, out, sql)
+
+
+# -- datetime class: trunc units, extract conventions, interval arithmetic --
+# The single largest documented landmine surface (CLAUDE.md): DuckDB
+# date_trunc -> DATE while Spark -> TIMESTAMP (aligned by casting both to
+# DATE), DuckDB dayofweek 0=Sun vs Spark 1=Sun (aligned -1 Spark-side),
+# DuckDB DATE + BIGINT has no overload (rendered + INTERVAL (k) DAY).
+
+TRUNC_UNITS = ["day", "week", "month", "quarter", "year"]
+
+EXTRACTS = {
+    "year": (lambda t: f"year({t})", lambda c: F.year(c)),
+    "month": (lambda t: f"month({t})", lambda c: F.month(c)),
+    "day": (lambda t: f"day({t})", lambda c: F.dayofmonth(c)),
+    "hour": (lambda t: f"hour({t})", lambda c: F.hour(c)),
+    "minute": (lambda t: f"minute({t})", lambda c: F.minute(c)),
+    "quarter": (lambda t: f"quarter({t})", lambda c: F.quarter(c)),
+    "doy": (lambda t: f"dayofyear({t})", lambda c: F.dayofyear(c)),
+    "week": (lambda t: f"week({t})", lambda c: F.weekofyear(c)),
+    "dow": (lambda t: f"dayofweek({t})", lambda c: F.dayofweek(c) - 1),
+}
+
+
+@given(data=st.data())
+@CFG
+def test_fuzz_datetime(spark, data):
+    """Group events by a datetime-derived key (trunc unit or day-shifted
+    date) and aggregate datetime extracts — every rendering pair encodes
+    one documented cross-engine convention alignment."""
+    key_kind = data.draw(st.sampled_from(["trunc", "shift"]))
+    e = load_table(spark, SF, "events")
+    if key_kind == "trunc":
+        unit = data.draw(st.sampled_from(TRUNC_UNITS))
+        skey = F.date_trunc(unit, F.col("ts")).cast("date")
+        qkey = f"CAST(date_trunc('{unit}', ts) AS DATE)"
+    else:
+        k = data.draw(st.integers(min_value=-30, max_value=30))
+        skey = F.date_add(F.col("ts").cast("date"), k)
+        qkey = f"CAST(CAST(ts AS DATE) + INTERVAL ({k}) DAY AS DATE)"
+    ex_names = data.draw(
+        st.lists(
+            st.sampled_from(sorted(EXTRACTS)), min_size=1, max_size=3,
+            unique=True,
+        )
+    )
+    aggs_s = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    sels_q = [f"{qkey} AS period", "CAST(COUNT(*) AS BIGINT) AS n"]
+    for i, name in enumerate(ex_names):
+        q_fn, s_fn = EXTRACTS[name]
+        mm = data.draw(st.sampled_from(["MIN", "MAX"]))
+        alias = f"e{i}_{name}"
+        s_agg = F.min if mm == "MIN" else F.max
+        aggs_s.append(s_agg(s_fn(F.col("ts")).cast("bigint")).alias(alias))
+        sels_q.append(f"{mm}(CAST({q_fn('ts')} AS BIGINT)) AS {alias}")
+    out = e.withColumn("period", skey).groupBy("period").agg(*aggs_s)
+    sql = (
+        f"SELECT {', '.join(sels_q)} FROM events GROUP BY {qkey}"
     )
     _check(spark, out, sql)

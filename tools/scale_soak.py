@@ -79,6 +79,12 @@ SOAK_OPS = [
     "join_null_skew_routed",
     "join_interval_overlap",
     "events_dau_wau",
+    # r10: the iterative connected-components loop at scale — runs on the
+    # SCALED documents corpus (LSH candidate pairs → min-label +
+    # pointer-doubling CC), where the planted template cluster produces
+    # one giant near-dup component; rounds grow O(log diameter), so the
+    # ratio must stay ~linear in mult.
+    "dedup_clusters",
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key

@@ -1583,3 +1583,39 @@ def agg_ivm_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS id,
+           o_orderstatus AS status,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    group="A",
+)
+def sink_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON data-source WRITER (Spark 4 DataSource API), the sink
+    half of scan_python_datasource: each task stages its partition in a
+    uniquely-named temp file and hands the path back as a commit message;
+    only the driver's commit() renames staged files into place, abort()
+    deletes them — so task retries can never leave a half-visible file
+    (the task-temp + driver-commit protocol every distributed sink needs;
+    see postpy_spark/sources.py::_JsonlWriter).  The round-trip re-reads
+    the committed JSONL with an explicit schema and must reproduce the
+    projection exactly — integer cents, no float JSON payload."""
+    import shutil
+
+    from postpy_spark import sources
+
+    sources.register(spark)
+    out = _workdir(sf_dir, "py_sink_jsonl")
+    shutil.rmtree(out, ignore_errors=True)
+    d = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    d.select(
+        F.col("o_orderkey").cast("bigint").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).write.format("pp_synth").option("path", out).mode("append").save()
+    return spark.read.schema("id BIGINT, status STRING, cents BIGINT").json(out)

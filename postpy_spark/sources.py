@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 N_PARTITIONS = 4
@@ -73,6 +75,58 @@ def _build_synthetic_source():
                 for k in range(int(start["pos"]), int(end["pos"]))
             )
 
+    class _TaskCommit(WriterCommitMessage):
+        """Per-task commit message: the staged temp file + its row count."""
+
+        def __init__(self, tmp_path: str, n_rows: int) -> None:
+            self.tmp_path = tmp_path
+            self.n_rows = n_rows
+
+    class _JsonlWriter(DataSourceWriter):
+        """Exactly-once JSONL sink: each task stages its rows in a
+        uniquely-named temp file and returns the path as its commit
+        message; only the DRIVER's commit() renames staged files into
+        place (abort() deletes them), so a retried/zombie task can never
+        leave a half-visible file — the classic task-temp + driver-commit
+        protocol every distributed sink needs.  Local-FS rename here; on a
+        cluster the same protocol runs against shared storage."""
+
+        def __init__(self, options: dict) -> None:
+            path = options.get("path")
+            if not path:
+                raise ValueError("pp_synth writer requires .option('path', ...)")
+            self.path = path
+
+        def write(self, iterator) -> "_TaskCommit":
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            _os.makedirs(self.path, exist_ok=True)
+            tmp = _os.path.join(self.path, f"_staged_{_uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _TaskCommit(tmp, n)
+
+        def commit(self, messages) -> None:
+            import os as _os
+
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                final = _os.path.join(self.path, f"part-{i:05d}.jsonl")
+                _os.replace(m.tmp_path, final)
+
+        def abort(self, messages) -> None:
+            import os as _os
+
+            for m in messages:
+                if m is not None and _os.path.exists(m.tmp_path):
+                    _os.remove(m.tmp_path)
+
     class SyntheticSource(DataSource):
         """``spark.read.format("pp_synth").option("n", 1000)``."""
 
@@ -88,6 +142,9 @@ def _build_synthetic_source():
 
         def simpleStreamReader(self, schema) -> "_SyntheticStreamReader":
             return _SyntheticStreamReader(self.options)
+
+        def writer(self, schema, overwrite: bool) -> "_JsonlWriter":
+            return _JsonlWriter(self.options)
 
     return SyntheticSource
 

@@ -92,6 +92,29 @@ def test_python_datasource_classes_pickle_by_value():
         sr = src.simpleStreamReader(None)
         it, off = sr.read(sr.initialOffset())
         assert off == {"pos": 8} and len(list(it)) == 8
+        # writer half: stage -> commit protocol against a temp dir
+        import os
+        import tempfile
+        from collections import namedtuple
+
+        with tempfile.TemporaryDirectory() as td:
+            w = cls(options={"path": td}).writer(None, False)
+            Row = namedtuple("Row", ["id", "tag"])
+
+            class _R(Row):
+                def asDict(self):
+                    return self._asdict()
+
+            msg = w.write(iter([_R(1, "a"), _R(2, "b")]))
+            assert msg.n_rows == 2 and os.path.exists(msg.tmp_path)
+            w.commit([msg])
+            finals = [f for f in os.listdir(td) if f.startswith("part-")]
+            assert finals == ["part-00000.jsonl"], finals
+            assert not [f for f in os.listdir(td) if f.startswith("_staged_")]
+            # abort must remove staged files, not committed ones
+            m2 = w.write(iter([_R(3, "c")]))
+            w.abort([m2])
+            assert not os.path.exists(m2.tmp_path)
 
     _roundtrip_in_clean_subprocess(SyntheticSource, probe)
 

@@ -68,7 +68,11 @@ HEAVY_EXTRAS = [
     "sim_pq_topk",
     "sim_ivf_topk",
     "sim_knn_graph",
+    "sim_ivfpq_topk",
     "graph_label_propagation",
+    "graph_connected_components",
+    "graph_pagerank",
+    "kmeans_planted",
     "ts_interpolate_linear",
     "text_bm25_topk",
     "text_bpe_merges",

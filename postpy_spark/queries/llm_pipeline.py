@@ -2614,3 +2614,63 @@ def kmeans_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.select(
         "vec_id", F.min("vec_id").over(w).alias("cluster")
     )
+
+
+@query(
+    "sim_ann_planted",
+    oracle="""
+    WITH v AS (SELECT o_orderkey AS id, o_orderkey % 50 AS g FROM orders),
+    q AS (SELECT g, MIN(id) AS query_id FROM v GROUP BY g),
+    pairs AS (
+        SELECT q.query_id, v.id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY v.id)
+                   AS rank
+        FROM q JOIN v ON v.g = q.g
+        WHERE v.id <> q.query_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(cand_id AS BIGINT) AS cand_id,
+           CAST(1.0 AS DOUBLE) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM pairs WHERE rank <= 5
+    """,
+    group="D",
+)
+def sim_ann_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the LSH-ANN pipeline (sign-of-projection
+    signatures → per-band bucket equi-join → cosine rerank → ranked top-k):
+    sim_ann_lsh itself is rows-only (recall-gated ≥0.9), but on a planted
+    corpus of EXACT-duplicate groups recall is provably 1.0 — identical
+    vectors share every band bucket, so each query's true top-k (its
+    co-duplicates, cosine exactly 1.0 on one-hot unit vectors) must all
+    surface, ranked purely by the deterministic cand_id tie-break.  The
+    oracle states that closed form; every (query_id, cand_id, cosine,
+    rank) value is hash-compared.
+
+    Geometry: vector i = one-hot(dim (i%50)) in d=64 — cross-group cosine
+    is exactly 0 (distinct dims), so spurious band collisions (~30% of
+    2-bit buckets) can never out-rank or tie a true neighbor at k=5 with
+    ≥29 members per group at every sf tier.
+
+    Scale: identical plan to the production path — queries broadcast, the
+    corpus is signature-bucketed once, candidates flow through the
+    score-before-dedup shuffle slimming (8-byte doubles, never vectors)."""
+    from postpy_spark.operators import similarity
+
+    o = load_table(spark, sf_dir, "orders")
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(j == F.col("vec_id") % 50, 1.0).otherwise(0.0),
+    )
+    corpus = o.select(F.col("o_orderkey").cast("bigint").alias("vec_id")).select(
+        "vec_id", onehot.alias("embedding")
+    )
+    queries = (
+        corpus.groupBy((F.col("vec_id") % 50).alias("g"))
+        .agg(F.min("vec_id").alias("vec_id"))
+        .join(corpus, "vec_id")
+        .select("vec_id", "embedding")
+    )
+    return similarity.ann_lsh_topk(queries, corpus, k=5).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )

@@ -420,9 +420,32 @@ def _write_doc(rows: dict) -> None:
         "`tests/test_scale_soak.py`.",
         "",
     ]
+    lines += _STATIC_EPILOGUE
     with open(doc, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {doc}")
+
+
+#: Historical results that are NOT regenerated per run (the r10 --write-doc
+#: refresh silently dropped this section once; keep static content here so
+#: regeneration preserves it).
+_STATIC_EPILOGUE = [
+    "## Exact-value parity at the 16× tier (round 8)",
+    "",
+    "`tools/check.py` now also runs against Spark-written directory-parquet",
+    "tiers, so the CORRECTNESS gate itself was pointed at the planted 16×",
+    "tier: **38 scale-sensitive sql-checked queries (aggs, joins, windows,",
+    "events analytics, dedup, text, TPC-H shapes) pass the exact-value +",
+    "type-parity DuckDB compare at ~10M events / 1M embeddings-docs — 38",
+    "pass / 0 fail** (`/tmp/r8_soaktier_check2.log`; ~25 min wall).  The one",
+    "deliberate exclusion: `join_range_interval`, whose CONTRACT shape",
+    "(equi-key hash join + range residual) serializes on the planted hot",
+    "user exactly as docs/SCALE.md warns — the salted rewrite",
+    "(`operators/skew.py::salted_range_join`, result-equivalence pytest in",
+    "tests/test_skew.py) is the scale path for that key distribution, and",
+    "the soak keeps the naive shape out of its op list for the same reason.",
+    "",
+]
 
 
 if __name__ == "__main__":

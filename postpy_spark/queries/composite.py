@@ -4363,3 +4363,55 @@ def ml_logreg_irls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.avg(ll), 6).alias("log_loss"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "ml_logreg_planted",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x,
+               CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    t AS (
+        SELECT x, CAST(SUM(y) AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS m
+        FROM c GROUP BY x
+    ),
+    f AS (
+        SELECT
+            (SELECT LN(CAST(k AS DOUBLE) / (m - k)) FROM t WHERE x = 0) AS b0,
+            (SELECT LN(CAST(k AS DOUBLE) / (m - k)) FROM t WHERE x = 1) AS b1x,
+            (SELECT CAST(SUM(m) AS BIGINT) FROM t) AS n
+    )
+    SELECT ROUND(b0, 6) + 0.0 AS intercept,
+           ROUND(b1x - b0, 6) + 0.0 AS b_status_f,
+           n
+    FROM f
+    """,
+    group="B3",
+)
+def ml_logreg_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the IRLS machinery: with a SINGLE
+    binary feature the logistic MLE is saturated and has a closed form —
+    intercept = ln(k0/(m0−k0)), slope = the 2×2 log-odds-ratio — which the
+    oracle computes from exact integer cell counts while the Spark side
+    runs the REAL distributed Newton loop (operators/linalg.py::
+    logreg_irls, 12 iterations).  Newton's quadratic convergence puts the
+    iterate within ~1e-12 of the MLE (measured 7e-13 at sf0.01), far
+    inside the 6-decimal rounding both sides apply; `+ 0.0` guards the
+    IEEE −0.0 repr hazard on the near-zero slope.  ml_logreg_irls (the
+    multi-feature fit) stays rows-only by design; this pins the same code
+    path's aggregate + solve loop bit-comparably."""
+    from postpy_spark.operators.linalg import logreg_irls
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        (F.col("o_orderstatus") == "F").cast("double").alias("x"),
+        (F.col("o_totalprice") > 150000).cast("double").alias("y"),
+    )
+    beta, n = logreg_irls(v, ["x"], "y", n_iter=12)
+    return spark.range(1).select(
+        (F.round(F.lit(beta[0]), 6) + 0.0).alias("intercept"),
+        (F.round(F.lit(beta[1]), 6) + 0.0).alias("b_status_f"),
+        F.lit(n).cast("bigint").alias("n"),
+    )

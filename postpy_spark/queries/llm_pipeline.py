@@ -2674,3 +2674,53 @@ def sim_ann_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(queries, corpus, k=5).select(
         "query_id", "cand_id", "cosine", "rank"
     )
+
+
+@query(
+    "dedup_minhash_planted",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey AS id, o_orderkey % 40 AS g
+        FROM orders WHERE o_orderkey <= 1200
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_a,
+           CAST(b.id AS BIGINT) AS id_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
+    FROM d a JOIN d b ON a.g = b.g AND a.id < b.id
+    """,
+    group="D",
+)
+def dedup_minhash_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the full MinHash near-dup pipeline
+    (shingle → 32-hash signature → 8-band LSH → exact-Jaccard verify):
+    dedup_fuzzy_minhash is rows-only (recall-gated + golden fixtures), but
+    on planted EXACT-DUPLICATE groups the pipeline's output is a closed
+    form — identical texts share every band bucket (recall provably 1.0,
+    no estimator involved) and the verify stage computes Jaccard exactly
+    1.0 — so every (id_a, id_b, jaccard) row hash-matches the oracle's
+    group self-join.
+
+    Geometry: ≤1200 ids in 40 groups; each group's text is 8 tokens all
+    carrying the group id, so cross-group shingle sets are DISJOINT —
+    spurious band collisions (same 4-byte band hash from different
+    signatures) are killed exactly by the verify stage (Jaccard 0 < 0.7),
+    never probabilistically.  Group size ~30 stays far under the
+    max_bucket=1024 salt-split cap, so no candidate is capped away.
+
+    Scale: identical plan to the production path — banded equi-join, hot
+    bucket caps armed (not engaged), id+hash-only shuffles."""
+    from postpy_spark.operators import dedup
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1200)
+    g = (F.col("o_orderkey") % 40).cast("string")
+    text = F.concat_ws(
+        " ", *[F.concat(F.lit(f"w{i}x"), g) for i in range(8)]
+    )
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"), text.alias("text")
+    )
+    return dedup.minhash_dedup_pairs(docs).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )

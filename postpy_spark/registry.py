@@ -120,7 +120,8 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "graph_connected_components", "stat_ks_test", "stat_psi_drift",
     "sim_ivfpq_topk", "stream_ivm_update", "embed_pca_planted",
     "graph_pagerank", "ml_logreg_irls", "kmeans_planted",
-    "sink_python_datasource", "sim_ann_planted",
+    "sink_python_datasource", "sim_ann_planted", "ml_logreg_planted",
+    "dedup_minhash_planted",
 )
 
 

@@ -101,7 +101,18 @@ def test_ivf_no_global_sort_or_unpartitioned_window(spark):
     per-partition top-k) and every Window in the plan must be partitioned
     by query_id / vec_id — never a global window over the corpus."""
     plan = executed_plan(spark, "sim_ivf_topk")
-    assert "TakeOrderedAndProject" in plan
+    # Since r10's per-iteration centroid localCheckpoint, the final plan is
+    # truncated at the checkpoint (Scan ExistingRDD) and the seeding's
+    # TakeOrderedAndProject executes in an EARLIER job — assert it on the
+    # seeding frame's own plan instead of the (now-truncated) final plan.
+    from postpy_spark.io import load_table
+    from postpy_spark.operators.similarity import ivf_build
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    centroids, _ = ivf_build(emb, n_cells=16)
+    seed_plan = centroids._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in seed_plan
+    assert "rangepartitioning" not in seed_plan
     assert "rangepartitioning" not in plan  # a global sort would shuffle so
     for line in plan.splitlines():
         if "Window [" in line:

@@ -2724,3 +2724,47 @@ def dedup_minhash_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("bigint").alias("id_b"),
         "jaccard",
     )
+
+
+@query(
+    "dedup_simhash_planted",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey AS id, o_orderkey % 40 AS g
+        FROM orders WHERE o_orderkey <= 1200
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_a,
+           CAST(b.id AS BIGINT) AS id_b,
+           CAST(0 AS BIGINT) AS hamming
+    FROM d a JOIN d b ON a.g = b.g AND a.id < b.id
+    """,
+    group="D",
+)
+def dedup_simhash_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the SimHash near-dup pipeline (64-bit
+    signed-bit-count signature → pigeonhole chunk blocking → Hamming
+    verify): dedup_simhash is rows-only (golden fixtures + pigeonhole
+    property), but on planted exact-duplicate groups the output is a
+    closed form — identical texts have identical signatures (hamming 0,
+    every chunk collides), and the 40 group signatures are pairwise
+    hamming ≥ 19 (deterministic in the token hashes, sf-independent,
+    pinned by tests/test_llm_ops.py::test_simhash_planted_group_separation),
+    so no cross-group pair can survive the ≤3 filter.  Every
+    (id_a, id_b, hamming) row hash-matches the oracle's group self-join.
+
+    Same planted corpus as dedup_minhash_planted (≤1200 ids, 40 groups of
+    ~30 — under the max_bucket=1024 salt cap), so the two attestations
+    pin the minhash and simhash pair generators on identical input."""
+    from postpy_spark.operators import dedup
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1200)
+    g = (F.col("o_orderkey") % 40).cast("string")
+    text = F.concat_ws(" ", *[F.concat(F.lit(f"w{i}x"), g) for i in range(8)])
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"), text.alias("text")
+    )
+    return dedup.simhash_near_pairs(docs).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+    )

@@ -121,7 +121,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "sim_ivfpq_topk", "stream_ivm_update", "embed_pca_planted",
     "graph_pagerank", "ml_logreg_irls", "kmeans_planted",
     "sink_python_datasource", "sim_ann_planted", "ml_logreg_planted",
-    "dedup_minhash_planted",
+    "dedup_minhash_planted", "dedup_simhash_planted",
 )
 
 

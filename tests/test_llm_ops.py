@@ -657,6 +657,24 @@ def test_pq_small_corpus_clamps_ks(spark, embeddings):
         pq.pq_train(empty, m=8, ks=32, n_iter=1)
 
 
+def test_simhash_planted_group_separation(spark):
+    """dedup_simhash_planted's closed-form oracle relies on the 40 planted
+    group signatures being pairwise hamming > max_hamming (3).  The
+    signatures depend only on the group token hashes — not on sf — so one
+    pinned measurement covers every tier.  Measured floor: 19."""
+    from postpy_spark.operators.dedup import simhash
+
+    rows = [(g, " ".join(f"w{i}x{g}" for i in range(8))) for g in range(40)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    floor = min(
+        bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        for a in range(40)
+        for b in range(a + 1, 40)
+    )
+    assert floor > 3, floor
+
+
 def test_kmeans_farthest_init_one_seed_per_planted_cluster(spark):
     import math
 

@@ -85,6 +85,12 @@ SOAK_OPS = [
     # one giant near-dup component; rounds grow O(log diameter), so the
     # ratio must stay ~linear in mult.
     "dedup_clusters",
+    # r10: the IVF-PQ composition under the dense-cluster plant — one
+    # crowded coarse cell is exactly the pathology that makes a fixed
+    # n_probe routing degrade gracefully (more candidates in the probed
+    # cell) instead of quadratically (the ADC scan is linear in the
+    # shortlist, rerank bounded by it).
+    "sim_ivfpq_topk",
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key

@@ -66,6 +66,9 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
+    # Materialize before unpersisting so the cached edge+degree frame
+    # actually serves the n_iter joins (same reasoning as pagerank_exact).
+    ranks = ranks.localCheckpoint(eager=True)
     withdeg.unpersist()
     return ranks
 
@@ -144,6 +147,11 @@ def pagerank_exact(
         )
         if (t + 1) % checkpoint_every == 0:
             a = a.localCheckpoint(eager=False)
+    # Materialize BEFORE dropping the caches: the return is lazy, so an
+    # eager=False checkpoint + immediate unpersist would evict `we`/`nodes`
+    # before any action runs them — every iteration join would then
+    # recompute the edges scan at the caller's first action (r10 advice).
+    a = a.localCheckpoint(eager=True)
     we.unpersist()
     nodes.unpersist()
     return a.select("node", F.col("a").alias("rank_scaled"))

@@ -2608,11 +2608,12 @@ def kmeans_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = similarity.kmeans_farthest_init(pts, k=4)
     _, assigned = similarity.ivf_refine(pts, seeds, n_iter=2)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("cell_id")
-    return assigned.select(
-        "vec_id", F.min("vec_id").over(w).alias("cluster")
+    # Relabel cell_id -> min member id via a k-row aggregate broadcast back:
+    # a window partitioned by cell_id would funnel the whole assignment
+    # frame through k=4 tasks (r10 advice — skew concentrator at soak tiers).
+    labels = assigned.groupBy("cell_id").agg(F.min("vec_id").alias("cluster"))
+    return assigned.join(F.broadcast(labels), "cell_id").select(
+        "vec_id", "cluster"
     )
 
 

@@ -91,11 +91,12 @@ def _build_synthetic_source():
         protocol every distributed sink needs.  Local-FS rename here; on a
         cluster the same protocol runs against shared storage."""
 
-        def __init__(self, options: dict) -> None:
+        def __init__(self, options: dict, overwrite: bool = False) -> None:
             path = options.get("path")
             if not path:
                 raise ValueError("pp_synth writer requires .option('path', ...)")
             self.path = path
+            self.overwrite = overwrite
 
         def write(self, iterator) -> "_TaskCommit":
             import json as _json
@@ -112,8 +113,17 @@ def _build_synthetic_source():
             return _TaskCommit(tmp, n)
 
         def commit(self, messages) -> None:
+            import glob as _glob
             import os as _os
 
+            if self.overwrite:
+                # mode('overwrite') must not leave stale part files from a
+                # previous job visible to a re-read (r10 advice): clear every
+                # committed part-* BEFORE renaming the staged files in.  The
+                # staged files use a distinct _staged_* prefix, so they are
+                # never swept.  Driver-side only — still atomic per-file.
+                for old in _glob.glob(_os.path.join(self.path, "part-*.jsonl")):
+                    _os.remove(old)
             for i, m in enumerate(messages):
                 if m is None:
                     continue
@@ -144,7 +154,7 @@ def _build_synthetic_source():
             return _SyntheticStreamReader(self.options)
 
         def writer(self, schema, overwrite: bool) -> "_JsonlWriter":
-            return _JsonlWriter(self.options)
+            return _JsonlWriter(self.options, overwrite=overwrite)
 
     return SyntheticSource
 

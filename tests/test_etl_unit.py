@@ -420,6 +420,27 @@ def test_python_datasource_partition_parallelism(spark):
     assert df.agg({"id": "sum"}).collect()[0][0] == 100 * 99 // 2
 
 
+def test_python_datasource_overwrite_clears_stale_parts(spark, tmp_path):
+    """mode('overwrite') on the JSONL sink must not leave part files from a
+    previous (larger) job visible to a re-read (r10 advice: the writer used
+    to ignore the overwrite flag and silently append)."""
+    from postpy_spark import sources
+
+    sources.register(spark)
+    out = str(tmp_path / "jsonl_sink")
+    big = spark.range(40).selectExpr(
+        "id", "concat('r', id) AS tag", "CAST(id * 1.5 AS DOUBLE) AS score"
+    ).repartition(4)
+    big.write.format("pp_synth").option("path", out).mode("append").save()
+    small = spark.range(5).selectExpr(
+        "id", "concat('s', id) AS tag", "CAST(id * 2.0 AS DOUBLE) AS score"
+    ).coalesce(1)
+    small.write.format("pp_synth").option("path", out).mode("overwrite").save()
+    back = spark.read.json(out)
+    assert back.count() == 5, "stale part files from the first job survived"
+    assert {r["tag"] for r in back.collect()} == {f"s{i}" for i in range(5)}
+
+
 def test_observation_metrics_single_pass(spark):
     """Pipeline observability: Observation collects row counts/sums as a
     side effect of the ONE action — no second scan for metrics."""

@@ -77,6 +77,10 @@ HEAVY_EXTRAS = [
     "text_bm25_topk",
     "text_bpe_merges",
     "tpch_q9_shape",
+    # r11 additions: both registered hot-key range-join shapes stay timed
+    # (salted for the moderate-skew case, bucketed as the scale path)
+    "join_range_salted",
+    "join_range_bucketed",
 ]
 EXTRAS_RUNS = 2
 

@@ -233,7 +233,7 @@ def pq_topk(
     k: int = 5,
     m: int = 8,
     ks: int = 32,
-    shortlist: int = 100,
+    shortlist: int = 150,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -331,9 +331,9 @@ def ivfpq_topk(
     k: int = 5,
     m: int = 8,
     ks: int = 32,
-    shortlist: int = 150,
+    shortlist: int = 200,
     n_cells: int = 32,
-    n_probe: int = 24,
+    n_probe: int = 28,
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

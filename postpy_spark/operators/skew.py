@@ -101,3 +101,74 @@ def skew_stats(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top)
     )
+
+
+def bucketed_range_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    big_time: str,
+    small_start: str,
+    small_end: str,
+    bucket_width_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Inner point-in-interval join (``small.start <= big.time < big.end``
+    within ``key``) on a (key, time-bucket) GRID — the hot-key scale path
+    the r11 soak experiment proved ``salted_range_join`` is not.
+
+    Why salting alone fails here (measured, not theorized): on the 16×
+    planted-hot-user tier one user owns ~20% of both sides.  Salting
+    scatters the event side over n_salts reducers, but every salt replica
+    still carries ALL of that user's intervals, so each task performs
+    |events_u|/n_salts × |intervals_u| residual comparisons — the
+    within-key quadratic mass is untouched and the warm pass alone ran
+    >15 min against a 0.7 s base (aborted; docs/SCALE_SOAK.md).
+
+    The grid attacks the mass itself: events land in exactly ONE
+    ``floor(t/W)`` bucket; each interval is exploded to the buckets it
+    covers (≤ ceil(len/W)+1 — 2 replicas for 1 h intervals at W = 1 h).
+    The equi-join runs on (key, bucket), so a hot key fans out over its
+    ACTIVE TIME RANGE — per-task work is bounded by per-bucket DENSITY
+    (events/hour × intervals/hour), which real growth holds constant
+    while extending the range (the soak's synthesis models exactly this).
+    No de-dup step is needed: the event's single bucket decides the one
+    (key, bucket) cell a matching pair can meet in.  Inner-only, same
+    contract as ``salted_range_join``; equivalence pytest in
+    tests/test_skew.py.  Pathological residue (a key × bucket cell
+    denser than memory) is AQE skew-split territory, orthogonal here.
+    """
+    w = int(bucket_width_us)
+
+    def _axis(df: DataFrame, col: str) -> "F.Column":
+        # timestamps → µs on the bucket axis; numeric epochs stay in the
+        # caller's unit (then bucket_width_us is in that same unit)
+        dt = dict(df.dtypes)[col]
+        c = F.col(col)
+        if dt.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp"))
+        return c.cast("double")
+
+    # __bk columns are added BEFORE aliasing (withColumn would drop a
+    # subquery alias applied earlier)
+    b = big.withColumn(
+        "__bk", F.floor(_axis(big, big_time) / w).cast("bigint")
+    ).alias("b")
+    lo = F.floor(_axis(small, small_start) / w).cast("bigint")
+    # end is EXCLUSIVE: an interval ending exactly on a bucket edge does
+    # not reach into that bucket; greatest() guards degenerate empties so
+    # sequence() never sees stop < start
+    hi = F.greatest(
+        F.floor((_axis(small, small_end) - 1) / w).cast("bigint"), lo
+    )
+    s = small.withColumn("__bk", F.explode(F.sequence(lo, hi))).alias("s")
+    cond = (
+        (F.col(f"b.{key}") == F.col(f"s.{key}"))
+        & (F.col("b.__bk") == F.col("s.__bk"))
+        & (F.col(f"b.{big_time}") >= F.col(f"s.{small_start}"))
+        & (F.col(f"b.{big_time}") < F.col(f"s.{small_end}"))
+    )
+    small_out = [c for c in small.columns if c != key]
+    return b.join(s, cond).select(
+        *[F.col(f"b.{c}") for c in big.columns],
+        *[F.col(f"s.{c}") for c in small_out],
+    )

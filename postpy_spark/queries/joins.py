@@ -262,6 +262,123 @@ def join_range_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_salted",
+    oracle="""
+    SELECT a.event_id AS purchase_id,
+           COUNT(*) AS n_follow,
+           ROUND(SUM(b.value), 2) AS follow_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+    group="B2",
+)
+def join_range_salted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted twin of ``join_range_interval``: same interval-join
+    semantics (events within [purchase.ts, purchase.ts + 1h) per user,
+    closed-open so every purchase deterministically matches at least
+    itself), executed through ``operators/skew.py::salted_range_join`` —
+    the events side is scattered over 16 salt sub-keys and the interval
+    side replicated per salt, so a hot user's probe rows land on 16
+    reducers instead of serializing one task.
+
+    SCALE HONESTY (r11 soak experiment): salting fixes REDUCER
+    serialization but NOT within-key mass — when one user owns ~20% of
+    both events AND intervals (the planted 16x tier), every salt replica
+    still carries all of that user's intervals, so per-task work stays
+    |events_u|/n_salts x |intervals_u| and the warm pass alone ran >15
+    min against a 0.7 s base (aborted).  The registered hot-key SCALE
+    path is therefore ``join_range_bucketed`` (time-grid partitioning,
+    density-bounded per-task work) — this query remains the right tool
+    only for the moderate-skew case where the interval side per key is
+    genuinely small (the dimension-sized assumption its operator
+    documents).  Inner-join semantics are what makes salting exact:
+    every big row carries one salt and every interval is present under
+    all salts, so the result equals the unsalted join (equivalence
+    pytest: tests/test_skew.py::test_salted_range_join_matches_plain)."""
+    from postpy_spark.operators.skew import salted_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    big = e.select(
+        F.col("event_id").alias("b_event"),
+        "user_id",
+        "ts",
+        F.col("value").alias("b_value"),
+    )
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+    )
+    joined = salted_range_join(
+        big, intervals, key="user_id", big_time="ts",
+        small_start="t0", small_end="t1", n_salts=16,
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum("b_value"), 2).alias("follow_value"),
+    )
+
+
+@query(
+    "join_range_bucketed",
+    oracle="""
+    SELECT a.event_id AS purchase_id,
+           COUNT(*) AS n_follow,
+           ROUND(SUM(b.value), 2) AS follow_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+    group="B2",
+)
+def join_range_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOT-KEY SCALE path for the point-in-interval join — identical
+    semantics and oracle to ``join_range_salted``, executed through
+    ``operators/skew.py::bucketed_range_join``: events land in their one
+    floor(ts/1h) grid cell, intervals explode to the <= 2 cells they
+    cover, and the equi-join runs on (user_id, cell).  A user owning 20%
+    of the corpus fans out over their ACTIVE TIME RANGE (thousands of
+    cells), so per-task work is bounded by per-hour DENSITY — the
+    quantity real growth holds constant while extending history, which
+    is exactly how the 16x soak synthesizes its tier.  This is the shape
+    that passes the planted-hot-user soak after the salted form
+    measurably could not (see join_range_salted's docstring and
+    docs/SCALE_SOAK.md); equivalence pytest: tests/test_skew.py::
+    test_bucketed_range_join_matches_plain_and_salted."""
+    from postpy_spark.operators.skew import bucketed_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    big = e.select(
+        F.col("event_id").alias("b_event"),
+        "user_id",
+        "ts",
+        F.col("value").alias("b_value"),
+    )
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t1"),
+    )
+    joined = bucketed_range_join(
+        big, intervals, key="user_id", big_time="ts",
+        small_start="t0", small_end="t1",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum("b_value"), 2).alias("follow_value"),
+    )
+
+
+@query(
     "join_asof",
     oracle="""
     SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_date, o.day_total

@@ -97,31 +97,36 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # -- round-10 rotation.  The driver samples the FIRST ~50 registry
-    # entries each round; after r9, 303 of 313 registered queries carry
-    # >=1 driver row (every contract op attested, latest sample green).
-    # This round leads with (a) embed_pca — the single r9 driver FAILURE
-    # (its array<double> output crashed the driver's canonicalizer; now
-    # exploded to scalar rows and guarded repo-wide) — re-attested first;
-    # then (b) the 10 never-sampled addendum extras, closing the loop to
-    # 313/313; then (c) queries NEW this round, inserted as they land
-    # (fresh oracle formulations are where the driver's width-sensitive
-    # hash finds what the local exact-value gate cannot).  The ~39 spare
-    # slots fall through to CONTRACT_ORDER, re-attesting the group A/B1/B2
-    # ops whose last driver rows are r2/r3-vintage.
-    # (a) the r9 driver-red row, fixed this round
-    "embed_pca",
-    # (b) never-sampled backlog remainder (10 — drains it)
-    "dedup_containment_scaled", "dedup_containment_incremental",
-    "sim_mmr_rerank", "dedup_minhash_eval", "sim_knn_graph",
-    "multimodal_phash_dedup", "text_excise_repeated_spans",
-    "stream_approx_dedup", "text_bpe_merges", "text_bpe_segment",
-    # (c) new in round 10 — inserted as they land
-    "graph_connected_components", "stat_ks_test", "stat_psi_drift",
-    "sim_ivfpq_topk", "stream_ivm_update", "embed_pca_planted",
-    "graph_pagerank", "ml_logreg_irls", "kmeans_planted",
-    "sink_python_datasource", "sim_ann_planted", "ml_logreg_planted",
-    "dedup_minhash_planted", "dedup_simhash_planted",
+    # -- round-11 rotation.  The driver samples the FIRST ~50 registry
+    # entries each round; after r10, cumulative attestation is COMPLETE
+    # (all 327 registered queries carry >=1 driver row, every latest
+    # sample green).  This round: (a) queries NEW this round first (fresh
+    # oracle formulations are where the driver's width-sensitive hash
+    # finds what the local exact-value gate cannot); then (b) the
+    # STALEST contract attestations — the r3-vintage B2 join / B3 agg /
+    # early-B4 window blocks; then (c) the r5-vintage B4 tail, B5 set
+    # ops, B6 scalar families, and the first streaming pair, so no
+    # contract op's latest driver row stays older than r6 (r10 verdict
+    # task 5).  The approx pair (agg_approx_*) and sample_frac stay out
+    # of the prefix — they can only produce rows-only records and would
+    # waste sql-hash sample slots.
+    # (a) new in round 11
+    "join_range_salted", "join_range_bucketed", "sim_ivfpq_planted",
+    "sim_knn_graph_planted", "sim_mmr_planted", "text_bpe_planted",
+    # (b) r3-vintage contract rows: joins tail, aggregation, early windows
+    "join_full", "join_semi", "join_anti", "join_cross", "join_broadcast",
+    "join_theta", "join_range_interval", "join_asof", "join_multiway_star",
+    "agg_global", "agg_groupby", "agg_having", "agg_count_distinct",
+    "agg_stats", "agg_grouping_sets", "agg_rollup", "agg_cube",
+    "agg_collect", "agg_conditional", "pivot_wide",
+    "win_rank", "win_lead_lag", "win_running_sum",
+    # (c) r5-vintage contract rows: B4 tail, B5, B6, streaming head
+    "win_moving_avg", "win_ntile_pctrank", "win_first_last",
+    "topk_per_group", "sort_multi", "limit_n", "topk_global", "union_all",
+    "union_distinct", "intersect_ab", "except_ab",
+    "fn_string", "fn_regex", "fn_date", "fn_math", "fn_conditional",
+    "fn_cast", "fn_array", "fn_map", "fn_json",
+    "stream_tumbling", "stream_sliding",
 )
 
 

@@ -573,9 +573,10 @@ def test_pq_recall_vs_brute_force(spark, embeddings):
     recall = len(t & g) / len(t)
     # ADC shortlist + exact rerank (deterministic codebook: hash seeding +
     # Lloyd): misses only neighbors whose quantized distance falls outside
-    # the shortlist; measured 0.93 at this sf with the defaults
-    record_margin("sim_pq_topk", "pq_adc_recall_vs_brute_force", recall, 0.85)
-    assert recall >= 0.85, f"PQ recall {recall:.2f} < 0.85"
+    # the shortlist; measured 0.98 at this sf after the r11 shortlist=150
+    # default (r10 verdict: the PQ family must clear the declared 0.9 bar)
+    record_margin("sim_pq_topk", "pq_adc_recall_vs_brute_force", recall, 0.9)
+    assert recall >= 0.9, f"PQ recall {recall:.2f} < 0.9"
 
 
 def test_ivfpq_recall_vs_brute_force(spark, embeddings):
@@ -591,8 +592,11 @@ def test_ivfpq_recall_vs_brute_force(spark, embeddings):
     t = {(r.query_id, r.cand_id) for r in exact.collect()}
     g = {(r.query_id, r.cand_id) for r in approx.collect()}
     recall = len(t & g) / len(t)
-    record_margin("sim_ivfpq_topk", "ivfpq_recall_vs_brute_force", recall, 0.85)
-    assert recall >= 0.85, f"IVF-PQ recall {recall:.2f} < 0.85"
+    # measured 0.98 after the r11 shortlist=200/n_probe=28 defaults —
+    # the recall/latency trade is deliberate (same reasoning as r9's
+    # sim_ivf_topk raise); the 100 TB knob remains n_probe/n_cells
+    record_margin("sim_ivfpq_topk", "ivfpq_recall_vs_brute_force", recall, 0.9)
+    assert recall >= 0.9, f"IVF-PQ recall {recall:.2f} < 0.9"
 
 
 def test_pq_codes_shape_and_determinism(spark, embeddings):

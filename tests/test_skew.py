@@ -191,3 +191,51 @@ def test_bucketed_asof_strict_mode_equals_plain(spark):
     # and the strict semantics themselves: t=100 must see rt=10's quote
     got = {r.ev: r.quote for r in asof_join(ev, rt, **kw).collect()}
     assert got[1] == 1.0 and got[2] == 1.0 and got[4] == 2.0
+
+
+def test_bucketed_range_join_matches_plain_and_salted(spark):
+    """The grid-partitioned range join (the r11 hot-key scale path) must
+    equal both the plain theta join and the salted rewrite, including on
+    bucket-edge times (t == interval start / t == end excluded)."""
+    from postpy_spark.operators.skew import bucketed_range_join, salted_range_join
+
+    ev = _skewed_events(spark, n=5_000)
+    iv = spark.range(200).selectExpr(
+        "1 + CAST(id % 50 AS BIGINT) AS user_id",
+        "CAST(id AS BIGINT) * 300 AS t_start",
+        "CAST(id AS BIGINT) * 300 + 2000 AS t_end",
+        "id AS iv_id",
+    )
+    plain = ev.alias("e").join(
+        iv.alias("i"),
+        (F.col("e.user_id") == F.col("i.user_id"))
+        & (F.col("e.t") >= F.col("i.t_start"))
+        & (F.col("e.t") < F.col("i.t_end")),
+    ).select("e.user_id", "e.t", "e.ev", "i.t_start", "i.t_end", "i.iv_id")
+    want = sorted(map(tuple, plain.collect()))
+    # bucket width deliberately NOT a divisor of the interval length/stride
+    # so intervals straddle bucket edges both aligned and misaligned
+    got_b = bucketed_range_join(
+        ev, iv, "user_id", "t", "t_start", "t_end", bucket_width_us=700
+    )
+    assert sorted(map(tuple, got_b.collect())) == want
+    got_s = salted_range_join(ev, iv, "user_id", "t", "t_start", "t_end", n_salts=8)
+    assert sorted(map(tuple, got_s.collect())) == want
+
+
+def test_bucketed_range_join_degenerate_and_edge_intervals(spark):
+    """Empty intervals (end <= start) match nothing but must not crash the
+    bucket sequence; an event exactly at end is excluded, at start included."""
+    from postpy_spark.operators.skew import bucketed_range_join
+
+    ev = spark.createDataFrame(
+        [(1, 100), (1, 200), (1, 300)], "user_id BIGINT, t BIGINT"
+    )
+    iv = spark.createDataFrame(
+        [(1, 100, 300, "ok"), (1, 250, 250, "empty"), (1, 400, 350, "inverted")],
+        "user_id BIGINT, t_start BIGINT, t_end BIGINT, tag STRING",
+    )
+    got = bucketed_range_join(
+        ev, iv, "user_id", "t", "t_start", "t_end", bucket_width_us=64
+    ).collect()
+    assert sorted((r.t, r.tag) for r in got) == [(100, "ok"), (200, "ok")]

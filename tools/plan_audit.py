@@ -91,6 +91,12 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",
     ("sim_ivfpq_topk", "NESTED_LOOP"):
         "broadcast n_cells centroids (probe) + |q|*n_probe query LUTs",
+    ("sim_ivfpq_planted", "NESTED_LOOP"):
+        "same IVF-PQ path on the planted one-hot corpus (broadcast "
+        "centroids + query LUTs)",
+    ("sim_mmr_planted", "NESTED_LOOP"):
+        "same MMR path on the planted one-hot corpus (broadcast 25-row "
+        "query set; greedy bounded at n_candidates)",
     ("dedup_semantic", "NESTED_LOOP"): "broadcast n_cells centroids (cluster assignment argmax)",
     ("dedup_semantic_planted", "NESTED_LOOP"): "same SemDeDup path on the planted one-hot corpus (broadcast centroids)",
     ("join_cross", "CARTESIAN"): "the op IS a cross join (pre-filtered dims)",

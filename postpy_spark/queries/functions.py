@@ -809,12 +809,61 @@ def agg_kll_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the physical partitioning of the scan (spark.sql.files.* settings,
     file layout).  Row count is always len(qs); the rank-ERROR bound
     holds under any partitioning — never pin exact estimate values in
-    tests or oracles."""
+    tests or oracles.  (agg_kll_planted is the layout-INDEPENDENT exact
+    twin: with total n <= k no compaction can occur under any
+    partitioning, so the same operator path becomes hash-checkable.)"""
     from postpy_spark.operators import kll as KLL
 
     li = load_table(spark, sf_dir, "lineitem")
     qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     sketches = KLL.kll_build(li, "l_extendedprice", k=200)
+    est, n = KLL.kll_merge_quantiles(sketches, qs, k=200)
+    return spark.createDataFrame(
+        [(float(q), float(v), int(n)) for q, v in zip(qs, est)],
+        "q double, est double, n_total bigint",
+    )
+
+
+@query(
+    "agg_kll_planted",
+    oracle="""
+    WITH v AS (
+        SELECT CAST((o_orderkey * 37) % 997 AS DOUBLE) AS val
+        FROM orders WHERE o_orderkey < 151
+    ),
+    r AS (SELECT val, ROW_NUMBER() OVER (ORDER BY val) AS rn FROM v),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM v),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) t(q))
+    SELECT qs.q AS q, MIN(r.val) AS est, MAX(n.n_total) AS n_total
+    FROM qs CROSS JOIN n JOIN r ON r.rn >= qs.q * n.n_total
+    GROUP BY qs.q
+    """,
+    group="B3",
+)
+def agg_kll_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the KLL quantile-sketch path
+    (operators/kll.py: per-partition mapInPandas compactor -> driver-side
+    sketch merge -> weighted-rank quantiles): agg_kll_quantiles is
+    rows-only AND layout-dependent (seeded compaction per physical
+    partition), but with total n = 151 <= k = 200 NO compaction can
+    trigger in any partition or in the merge — every sketch is its raw
+    level-0 values under ANY physical layout, so the estimator's
+    smallest-rank-with-cum-weight >= q*n answer is the closed form the
+    oracle states (a lower-quantile over 151 distinct planted values;
+    (o_orderkey*37) % 997 is a bijection below the prime).  n = 151 keeps
+    every q*n at least 0.1 away from an integer so float noise in q*n
+    cannot flip a rank on either engine.  This pins the sketch's insert,
+    merge, and query logic exactly — the error-bound pytest then covers
+    the compacting regime the closed form cannot."""
+    from postpy_spark.operators import kll as KLL
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 151)
+    vals = o.select(
+        ((F.col("o_orderkey") * 37) % 997).cast("double").alias("val")
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    sketches = KLL.kll_build(vals, "val", k=200)
     est, n = KLL.kll_merge_quantiles(sketches, qs, k=200)
     return spark.createDataFrame(
         [(float(q), float(v), int(n)) for q, v in zip(qs, est)],

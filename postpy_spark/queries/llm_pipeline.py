@@ -2327,23 +2327,13 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.phash_near_dups(media, max_hamming=6)
 
 
-@query("text_excise_repeated_spans", oracle=None, group="D")
-def text_excise_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CLEANING half of exact-substring dedup (Lee et al.
-    arXiv:2107.06499): where dedup_repeated_spans DETECTS corpus-
-    duplicated 5-gram spans, this op EXCISES them — tokens covered by
-    any duplicated span are dropped and the cleaned text re-joined.
-    Span lists are per-doc bounded (merged islands, not raw positions),
-    carried as an array column, and the drop is a JVM filter-with-index
-    HOF over the token array — overlapping spans (islands closer than
-    k) compose correctly because membership, not arithmetic, decides
-    each token.  Rows-only; pytest pins untouched-docs identity, an
-    independent Python reference on a slice, and that re-detection
-    strictly shrinks the duplicated mass."""
+def _excise_repeated_spans(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Shared excision pipeline (detect corpus-duplicated k-gram spans →
+    merge positional islands → drop covered tokens via a filter-with-index
+    HOF) — the production path for text_excise_repeated_spans and the
+    closed-form path text_excise_planted hash-checks exactly."""
     from pyspark.sql import Window
 
-    k = 5
-    docs = load_table(spark, sf_dir, "documents")
     g = docs.select(
         "doc_id",
         F.posexplode(dedup.shingles_col(F.col("text"), k=k)).alias("pos", "gram"),
@@ -2380,6 +2370,24 @@ def text_excise_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_tokens_after"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+@query("text_excise_repeated_spans", oracle=None, group="D")
+def text_excise_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANING half of exact-substring dedup (Lee et al.
+    arXiv:2107.06499): where dedup_repeated_spans DETECTS corpus-
+    duplicated 5-gram spans, this op EXCISES them — tokens covered by
+    any duplicated span are dropped and the cleaned text re-joined
+    (pipeline shared via _excise_repeated_spans).
+    Span lists are per-doc bounded (merged islands, not raw positions),
+    carried as an array column, and the drop is a JVM filter-with-index
+    HOF over the token array — overlapping spans (islands closer than
+    k) compose correctly because membership, not arithmetic, decides
+    each token.  Rows-only; pytest pins untouched-docs identity, an
+    independent Python reference on a slice, and that re-detection
+    strictly shrinks the duplicated mass; text_excise_planted is the
+    sql-hash-checked exact twin of the same pipeline."""
+    return _excise_repeated_spans(load_table(spark, sf_dir, "documents"), k=5)
 
 
 @query(
@@ -3023,3 +3031,101 @@ def text_bpe_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     return merges_df(spark, bpe_train(wc, n_merges=12))
+
+
+@query(
+    "text_excise_planted",
+    oracle="""
+    WITH d AS (SELECT o_orderkey AS id FROM orders WHERE o_orderkey < 150)
+    SELECT CAST(id AS BIGINT) AS doc_id,
+           CAST(20 AS BIGINT) AS n_tokens_before,
+           CAST(12 AS BIGINT) AS n_tokens_after,
+           'd' || id || 't0 ' || 'd' || id || 't1 ' || 'd' || id || 't2 '
+             || 'd' || id || 't3 ' || 'd' || id || 't4 ' || 'd' || id || 't5 '
+             || 'd' || id || 't6 ' || 'd' || id || 't7 ' || 'd' || id || 't8 '
+             || 'd' || id || 't9 ' || 'd' || id || 't10 ' || 'd' || id || 't11'
+               AS clean_text
+    FROM d
+    """,
+    group="D",
+)
+def text_excise_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the span-excision pipeline
+    (_excise_repeated_spans — the SAME detect→island-merge→HOF-drop path
+    text_excise_repeated_spans runs): on a planted corpus the excised
+    output is a closed form the oracle states token-for-token.
+
+    Plant: doc i = 6 doc-unique tokens + an 8-token boilerplate footer
+    shared by ALL docs + 6 more doc-unique tokens (every unique token
+    carries the doc id, so any 5-gram touching one occurs exactly once
+    corpus-wide).  The only corpus-duplicated 5-grams are the 4 fully
+    inside the boilerplate (positions 6..9); their island merges to span
+    [6, 13] — precisely the 8 boilerplate tokens — so the clean text is
+    exactly the 12 unique tokens in order, for every doc, at every sf
+    tier.  This pins gram positions, the gaps-and-islands merge, the
+    span end-arithmetic (+k−1), and the membership-based token drop —
+    the parts the python-reference pytest checks only in-language.
+
+    Scale: identical plan to the production path (posexplode → dup-gram
+    join → per-doc window over POSITIONS only → HOF filter)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 150)
+    uid = F.col("o_orderkey").cast("string")
+    parts = (
+        [F.concat(F.lit("d"), uid, F.lit(f"t{j}")) for j in range(6)]
+        + [F.lit(f"bp{j}") for j in range(8)]
+        + [F.concat(F.lit("d"), uid, F.lit(f"t{j}")) for j in range(6, 12)]
+    )
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"),
+        F.concat_ws(" ", *parts).alias("text"),
+    )
+    return _excise_repeated_spans(docs, k=5)
+
+
+@query(
+    "dedup_canonical_planted",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey % 25 AS g
+        FROM orders WHERE o_orderkey < 150
+    )
+    SELECT CAST(g AS BIGINT) AS component,
+           CAST(g + 125 AS BIGINT) AS canonical_id
+    FROM d GROUP BY g
+    """,
+    group="D",
+)
+def dedup_canonical_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of template-aware canonical selection
+    (operators/graph.py::canonical_by_centrality over the production
+    connected-components loop): dedup_canonical_rank is rows-only, and
+    its minhash candidate stage is already exactly attested by
+    dedup_minhash_planted — this twin pins the remaining composition
+    (CC min-label flood → damped PageRank power iteration → per-cluster
+    argmax) on planted STAR graphs where centrality, not the tie-break,
+    decides the answer.
+
+    Plant: 25 stars; leaves g, g+25, …, g+100 each connect ONLY to hub
+    g+125 — the hub is deliberately the LARGEST id in its cluster, so a
+    min-id fallback (what the tie-break alone would pick) provably
+    CANNOT produce this output.  For a star K(1,L) with L >= 2 the
+    update r_h' = 0.15 + 0.85·L·r_l, r_l' = 0.15 + 0.85·r_h/L keeps
+    r_h > r_l strictly at every iteration (induction: L²·r_l > r_h
+    whenever r_h >= r_l), so the hub wins every cluster's centrality
+    argmax outright.  The float rank column is intentionally dropped:
+    hub-vs-leaf ordering is provable, but the 6-decimal rank VALUE
+    depends on float summation order across L identical contributions —
+    exactly the cross-engine hash hazard the oracle contract bans.
+    Component ids follow the CC min-member convention (= g)."""
+    from postpy_spark.operators.graph import canonical_by_centrality
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 150)
+    leaves = o.filter(F.col("o_orderkey") < 125)
+    pairs = leaves.select(
+        F.col("o_orderkey").cast("bigint").alias("id_a"),
+        (F.col("o_orderkey") % 25 + 125).cast("bigint").alias("id_b"),
+    )
+    comps = dedup.connected_components(pairs)
+    return canonical_by_centrality(pairs, comps, n_iter=10).select(
+        "component", "canonical_id"
+    )

@@ -3129,3 +3129,54 @@ def dedup_canonical_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_by_centrality(pairs, comps, n_iter=10).select(
         "component", "canonical_id"
     )
+
+
+@query(
+    "dedup_incremental_planted",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey AS id, o_orderkey % 40 AS g
+        FROM orders WHERE o_orderkey <= 1200
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_a,
+           CAST(b.id AS BIGINT) AS id_b,
+           CAST(1.0 AS DOUBLE) AS jaccard
+    FROM d a JOIN d b ON a.g = b.g AND a.id < b.id
+    WHERE a.id % 5 = 0 OR b.id % 5 = 0
+    """,
+    group="D",
+)
+def dedup_incremental_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the INCREMENTAL minhash path
+    (operators/dedup.py::minhash_dedup_pairs_incremental — the daily-
+    ingest all x new band join): dedup_incremental is rows-only
+    (equivalence-tested against the full pipeline), but on the SAME
+    planted corpus as dedup_minhash_planted (<= 1200 ids, 40 exact-
+    duplicate groups of ~30) its output is the closed form the oracle
+    states — every same-group pair touching a new id (id % 5 = 0, the
+    20% batch) at jaccard exactly 1.0, and NOTHING else.
+
+    What this pins beyond the full-pipeline twin: the never-old x old
+    contract itself — the oracle's WHERE clause IS that contract, so an
+    implementation bug that regenerated old x old pairs (or dropped
+    new x new ones) would hash-mismatch, not just slow down.  Identical
+    texts share every band bucket (recall provably 1.0, no estimator),
+    groups stay under the max_bucket=1024 salt cap, and cross-group
+    band collisions are killed exactly by the Jaccard-verify stage.
+
+    Scale: identical plan to the production path — union-wide signatures
+    and salts, broadcast new-id semi-join, id+hash-only candidate
+    shuffles, one verify join."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1200)
+    g = (F.col("o_orderkey") % 40).cast("string")
+    text = F.concat_ws(" ", *[F.concat(F.lit(f"w{i}x"), g) for i in range(8)])
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"), text.alias("text")
+    )
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return dedup.minhash_dedup_pairs_incremental(old, new).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "jaccard",
+    )

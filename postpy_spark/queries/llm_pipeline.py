@@ -1059,15 +1059,11 @@ def multimodal_audio_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_pipeline_end_to_end", oracle=None, group="D")
-def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full corpus-cleaning story in one op: exact dedup (digest
-    shuffle) → MinHash-LSH near-dup pairs over the survivors → connected
-    components → keep the min-id representative per cluster.  Returns the
-    funnel counts; survivor-set determinism is pinned by the golden pair
-    fixtures and component tests.  Every stage is the scale-shaped
-    operator documented in operators/dedup.py."""
-    d = load_table(spark, sf_dir, "documents")
+def _dedup_funnel(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Shared corpus-cleaning funnel (exact dedup → MinHash-LSH clusters →
+    min-id survivor per cluster → counts) — the production path for
+    dedup_pipeline_end_to_end and the closed-form path
+    dedup_funnel_planted hash-checks exactly."""
     n_docs = d.count()
     exact = dedup.exact_dedup(d).select("doc_id", "text")
     n_exact = exact.count()
@@ -1087,6 +1083,66 @@ def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@query("dedup_pipeline_end_to_end", oracle=None, group="D")
+def dedup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-cleaning story in one op: exact dedup (digest
+    shuffle) → MinHash-LSH near-dup pairs over the survivors → connected
+    components → keep the min-id representative per cluster.  Returns the
+    funnel counts; survivor-set determinism is pinned by the golden pair
+    fixtures and component tests.  Every stage is the scale-shaped
+    operator documented in operators/dedup.py (pipeline shared via
+    _dedup_funnel; dedup_funnel_planted is its sql-hash-checked twin)."""
+    return _dedup_funnel(spark, load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_funnel_planted",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey % 40 AS g, (o_orderkey // 40) % 3 AS p
+        FROM orders WHERE o_orderkey < 1200
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT g * 3 + p) AS BIGINT) AS n_after_exact,
+           CAST(COUNT(DISTINCT g * 3 + p) - COUNT(DISTINCT g) AS BIGINT)
+               AS n_near_dup_dropped,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_final
+    FROM d
+    """,
+    group="D",
+)
+def dedup_funnel_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the END-TO-END cleaning funnel
+    (_dedup_funnel: exact dedup → minhash-LSH clusters → survivor count):
+    the planted corpus makes every funnel stage's reduction a closed
+    form, INCLUDING provable LSH recall on non-identical near-dups — the
+    part no other twin covers.
+
+    The trick is CYCLIC ROTATION: group g's text is a 5-token cycle of
+    group-unique tokens rendered for 7 tokens starting at phase
+    p ∈ {0,1,2}.  Distinct phases are distinct normalized STRINGS (so
+    the sha2 exact stage keeps all 3), but every phase yields the SAME
+    set of five cyclic 3-gram shingles — so the three variants have
+    IDENTICAL minhash signatures (recall provably 1.0, no estimator) and
+    exact Jaccard 1.0 at the verify stage.  The funnel is therefore
+    1200 docs → 120 exact survivors (one per (g, phase), 10 copies each)
+    → 40 clusters of 3 phase-variants → 40 finals, which the oracle
+    derives from the same residue arithmetic.  Cross-group shingles are
+    disjoint; buckets of 3 sit far under the salt cap."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1200)
+    g = (F.col("o_orderkey") % 40).cast("string")
+    p = (F.col("o_orderkey") / 40).cast("int") % 3
+    toks = [
+        F.concat(F.lit("c"), ((p + i) % 5).cast("string"), F.lit("g"), g)
+        for i in range(7)
+    ]
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"),
+        F.concat_ws(" ", *toks).alias("text"),
+    )
+    return _dedup_funnel(spark, docs)
 
 
 @query(

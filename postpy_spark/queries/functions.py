@@ -887,6 +887,33 @@ def agg_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_kmv_planted",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_orderkey % 40) AS BIGINT) AS est,
+           CAST(COUNT(DISTINCT o_orderkey % 40) AS BIGINT) AS n_hashes
+    FROM orders
+    """,
+    group="B3",
+)
+def agg_kmv_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the KMV sketch's exact-below-k branch
+    (operators/sketch.py::kmv_build/kmv_estimate): agg_kmv_distinct is
+    rows-only (the (k-1)/u_(k) estimator depends on xxhash64 values),
+    but with 40 planted distinct keys < k = 64 the sketch provably holds
+    EVERY distinct hash, so the estimator returns the sketch size itself
+    — the exact distinct count, independent of hash values, partitioning,
+    or collision behavior (n_hashes counts rows, not distinct hashes).
+    Pins the distinct shuffle, the TakeOrdered k-min, and the branch
+    select exactly; the ±3σ band pytest covers the estimating regime."""
+    from postpy_spark.operators import sketch as SK
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 40).alias("key40")
+    )
+    return SK.kmv_estimate(SK.kmv_build(o, "key40", k=64), k=64)
+
+
+@query(
     "fn_try_safe",
     oracle="""
     SELECT l_orderkey, l_linenumber,

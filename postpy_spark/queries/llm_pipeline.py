@@ -3236,3 +3236,30 @@ def dedup_incremental_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("bigint").alias("id_b"),
         "jaccard",
     )
+
+
+@query("sim_ivf_planted", oracle=_PLANTED_ONEHOT_TOPK_ORACLE, group="D")
+def sim_ivf_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the plain IVF path (coarse quantizer →
+    cell probing → exact cosine over probed candidates), completing the
+    family alongside sim_ann_planted (LSH), sim_ivfpq_planted (IVF+PQ),
+    and kmeans_planted (the refine loop): sim_ivf_topk is rows-only
+    (recall-gated), but on the shared one-hot planted geometry recall is
+    provable — identical vectors share one cell, only that cell's
+    centroid carries mass on the group's dim, so the query's own-group
+    cell wins the probe ranking STRICTLY and its 5 co-duplicates (exact
+    cosine 1.0) fill the top-5 ahead of any orthogonal cell-mate.
+    Unlike IVF-PQ there is no shortlist stage, so the only recall
+    surface IS the probe — which the strict-dot argument closes for any
+    n_probe ≥ 1.  Same production parameters as sim_ivf_topk
+    (n_cells=32, n_probe=24, refine_iters=2)."""
+    corpus = _planted_onehot_corpus(spark, sf_dir)
+    queries = (
+        corpus.groupBy((F.col("vec_id") % 25).alias("g"))
+        .agg(F.min("vec_id").alias("vec_id"))
+        .join(corpus, "vec_id")
+        .select("vec_id", "embedding")
+    )
+    return similarity.ivf_topk(
+        queries, corpus, k=5, n_cells=32, n_probe=24, refine_iters=2
+    ).select("query_id", "cand_id", "cosine", "rank")

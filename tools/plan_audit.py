@@ -89,6 +89,9 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("kmeans_planted", "NESTED_LOOP"):
         "same Lloyd assignment path on the planted geometry (broadcast k=4 centroids)",
     ("sim_ivf_topk", "NESTED_LOOP"): "broadcast n_cells centroids + probed cells",
+    ("sim_ivf_planted", "NESTED_LOOP"):
+        "same IVF path on the planted one-hot corpus (broadcast centroids "
+        "+ probed cells)",
     ("sim_ivfpq_topk", "NESTED_LOOP"):
         "broadcast n_cells centroids (probe) + |q|*n_probe query LUTs",
     ("sim_ivfpq_planted", "NESTED_LOOP"):

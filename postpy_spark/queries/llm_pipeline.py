@@ -3263,3 +3263,52 @@ def sim_ivf_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         queries, corpus, k=5, n_cells=32, n_probe=24, refine_iters=2
     ).select("query_id", "cand_id", "cosine", "rank")
+
+
+@query(
+    "dedup_containment_planted",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey AS id, o_orderkey % 40 AS g
+        FROM orders WHERE o_orderkey < 1200
+    )
+    SELECT CAST(a.id AS BIGINT) AS id_src,
+           CAST(b.id AS BIGINT) AS id_dst,
+           CAST(1.0 AS DOUBLE) AS containment
+    FROM d a JOIN d b ON a.g = b.g AND a.id <> b.id
+    """,
+    group="D",
+)
+def dedup_containment_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the prefix-filter containment path WITH
+    THE STOP-GRAM CAP ENGAGED (operators/dedup.py::containment_pairs):
+    dedup_containment_scaled is rows-only and its exactness pytest only
+    covers the nothing-truncated regime — this twin proves the capped
+    pipeline can remain LOSSLESS when the stopped grams are provably not
+    load-bearing, and hash-checks the entire directional pair set.
+
+    Plant: 1200 docs in 40 exact-duplicate groups; every text is 10
+    group-unique tokens + an 8-token boilerplate footer shared by ALL
+    docs.  Of each doc's 14 5-gram shingles, exactly the 4 fully inside
+    the footer occur corpus-wide (df = 1200 > max_posting = 256 — the
+    cap FIRES and drops them from probe and index); every other gram
+    carries a group token (df = group size = 30, kept).  Each doc's
+    3-gram rarest prefix (floor(0.2*14)+1) therefore consists of kept
+    group-specific grams shared by its 29 co-duplicates and nobody else:
+    recall is provably 1.0 despite the truncation, candidates are
+    group-internal only, and verify computes containment 14/14 = 1.0 on
+    the FULL shingle sets (stopped grams included — the verify stage
+    never sees the cap).  The oracle states that closed form: all
+    ordered same-group pairs at containment exactly 1.0.
+    tests/test_llm_ops.py::test_containment_planted_cap_engages pins
+    that this plant actually trips the cap (stop_grams == 4)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1200)
+    g = (F.col("o_orderkey") % 40).cast("string")
+    parts = [F.concat(F.lit(f"u{j}g"), g) for j in range(10)] + [
+        F.lit(f"bb{j}") for j in range(8)
+    ]
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"),
+        F.concat_ws(" ", *parts).alias("text"),
+    )
+    return dedup.containment_pairs(docs, k=5, threshold=0.8, max_posting=256)

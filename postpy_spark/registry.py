@@ -115,7 +115,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "sim_knn_graph_planted", "sim_mmr_planted", "text_bpe_planted",
     "agg_kll_planted", "text_excise_planted", "dedup_canonical_planted",
     "dedup_incremental_planted", "dedup_funnel_planted", "sim_ivf_planted",
-    "agg_kmv_planted",
+    "agg_kmv_planted", "dedup_containment_planted",
     # (b) r3-vintage contract rows: joins tail, aggregation, early windows
     "join_full", "join_semi", "join_anti", "join_cross", "join_broadcast",
     "join_theta", "join_range_interval", "join_asof", "join_multiway_star",

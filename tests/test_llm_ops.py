@@ -1401,3 +1401,31 @@ def test_bpe_trained_vocab_matches_reference_segmentation(spark, docs):
     assert got == ref_vocab
     for w, syms in got.items():
         assert "".join(syms) == w + bpe.END_OF_WORD
+
+
+def test_containment_planted_cap_engages(spark):
+    """dedup_containment_planted's exactness claim rests on the stop-gram
+    cap actually FIRING on the planted boilerplate (4 grams at df=1200 >
+    max_posting=256) while recall stays provably 1.0 — pin the stats."""
+    from pyspark.sql import functions as F
+
+    from postpy_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders").filter(F.col("o_orderkey") < 1200)
+    g = (F.col("o_orderkey") % 40).cast("string")
+    parts = [F.concat(F.lit(f"u{j}g"), g) for j in range(10)] + [
+        F.lit(f"bb{j}") for j in range(8)
+    ]
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"),
+        F.concat_ws(" ", *parts).alias("text"),
+    )
+    stats: dict = {}
+    out = dedup.containment_pairs(
+        docs, k=5, threshold=0.8, max_posting=256, stats=stats
+    )
+    assert out.count() == 40 * 30 * 29
+    assert stats["stop_grams"] == 4, stats
+    assert stats["stopped_postings"] == 4 * 1200, stats
+    assert stats["docs_prefix_truncated"] == 0, stats

@@ -1702,7 +1702,7 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            vec_id < 50 AS keep,
            CASE WHEN vec_id < 50 THEN NULL
                 ELSE CAST(vec_id % 50 AS BIGINT) END AS dup_of
-    FROM embeddings
+    FROM embeddings WHERE vec_id < 500
     """,
     group="D",
 )
@@ -1718,8 +1718,14 @@ def dedup_semantic_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_of = group leader for every non-leader.  ``max_cell=None`` keeps
     the salt split out of the plant (salting is recall-lossy BY DESIGN and
     is gated separately by the stats property test on dedup_semantic);
-    cell_id is centroid-dependent and excluded from the compared output."""
-    e = load_table(spark, sf_dir, "embeddings")
+    cell_id is centroid-dependent and excluded from the compared output.
+
+    The plant is PINNED to vec_id < 500 (present at every tier) so the
+    geometry is tier-INVARIANT: without the pin, group size scaled with
+    the table and the deliberately-uncapped within-cell pair mass grew
+    quadratically — measured 1956 s at the 16× sweep tier (r11), which
+    is the cap's job in production, not this correctness twin's."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     planted = e.select(
         "vec_id",
         F.expr(

@@ -514,6 +514,22 @@ _STATIC_EPILOGUE = [
     "tested, right for dimension-sized interval sides) with its docstring",
     "stating exactly when it is NOT the answer.",
     "",
+    "## Exact-value parity at the 16× tier (round 11 — SOAK_SWEEP)",
+    "",
+    "The sweep list is now COMMITTED as `tools/scale_soak.py::SOAK_SWEEP`",
+    "(68 sql-checked queries biased toward the scaled tables, plus every",
+    "planted exact twin) and the r11 run against the planted 16× tier is",
+    "**68 pass / 0 fail** (`/tmp/r11_sweep.log`, ~70 min wall) — up from",
+    "r8's 38.  Notables: `join_range_bucketed` exact-matched 321k rows in",
+    "90 s under the hot-user plant; `ts_gapfill`/`ts_interpolate_linear`",
+    "exact-matched 17.2M generated rows each.  One finding came OUT of the",
+    "sweep: `dedup_semantic_planted`'s deliberately-uncapped plant let its",
+    "group size scale with the table (1956 s at 16× — quadratic by",
+    "construction); the plant is now PINNED to vec_id < 500 so the",
+    "correctness geometry is tier-invariant (re-verified at the 16× tier",
+    "in seconds after the pin), and capped-regime scaling remains the",
+    "production `dedup_semantic` entry's job in SOAK_OPS.",
+    "",
 ]
 
 

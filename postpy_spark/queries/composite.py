@@ -3575,6 +3575,79 @@ def stat_join_cardinality_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stat_cardinality_planted",
+    oracle="""
+    WITH a AS (SELECT o_orderkey % 30 AS key
+               FROM orders WHERE o_orderkey <= 600),
+         b AS (SELECT (o_orderkey % 30) + 15 AS key
+               FROM orders WHERE o_orderkey <= 900),
+         st AS (SELECT
+            CAST((SELECT COUNT(*) FROM (SELECT DISTINCT key FROM a
+                  INTERSECT SELECT DISTINCT key FROM b)) AS BIGINT) AS i,
+            CAST((SELECT COUNT(*) FROM a) AS BIGINT)             AS n_a,
+            CAST((SELECT COUNT(*) FROM b) AS BIGINT)             AS n_b,
+            CAST((SELECT COUNT(DISTINCT key) FROM a) AS BIGINT)  AS d_a,
+            CAST((SELECT COUNT(DISTINCT key) FROM b) AS BIGINT)  AS d_b)
+    SELECT i AS intersect_est, n_a, n_b, d_a, d_b,
+           CAST(ROUND(CAST(i AS DOUBLE)
+                * (CAST(n_a AS DOUBLE) / CAST(d_a AS DOUBLE))
+                * (CAST(n_b AS DOUBLE) / CAST(d_b AS DOUBLE)))
+                AS BIGINT)                                       AS join_card_est
+    FROM st
+    """,
+    group="B3",
+)
+def stat_cardinality_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the KMV-based join-cardinality
+    estimator (stat_join_cardinality_est is rows-only — the (k-1)/u_(k)
+    estimator depends on xxhash64 values): both planted sides have < k =
+    256 distinct keys over FIXED key ranges (byte-identical input at
+    every sf tier), so every sketch holds EVERY distinct hash —
+    kmv_estimate returns the exact distinct counts, the theta-sketch
+    union holds all |A∪B| hashes with exact in-both membership flags
+    (intersect_est = round(|A∪B| · |A∩B|/|A∪B|) = |A∩B|; the two double
+    roundings stay within ulps of the integer), and join_card_est
+    reduces to the same ROUND(i · n_a/d_a · n_b/d_b) arithmetic the
+    oracle states over exact COUNT aggregates — both engines evaluate
+    the identical IEEE expression tree.  Pins sketch build, theta-union,
+    membership join, and the multiplicity-scaling formula exactly; the
+    2×-band pytest on the production query covers the estimating
+    regime."""
+    from postpy_spark.operators import sketch as SK
+
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") <= 600).select(
+        (F.col("o_orderkey") % 30).alias("key")
+    )
+    b = o.filter(F.col("o_orderkey") <= 900).select(
+        ((F.col("o_orderkey") % 30) + 15).alias("key")
+    )
+    k = 256
+    sa, sb = SK.kmv_build(a, "key", k=k), SK.kmv_build(b, "key", k=k)
+    setops = SK.kmv_set_estimates(sa, sb, k=k)
+    counts = (
+        a.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(SK.kmv_estimate(sa, k=k).select(F.col("est").alias("d_a")))
+        .crossJoin(SK.kmv_estimate(sb, k=k).select(F.col("est").alias("d_b")))
+    )
+    return setops.crossJoin(F.broadcast(counts)).select(
+        "intersect_est",
+        "n_a",
+        "n_b",
+        "d_a",
+        "d_b",
+        F.round(
+            F.col("intersect_est").cast("double")
+            * (F.col("n_a").cast("double") / F.col("d_a").cast("double"))
+            * (F.col("n_b").cast("double") / F.col("d_b").cast("double"))
+        )
+        .cast("bigint")
+        .alias("join_card_est"),
+    )
+
+
+@query(
     "events_basket_lift",
     oracle="""
     WITH e AS (

@@ -650,6 +650,48 @@ def agg_approx_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_topk_planted",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 < 6 THEN 'alpha'
+                WHEN o_orderkey % 10 < 9 THEN 'beta'
+                ELSE 'gamma' END            AS item,
+           CAST(COUNT(*) AS BIGINT)         AS cnt
+    FROM orders WHERE o_orderkey <= 500
+    GROUP BY 1
+    """,
+    group="B3",
+)
+def agg_topk_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the approx_top_k sketch path
+    (agg_approx_topk is rows-only — sketch internals are engine-specific):
+    the plant has exactly THREE distinct items over a FIXED key range
+    (o_orderkey <= 500, so the input is byte-identical at every sf tier),
+    and approx_top_k tracks every item exactly whenever the distinct
+    count clears the sketch capacity (3 << default maxItemsTracked) — the
+    sketch degenerates to the exact frequency table, independent of
+    partitioning or merge order, so the closed form IS GROUP BY count.
+    k = 3 over 3 items also makes membership tie-proof: whatever the
+    counts, all three items are returned.  The pytest exactness gate on
+    the production query covers the priority-domain flavor; this pins the
+    same expression through the sql-hash gate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    item = (
+        F.when(F.col("o_orderkey") % 10 < 6, "alpha")
+        .when(F.col("o_orderkey") % 10 < 9, "beta")
+        .otherwise("gamma")
+    )
+    return (
+        o.select(item.alias("item"))
+        .agg(F.expr("approx_top_k(item, 3)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").cast("bigint").alias("cnt"),
+        )
+    )
+
+
+@query(
     "fn_trig",
     oracle="""
     SELECT p_partkey,
@@ -788,6 +830,45 @@ def agg_cms_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.select("user_id").distinct().orderBy("user_id").limit(20)
     return SK.cms_estimate(cms, probes, "user_id", depth=4, width=256).select(
         F.col("key").alias("user_id"), F.col("est").cast("bigint").alias("est")
+    )
+
+
+@query(
+    "agg_cms_planted",
+    oracle="""
+    SELECT CAST(o_orderkey % 20 AS BIGINT) AS key20,
+           CAST(COUNT(*) AS BIGINT)        AS est
+    FROM orders WHERE o_orderkey <= 400
+    GROUP BY 1
+    """,
+    group="B3",
+)
+def agg_cms_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the count-min sketch path
+    (operators/sketch.py::cms_build/cms_estimate; agg_cms_estimate is
+    rows-only because xxhash64 bucketing is engine-specific): with 20
+    planted keys in a depth=4 x width=256 sketch over a FIXED key range
+    (o_orderkey <= 400 — input byte-identical at every sf tier), every
+    probe key has at least one hash row where it collides with nothing,
+    so MIN over the probed counters returns the key's true frequency and
+    the closed form is the exact GROUP BY count.  The collision structure
+    is a deterministic function of xxhash64 on this fixed 20-key domain
+    (pinned by tests/test_functions_ops.py::test_cms_planted_collision_free
+    — each key provably owns a private bucket in >= 1 of the 4 rows), so
+    the exactness is stable, not sampled luck.  The overshoot-bound pytest
+    on agg_cms_estimate covers the colliding regime this closed form
+    cannot."""
+    from postpy_spark.operators import sketch as SK
+
+    pk = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 400)
+        .select((F.col("o_orderkey") % 20).alias("key20"))
+    )
+    cms = SK.cms_build(pk, "key20", depth=4, width=256)
+    probes = pk.select("key20").distinct()
+    return SK.cms_estimate(cms, probes, "key20", depth=4, width=256).select(
+        F.col("key").alias("key20"), F.col("est").cast("bigint").alias("est")
     )
 
 

@@ -769,6 +769,52 @@ def agg_hll_mergeable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_planted",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(DISTINCT c_custkey % 97) AS BIGINT) AS n_dist
+    FROM customer WHERE c_custkey <= 900 GROUP BY 1
+    UNION ALL
+    SELECT '__ALL__',
+           CAST(COUNT(DISTINCT c_custkey % 97) AS BIGINT)
+    FROM customer WHERE c_custkey <= 900
+    """,
+    group="B3",
+)
+def agg_hll_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the mergeable-HLL path
+    (agg_hll_mergeable is rows-only): datasketches HLL stores coupons
+    EXACTLY until the coupon set outgrows the promotion threshold
+    (hundreds for the default lgK=12), so with <= 97 planted distinct
+    keys per segment — a fixed modulus over a FIXED key range
+    (c_custkey <= 900), hence byte-identical input at every sf tier —
+    both the per-segment estimates AND the hll_union_agg merge stay in
+    the exact coupon regime and the closed form is COUNT(DISTINCT).
+    This pins build, serialize, union-merge, and estimate exactly
+    through the production expressions; the ±5% pytest band covers the
+    promoted (estimating) regime the closed form cannot."""
+    pc = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 900)
+        .select("c_mktsegment", (F.col("c_custkey") % 97).alias("key97"))
+    )
+    seg = pc.groupBy("c_mktsegment").agg(
+        F.expr("hll_sketch_agg(key97)").alias("sk")
+    )
+    per_seg = seg.select(
+        "c_mktsegment",
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("n_dist"),
+    )
+    total = seg.agg(
+        F.lit("__ALL__").alias("c_mktsegment"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
+            "n_dist"
+        ),
+    )
+    return per_seg.unionByName(total)
+
+
+@query(
     "agg_group_by_all",
     oracle="""
     SELECT c_mktsegment, c_nationkey % 5 AS nk_band,

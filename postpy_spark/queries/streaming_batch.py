@@ -421,6 +421,42 @@ def stream_approx_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_approx_planted",
+    oracle="""
+    SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE user_id % 40 = 0 AND user_id <= 1499) t
+    WHERE rn = 1
+    """,
+    group="C",
+)
+def stream_approx_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the bloom-filter approximate-dedup
+    path (streaming.approx_dedup_batch; stream_approx_dedup is rows-only
+    because a bloom false positive may suppress a true first sighting):
+    the plant keeps only user_id % 40 == 0 within a FIXED user range
+    (user_id <= 1499, so the planted KEY SET cannot grow with the data
+    tier even though rows per key do), so each of the 64 hash
+    buckets sees a handful of distinct (user_id, event_type) keys
+    against m = 1024 bits with k = 4 probes — far below the fill level
+    where a false positive is plausible, and the bit positions are a
+    deterministic function of the fixed key set, so zero-FP is a stable
+    property (pinned by tests/test_streaming.py::
+    test_stream_approx_planted_zero_fp), not sampled luck.  With no
+    false positives the emitted set IS the exact first sighting per key
+    in (ts, event_id) order — the window closed form the oracle states.
+    Pins the bucketing, the per-bucket processing order, and the bloom
+    insert/membership core exactly; the FP-budget pytest on the
+    production query covers the saturated regime."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 40 == 0) & (F.col("user_id") <= 1499)
+    )
+    return STR.approx_dedup_batch(e)
+
+
+@query(
     "stream_ivm_update",
     oracle="""
     SELECT event_type,

@@ -111,6 +111,8 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # of the prefix — they can only produce rows-only records and would
     # waste sql-hash sample slots.
     # (a) new in round 11
+    "agg_topk_planted", "agg_cms_planted", "agg_hll_planted",
+    "stat_cardinality_planted", "stream_approx_planted",
     "join_range_salted", "join_range_bucketed", "sim_ivfpq_planted",
     "sim_knn_graph_planted", "sim_mmr_planted", "text_bpe_planted",
     "agg_kll_planted", "text_excise_planted", "dedup_canonical_planted",

@@ -541,3 +541,31 @@ def test_kll_rank_error_mergeability_and_exact_branch(spark):
     # with cumulative weight >= q*n, i.e. value ceil(q*50) - 1
     import math
     assert est3 == [float(math.ceil(q * 50) - 1) for q in qs], est3
+
+
+def test_cms_planted_collision_free(spark):
+    """agg_cms_planted's exactness claim, pinned structurally: on the
+    fixed 20-key plant (o_orderkey % 20 over keys <= 400) EVERY key owns
+    a bucket shared with no other key in at least one of the 4 hash
+    rows, so the CMS MIN provably returns the true frequency — exactness
+    is a deterministic property of xxhash64 on this domain, not sampled
+    luck.  If the hash seed, depth, or width ever changes, this test
+    fails before the oracle gate does."""
+    from postpy_spark.operators import sketch as SK
+
+    keys = spark.range(20).select(F.col("id").alias("k"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    buckets = keys.select("k", j).select(
+        "k", "j", SK._bucket(F.col("k"), F.col("j"), 256).alias("bucket")
+    )
+    rows = buckets.collect()
+    from collections import Counter
+
+    per_row = {jj: Counter() for jj in range(4)}
+    for r in rows:
+        per_row[r.j][r.bucket] += 1
+    for k in range(20):
+        private = any(
+            per_row[r.j][r.bucket] == 1 for r in rows if r.k == k
+        )
+        assert private, f"key {k} collides in all 4 CMS rows"

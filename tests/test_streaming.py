@@ -530,3 +530,26 @@ def test_stream_ivm_converges_to_batch(spark):
         .alias("sum_cents"),
     )
     assert_same(got, expect)
+
+
+def test_stream_approx_planted_zero_fp(spark):
+    """stream_approx_planted's exactness claim, pinned structurally: on
+    the fixed planted key population (user_id % 40 == 0, user_id <=
+    1499) the bloom path emits EXACTLY one row per distinct (user_id,
+    event_type) — zero false-positive suppressions and zero duplicate
+    emissions — and the emitted event_id is the true (ts, event_id)-first
+    sighting.  Deterministic: bit positions are a fixed function of the
+    fixed key set."""
+    e = load_table(spark, SF_SMOKE, "events").filter(
+        (F.col("user_id") % 40 == 0) & (F.col("user_id") <= 1499)
+    )
+    got = STR.approx_dedup_batch(e)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    expect = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_type", "event_id")
+    )
+    assert_same(got, expect)

@@ -54,6 +54,8 @@ WHITELIST: dict[tuple[str, str], str] = {
     ("events_pareto_gini", "NESTED_LOOP"): "broadcast 1-row grand total",
     ("stat_join_cardinality_est", "NESTED_LOOP"):
         "all sides are 1-row count/sketch-estimate frames",
+    ("stat_cardinality_planted", "NESTED_LOOP"):
+        "all sides are 1-row count/sketch-estimate frames (exact twin)",
     ("events_basket_lift", "NESTED_LOOP"): "broadcast 1-row basket count",
     ("stat_benford", "NESTED_LOOP"): "broadcast 1-row digit total",
     ("stat_ttest_welch", "NESTED_LOOP"): "broadcast 1-row group stats triple",

@@ -139,6 +139,12 @@ SOAK_SWEEP = [
     "sim_mmr_planted", "text_bpe_planted", "dedup_minhash_planted",
     "dedup_simhash_planted", "dedup_semantic_planted", "kmeans_planted",
     "embed_pca_planted", "ml_logreg_planted", "stat_ks_test", "stat_psi_drift",
+    # sketch/stream exact twins (fixed key ranges — tier-invariant by
+    # construction; stream_approx_planted additionally pins its key
+    # POPULATION with user_id <= 1499 so the bloom stays in the zero-FP
+    # regime at any tier)
+    "agg_topk_planted", "agg_cms_planted", "agg_hll_planted",
+    "stat_cardinality_planted", "stream_approx_planted",
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key
@@ -517,18 +523,25 @@ _STATIC_EPILOGUE = [
     "## Exact-value parity at the 16× tier (round 11 — SOAK_SWEEP)",
     "",
     "The sweep list is now COMMITTED as `tools/scale_soak.py::SOAK_SWEEP`",
-    "(68 sql-checked queries biased toward the scaled tables, plus every",
+    "(73 sql-checked queries biased toward the scaled tables, plus every",
     "planted exact twin) and the r11 run against the planted 16× tier is",
-    "**68 pass / 0 fail** (`/tmp/r11_sweep.log`, ~70 min wall) — up from",
-    "r8's 38.  Notables: `join_range_bucketed` exact-matched 321k rows in",
-    "90 s under the hot-user plant; `ts_gapfill`/`ts_interpolate_linear`",
-    "exact-matched 17.2M generated rows each.  One finding came OUT of the",
-    "sweep: `dedup_semantic_planted`'s deliberately-uncapped plant let its",
-    "group size scale with the table (1956 s at 16× — quadratic by",
+    "**68 pass / 0 fail** for the r11 main run (`/tmp/r11_sweep.log`, ~70 min",
+    "wall), up from r8's 38.  Notables: `join_range_bucketed` exact-matched",
+    "321k rows in 90 s under the hot-user plant; `ts_gapfill` /",
+    "`ts_interpolate_linear` exact-matched 17.2M generated rows each.  One",
+    "finding came OUT of the sweep: `dedup_semantic_planted`'s uncapped plant let its",
+    "group SIZE scale with the table (1956 s at 16× — quadratic by",
     "construction); the plant is now PINNED to vec_id < 500 so the",
     "correctness geometry is tier-invariant (re-verified at the 16× tier",
     "in seconds after the pin), and capped-regime scaling remains the",
     "production `dedup_semantic` entry's job in SOAK_OPS.",
+    "",
+    "Late-r11 additions — five sketch/stream exact twins (`agg_topk_planted`,",
+    "`agg_cms_planted`, `agg_hll_planted`, `stat_cardinality_planted`,",
+    "`stream_approx_planted`) joined SOAK_SWEEP (now 73) and passed the 16×",
+    "tier on first run: their plants pin the KEY domain with fixed key",
+    "ranges, so the exact-regime arguments (coupon-exact HLL, below-k KMV,",
+    "collision-free CMS, zero-FP bloom) are tier-invariant by construction.",
     "",
 ]
 

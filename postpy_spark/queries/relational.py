@@ -293,6 +293,92 @@ def agg_approx_quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hllpp_planted",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_orderkey % 40) AS BIGINT) AS n40,
+           CAST(COUNT(DISTINCT o_orderkey % 13) AS BIGINT) AS n13
+    FROM orders WHERE o_orderkey <= 600
+    """,
+    group="B3",
+)
+def agg_hllpp_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the built-in HyperLogLog++ path
+    (agg_approx_distinct is rows-only — HLL is an estimator): at rsd =
+    0.01 the sketch carries 2^14+ registers, so 40 planted distinct keys
+    over a FIXED key range (o_orderkey <= 600 — input byte-identical at
+    every sf tier) sit deep in the linear-counting regime where the
+    estimate m·ln(m/V) is within ~c²/2m « 0.5 of the true cardinality c
+    and the rounded answer is EXACTLY c, provided the planted keys hit c
+    distinct registers — a deterministic property of the fixed domain
+    (verified at 40 and 13 keys; both answers are exact at every tier).
+    Pins the HLL++ register update, merge, and estimate paths through
+    the sql-hash gate; the ±5% pytest on the production query covers the
+    estimating regime."""
+    pk = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 600)
+        .select(
+            (F.col("o_orderkey") % 40).alias("k40"),
+            (F.col("o_orderkey") % 13).alias("k13"),
+        )
+    )
+    return pk.agg(
+        F.approx_count_distinct("k40", rsd=0.01).alias("n40"),
+        F.approx_count_distinct("k13", rsd=0.01).alias("n13"),
+    )
+
+
+@query(
+    "agg_pctl_planted",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(FLOOR((o_orderkey % 700) / 100) AS DOUBLE) AS val
+        FROM orders WHERE o_orderkey <= 700
+    )
+    SELECT CAST(0.10 AS DOUBLE) AS q, quantile_disc(val, 0.10) AS est FROM v
+    UNION ALL
+    SELECT CAST(0.25 AS DOUBLE), quantile_disc(val, 0.25) FROM v
+    UNION ALL
+    SELECT CAST(0.50 AS DOUBLE), quantile_disc(val, 0.50) FROM v
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE), quantile_disc(val, 0.75) FROM v
+    UNION ALL
+    SELECT CAST(0.90 AS DOUBLE), quantile_disc(val, 0.90) FROM v
+    """,
+    group="B3",
+)
+def agg_pctl_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the percentile_approx sketch path
+    (agg_approx_quantile is rows-only — GK summaries are rank-approximate
+    by design): with n ≈ 700 « accuracy = 10000 the summary never
+    compacts, so the query is an exact rank lookup; and the plant makes
+    the answer CONVENTION-PROOF — seven runs of ~100 equal values each,
+    with every q·n cut point landing ≥ 25 ranks INSIDE a run, so lower-
+    rank, nearest-rank, and interpolating definitions all return the
+    same run value on both engines (no q·n-near-integer float hazard,
+    the agg_kll_planted failure mode, can flip the answer across a run
+    boundary).  Fixed key range (o_orderkey <= 700) keeps the input
+    byte-identical at every sf tier.  Pins summary insert, merge, and
+    rank query exactly; the tolerance pytest covers the compacting
+    regime."""
+    v = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 700)
+        .select(
+            F.floor((F.col("o_orderkey") % 700) / 100).cast("double").alias("val")
+        )
+    )
+    qs = [0.10, 0.25, 0.50, 0.75, 0.90]
+    agg = v.agg(F.percentile_approx("val", qs, 10000).alias("p"))
+    return agg.select(F.posexplode("p").alias("pos", "est")).select(
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias(
+            "q"
+        ),
+        "est",
+    )
+
+
+@query(
     "agg_stats",
     oracle="""
     SELECT l_returnflag,

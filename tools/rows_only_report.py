@@ -98,6 +98,50 @@ STATIC_GATES = {
     "per-word concat identity (test_llm_ops)",
 }
 
+#: Rows-only op → the registered SQL-HASH-CHECKED query that drives the
+#: SAME production operator path through a planted geometry where the
+#: estimator/iteration is provably exact (the round-10/11 exact-
+#: attestation program).  Every rows-only family except the seeded-random
+#: samplers (sample_*: randomness IS the semantics; gated by golden
+#: byte-exact fixtures instead) carries one.  dedup_minhash_eval and
+#: multimodal_phash_dedup inherit their family's twin (the estimator /
+#: hamming-join core is the shared path).
+EXACT_TWINS = {
+    "agg_approx_distinct": "agg_hllpp_planted",
+    "agg_approx_quantile": "agg_pctl_planted",
+    "agg_approx_topk": "agg_topk_planted",
+    "agg_cms_estimate": "agg_cms_planted",
+    "agg_hll_mergeable": "agg_hll_planted",
+    "agg_kll_quantiles": "agg_kll_planted",
+    "agg_kmv_distinct": "agg_kmv_planted",
+    "agg_kmv_setops": "stat_cardinality_planted",
+    "dedup_canonical_rank": "dedup_canonical_planted",
+    "dedup_clusters": "graph_connected_components",
+    "dedup_containment_scaled": "dedup_containment_planted",
+    "dedup_containment_incremental": "dedup_containment_planted",
+    "dedup_fuzzy_minhash": "dedup_minhash_planted",
+    "dedup_incremental": "dedup_incremental_planted",
+    "dedup_minhash_eval": "dedup_minhash_planted (family core)",
+    "dedup_pipeline_end_to_end": "dedup_funnel_planted",
+    "dedup_semantic": "dedup_semantic_planted",
+    "dedup_simhash": "dedup_simhash_planted",
+    "embed_pca": "embed_pca_planted",
+    "kmeans_clusters": "kmeans_planted",
+    "ml_logreg_irls": "ml_logreg_planted",
+    "multimodal_phash_dedup": "dedup_simhash_planted (shared hamming joiner)",
+    "sim_ann_lsh": "sim_ann_planted",
+    "sim_ivf_topk": "sim_ivf_planted",
+    "sim_ivfpq_topk": "sim_ivfpq_planted",
+    "sim_knn_graph": "sim_knn_graph_planted",
+    "sim_mmr_rerank": "sim_mmr_planted",
+    "sim_pq_topk": "sim_ivfpq_planted (shared PQ encode/ADC core)",
+    "stat_join_cardinality_est": "stat_cardinality_planted",
+    "stream_approx_dedup": "stream_approx_planted",
+    "text_bpe_merges": "text_bpe_planted",
+    "text_bpe_segment": "text_bpe_planted",
+    "text_excise_repeated_spans": "text_excise_planted",
+}
+
 
 def main() -> None:
     if "--check" in sys.argv:
@@ -139,6 +183,8 @@ def main() -> None:
             entry["min_margin"] = min(r["margin"] for r in measured[name])
         if name in STATIC_GATES:
             entry["structural_gate"] = STATIC_GATES[name]
+        if name in EXACT_TWINS:
+            entry["exact_twin"] = EXACT_TWINS[name]
         if not entry:
             entry["structural_gate"] = "MISSING — add a gate or a STATIC_GATES note"
         report["queries"][name] = entry

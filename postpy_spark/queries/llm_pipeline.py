@@ -2316,19 +2316,12 @@ def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_eval", oracle=None, group="D")
-def dedup_minhash_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-quality evaluation of the MinHash/LSH near-dup path —
-    the pipeline-health metric a production dedup job publishes every
-    run: on a bounded audit slice (doc_id < 200; the exact truth is
-    O(slice²) BY DESIGN — audit a sample, never the corpus), compare
-    verified LSH pairs against exact all-pairs shingle-Jaccard truth
-    and emit one row of (truth, candidate, verified, precision,
-    recall).  Verified pairs are a subset of truth by construction
-    (same exact verify), so precision-after-verify is 1 and recall is
-    the banding's miss rate.  Rows-only (hash-permutation dependent);
-    the recall floor is also pytest-pinned at sf0.001."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+def _minhash_eval(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Shared eval pipeline (production path for dedup_minhash_eval and
+    the closed-form path dedup_eval_planted hash-checks exactly):
+    verified LSH pairs vs exact all-pairs shingle-Jaccard truth on a
+    bounded audit slice → one (truth, candidate, verified, precision,
+    recall) row."""
     stats: dict = {}
     verified = dedup.minhash_dedup_pairs(d, threshold=0.6, stats=stats)
     ids = d.select("doc_id")
@@ -2359,6 +2352,65 @@ def dedup_minhash_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_minhash_eval", oracle=None, group="D")
+def dedup_minhash_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality evaluation of the MinHash/LSH near-dup path —
+    the pipeline-health metric a production dedup job publishes every
+    run: on a bounded audit slice (doc_id < 200; the exact truth is
+    O(slice²) BY DESIGN — audit a sample, never the corpus), compare
+    verified LSH pairs against exact all-pairs shingle-Jaccard truth
+    and emit one row of (truth, candidate, verified, precision,
+    recall).  Verified pairs are a subset of truth by construction
+    (same exact verify), so precision-after-verify is 1 and recall is
+    the banding's miss rate.  Rows-only (hash-permutation dependent);
+    the recall floor is also pytest-pinned at sf0.001, and
+    dedup_eval_planted is the sql-hash-checked exact twin."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _minhash_eval(spark, d)
+
+
+@query(
+    "dedup_eval_planted",
+    oracle="""
+    WITH d AS (SELECT o_orderkey % 20 AS g
+               FROM orders WHERE o_orderkey < 60),
+         c AS (SELECT g, COUNT(*) AS n FROM d GROUP BY g),
+         t AS (SELECT CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS np FROM c)
+    SELECT np AS n_truth, np AS n_verified, np AS n_hit,
+           CAST(1.0 AS DOUBLE) AS "precision",
+           CAST(1.0 AS DOUBLE) AS recall
+    FROM t
+    """,
+    group="D",
+)
+def dedup_eval_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the MinHash/LSH eval pipeline
+    (_minhash_eval; dedup_minhash_eval is rows-only — recall depends on
+    hash permutations): the cyclic-rotation plant (dedup_funnel_planted's
+    trick — 20 groups × 3 phase-variants over a FIXED key range, each
+    group's phases distinct STRINGS with the IDENTICAL shingle set)
+    makes every figure closed-form WITHOUT trusting the estimator:
+    within-group exact Jaccard is 1.0 (truth = Σ C(3,2) = 60 pairs),
+    identical shingle sets give identical minhash signatures so every
+    band matches and LSH recall is provably 1.0, cross-group shingle
+    sets are disjoint (Jaccard 0, and any band collision is killed by
+    the exact verify) — so truth = candidates-after-verify = hits and
+    precision = recall = 1.0 exactly, which the oracle derives from the
+    same residue arithmetic."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 60)
+    g = (F.col("o_orderkey") % 20).cast("string")
+    p = (F.col("o_orderkey") / 20).cast("int") % 3
+    toks = [
+        F.concat(F.lit("c"), ((p + i) % 5).cast("string"), F.lit("g"), g)
+        for i in range(7)
+    ]
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"),
+        F.concat_ws(" ", *toks).alias("text"),
+    )
+    return _minhash_eval(spark, docs)
+
+
 @query("sim_knn_graph", oracle=None, group="D")
 def sim_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN GRAPH over the embedding corpus
@@ -2386,6 +2438,47 @@ def multimodal_phash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postpy_spark.operators import multimodal as MM
 
     media = MM.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return MM.phash_near_dups(media, max_hamming=6)
+
+
+@query(
+    "multimodal_phash_planted",
+    oracle="""
+    WITH d AS (SELECT o_orderkey AS id, o_orderkey % 8 AS g
+               FROM orders WHERE o_orderkey < 40)
+    SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS INTEGER) AS hamming
+    FROM d a JOIN d b ON a.g = b.g AND a.id < b.id
+    """,
+    group="D",
+)
+def multimodal_phash_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the perceptual-hash dedup path
+    (multimodal_phash_dedup is rows-only): 8 planted groups of 5 media
+    assets over a FIXED key range, where group g's payload is a 64-char
+    string whose per-position high/low codepoints spell the cyclic-shift
+    bit pattern ((i + g) % 8 < 4) — with exactly 64 'pixels' each decode
+    position IS one hash bucket, the grand mean (109.5) separates 'z'
+    (122) from 'a' (97) cleanly, so the average-hash equals the planted
+    64-bit pattern EXACTLY.  Within-group payloads are byte-identical
+    (hamming 0); distinct cyclic shifts differ in ≥ 16 bits (a 4-on/
+    4-off pattern shifted by d ∈ 1..7 flips ≥ 2 bits per 8-bit period),
+    so no cross-group pair can pass the ≤ 6 gate — the pair set is the
+    closed-form within-group join the oracle states.  Pins decode →
+    bucket means → threshold bits → chunk-blocked hamming join → exact
+    bit_count verify through the production operators; the perturbation
+    pytest covers the near-miss regime."""
+    from postpy_spark.operators import multimodal as MM
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 40)
+    g = (F.col("o_orderkey") % 8).cast("int")
+    chars = [
+        F.when(((F.lit(i) + g) % 8) < 4, "z").otherwise("a") for i in range(64)
+    ]
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"),
+        F.concat(*chars).alias("text"),
+    ).withColumn("n_chars", F.length("text"))
+    media = MM.synthesize_media(docs)
     return MM.phash_near_dups(media, max_hamming=6)
 
 

@@ -112,7 +112,8 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # waste sql-hash sample slots.
     # (a) new in round 11
     "agg_topk_planted", "agg_cms_planted", "agg_hll_planted",
-    "agg_hllpp_planted", "agg_pctl_planted",
+    "agg_hllpp_planted", "agg_pctl_planted", "dedup_eval_planted",
+    "multimodal_phash_planted",
     "stat_cardinality_planted", "stream_approx_planted",
     "join_range_salted", "join_range_bucketed", "sim_ivfpq_planted",
     "sim_knn_graph_planted", "sim_mmr_planted", "text_bpe_planted",

@@ -103,9 +103,7 @@ STATIC_GATES = {
 #: estimator/iteration is provably exact (the round-10/11 exact-
 #: attestation program).  Every rows-only family except the seeded-random
 #: samplers (sample_*: randomness IS the semantics; gated by golden
-#: byte-exact fixtures instead) carries one.  dedup_minhash_eval and
-#: multimodal_phash_dedup inherit their family's twin (the estimator /
-#: hamming-join core is the shared path).
+#: byte-exact fixtures instead) carries one.
 EXACT_TWINS = {
     "agg_approx_distinct": "agg_hllpp_planted",
     "agg_approx_quantile": "agg_pctl_planted",
@@ -121,14 +119,14 @@ EXACT_TWINS = {
     "dedup_containment_incremental": "dedup_containment_planted",
     "dedup_fuzzy_minhash": "dedup_minhash_planted",
     "dedup_incremental": "dedup_incremental_planted",
-    "dedup_minhash_eval": "dedup_minhash_planted (family core)",
+    "dedup_minhash_eval": "dedup_eval_planted",
     "dedup_pipeline_end_to_end": "dedup_funnel_planted",
     "dedup_semantic": "dedup_semantic_planted",
     "dedup_simhash": "dedup_simhash_planted",
     "embed_pca": "embed_pca_planted",
     "kmeans_clusters": "kmeans_planted",
     "ml_logreg_irls": "ml_logreg_planted",
-    "multimodal_phash_dedup": "dedup_simhash_planted (shared hamming joiner)",
+    "multimodal_phash_dedup": "multimodal_phash_planted",
     "sim_ann_lsh": "sim_ann_planted",
     "sim_ivf_topk": "sim_ivf_planted",
     "sim_ivfpq_topk": "sim_ivfpq_planted",

@@ -144,7 +144,8 @@ SOAK_SWEEP = [
     # POPULATION with user_id <= 1499 so the bloom stays in the zero-FP
     # regime at any tier)
     "agg_topk_planted", "agg_cms_planted", "agg_hll_planted",
-    "agg_hllpp_planted", "agg_pctl_planted",
+    "agg_hllpp_planted", "agg_pctl_planted", "dedup_eval_planted",
+    "multimodal_phash_planted",
     "stat_cardinality_planted", "stream_approx_planted",
 ]
 
@@ -524,7 +525,7 @@ _STATIC_EPILOGUE = [
     "## Exact-value parity at the 16× tier (round 11 — SOAK_SWEEP)",
     "",
     "The sweep list is now COMMITTED as `tools/scale_soak.py::SOAK_SWEEP`",
-    "(75 sql-checked queries biased toward the scaled tables, plus every",
+    "(77 sql-checked queries biased toward the scaled tables, plus every",
     "planted exact twin) and the r11 run against the planted 16× tier is",
     "**68 pass / 0 fail** for the r11 main run (`/tmp/r11_sweep.log`, ~70 min",
     "wall), up from r8's 38.  Notables: `join_range_bucketed` exact-matched",
@@ -537,12 +538,15 @@ _STATIC_EPILOGUE = [
     "in seconds after the pin), and capped-regime scaling remains the",
     "production `dedup_semantic` entry's job in SOAK_OPS.",
     "",
-    "Late-r11 additions — seven sketch/stream exact twins (`agg_topk_planted`,",
+    "Late-r11 additions — nine exact twins (`agg_topk_planted`,",
     "`agg_cms_planted`, `agg_hll_planted`, `agg_hllpp_planted`,",
-    "`agg_pctl_planted`, `stat_cardinality_planted`, `stream_approx_planted`)",
-    "joined SOAK_SWEEP (now 75) and passed the 16× tier on first run:",
-    "their plants pin the KEY domain with fixed key ranges, so the exact-regime arguments (coupon-exact HLL, below-k KMV,",
-    "collision-free CMS, zero-FP bloom) are tier-invariant by construction.",
+    "`agg_pctl_planted`, `stat_cardinality_planted`, `stream_approx_planted`,",
+    "`dedup_eval_planted`, `multimodal_phash_planted`) joined SOAK_SWEEP",
+    "(now 77) and passed the 16× tier on first run:",
+    "their plants pin the KEY domain with fixed key ranges, so the",
+    "exact-regime arguments (coupon-exact HLL, below-k KMV,",
+    "collision-free CMS, zero-FP bloom, identical-shingle LSH recall,",
+    "byte-identical phash groups) are tier-invariant by construction.",
     "",
 ]
 

@@ -542,8 +542,9 @@ _STATIC_EPILOGUE = [
     "`agg_cms_planted`, `agg_hll_planted`, `agg_hllpp_planted`,",
     "`agg_pctl_planted`, `stat_cardinality_planted`, `stream_approx_planted`,",
     "`dedup_eval_planted`, `multimodal_phash_planted`) joined SOAK_SWEEP",
-    "(now 77) and passed the 16× tier on first run:",
-    "their plants pin the KEY domain with fixed key ranges, so the",
+    "(now 77), and the FULL 77-query sweep was re-run against the 16×",
+    "tier end-to-end: **77 pass / 0 fail** (`/tmp/r11_sweep_full.log`).",
+    "Their plants pin the KEY domain with fixed key ranges, so the",
     "exact-regime arguments (coupon-exact HLL, below-k KMV,",
     "collision-free CMS, zero-FP bloom, identical-shingle LSH recall,",
     "byte-identical phash groups) are tier-invariant by construction.",

@@ -3527,30 +3527,19 @@ def join_spatial_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_join_cardinality_est", oracle=None, group="B3")
-def stat_join_cardinality_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-flight equi-join cardinality estimate WITHOUT running the
-    join — the planner's question ("will orders ⋈ events explode?")
-    answered from two KMV sketches + two counts: |A⋈B| ≈ d(A∩B) ·
-    (|A|/dA) · (|B|/dB) under the uniform-multiplicity assumption
-    (documented; heavy-hitter keys need the CMS op on top).  Sketch
-    inputs are k-row frames, so the estimate costs two scans and NO
-    shuffle of either table against the other.  Rows-only; pytest pins
-    the estimate within 2× of the true join count."""
+def _join_cardinality_est(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Shared KMV join-cardinality estimator (production path for
+    stat_join_cardinality_est and the closed-form path
+    stat_cardinality_planted hash-checks exactly): two KMV sketches +
+    two counts → |A⋈B| ≈ d(A∩B) · (|A|/dA) · (|B|/dB).  Inputs are
+    single-column frames named ``key``."""
     from postpy_spark.operators import sketch as SK
 
-    e = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").alias("key")
-    )
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key")
-    )
-    k = 256
-    sa, sb = SK.kmv_build(e, "key", k=k), SK.kmv_build(o, "key", k=k)
+    sa, sb = SK.kmv_build(a, "key", k=k), SK.kmv_build(b, "key", k=k)
     setops = SK.kmv_set_estimates(sa, sb, k=k)
     counts = (
-        e.agg(F.count(F.lit(1)).alias("n_a"))
-        .crossJoin(o.agg(F.count(F.lit(1)).alias("n_b")))
+        a.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
         .crossJoin(
             SK.kmv_estimate(sa, k=k).select(F.col("est").alias("d_a"))
         )
@@ -3565,13 +3554,33 @@ def stat_join_cardinality_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_a",
         "d_b",
         F.round(
-            F.col("intersect_est")
-            * (F.col("n_a") / F.col("d_a"))
-            * (F.col("n_b") / F.col("d_b"))
+            F.col("intersect_est").cast("double")
+            * (F.col("n_a").cast("double") / F.col("d_a").cast("double"))
+            * (F.col("n_b").cast("double") / F.col("d_b").cast("double"))
         )
         .cast("bigint")
         .alias("join_card_est"),
     )
+
+
+@query("stat_join_cardinality_est", oracle=None, group="B3")
+def stat_join_cardinality_est_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight equi-join cardinality estimate WITHOUT running the
+    join — the planner's question ("will orders ⋈ events explode?")
+    answered from two KMV sketches + two counts: |A⋈B| ≈ d(A∩B) ·
+    (|A|/dA) · (|B|/dB) under the uniform-multiplicity assumption
+    (documented; heavy-hitter keys need the CMS op on top).  Sketch
+    inputs are k-row frames, so the estimate costs two scans and NO
+    shuffle of either table against the other.  Rows-only; pytest pins
+    the estimate within 2× of the true join count;
+    stat_cardinality_planted is the sql-hash-checked exact twin."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    return _join_cardinality_est(e, o, k=256)
 
 
 @query(
@@ -3613,8 +3622,6 @@ def stat_cardinality_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership join, and the multiplicity-scaling formula exactly; the
     2×-band pytest on the production query covers the estimating
     regime."""
-    from postpy_spark.operators import sketch as SK
-
     o = load_table(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderkey") <= 600).select(
         (F.col("o_orderkey") % 30).alias("key")
@@ -3622,29 +3629,7 @@ def stat_cardinality_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = o.filter(F.col("o_orderkey") <= 900).select(
         ((F.col("o_orderkey") % 30) + 15).alias("key")
     )
-    k = 256
-    sa, sb = SK.kmv_build(a, "key", k=k), SK.kmv_build(b, "key", k=k)
-    setops = SK.kmv_set_estimates(sa, sb, k=k)
-    counts = (
-        a.agg(F.count(F.lit(1)).alias("n_a"))
-        .crossJoin(b.agg(F.count(F.lit(1)).alias("n_b")))
-        .crossJoin(SK.kmv_estimate(sa, k=k).select(F.col("est").alias("d_a")))
-        .crossJoin(SK.kmv_estimate(sb, k=k).select(F.col("est").alias("d_b")))
-    )
-    return setops.crossJoin(F.broadcast(counts)).select(
-        "intersect_est",
-        "n_a",
-        "n_b",
-        "d_a",
-        "d_b",
-        F.round(
-            F.col("intersect_est").cast("double")
-            * (F.col("n_a").cast("double") / F.col("d_a").cast("double"))
-            * (F.col("n_b").cast("double") / F.col("d_b").cast("double"))
-        )
-        .cast("bigint")
-        .alias("join_card_est"),
-    )
+    return _join_cardinality_est(a, b, k=256)
 
 
 @query(

@@ -830,28 +830,41 @@ def agg_bitmap_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("c_nationkey").agg(F.sum("cnt").alias("n_dist"))
 
 
+def _hll_per_segment_and_union(
+    df: DataFrame, seg_col: str, key_col: str, out_col: str
+) -> DataFrame:
+    """Shared mergeable-HLL shape (production path for agg_hll_mergeable
+    and the closed-form path agg_hll_planted hash-checks exactly):
+    per-segment hll_sketch_agg built ONCE, re-aggregated with
+    hll_union_agg for the '__ALL__' row."""
+    seg = df.groupBy(seg_col).agg(
+        F.expr(f"hll_sketch_agg({key_col})").alias("sk")
+    )
+    per_seg = seg.select(
+        seg_col,
+        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias(out_col),
+    )
+    total = seg.agg(
+        F.lit("__ALL__").alias(seg_col),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
+            out_col
+        ),
+    )
+    return per_seg.unionByName(total)
+
+
 @query("agg_hll_mergeable", oracle=None, group="B3")
 def agg_hll_mergeable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (datasketches, Spark 3.5): per-segment
     sketches are built ONCE, then re-aggregated with hll_union_agg for the
     global figure — the sketch-reuse pattern that makes rollups over
     petabyte facts cheap (build once, merge per grain).  Rows-only for the
-    driver; pytest gates both estimates within ±5% of exact."""
+    driver; pytest gates both estimates within ±5% of exact;
+    agg_hll_planted is the sql-hash-checked exact twin."""
     c = load_table(spark, sf_dir, "customer")
-    seg = c.groupBy("c_mktsegment").agg(
-        F.expr("hll_sketch_agg(c_custkey)").alias("sk")
+    return _hll_per_segment_and_union(
+        c, "c_mktsegment", "c_custkey", "approx_dist"
     )
-    per_seg = seg.select(
-        "c_mktsegment",
-        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("approx_dist"),
-    )
-    total = seg.agg(
-        F.lit("__ALL__").alias("c_mktsegment"),
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
-            "approx_dist"
-        ),
-    )
-    return per_seg.unionByName(total)
 
 
 @query(
@@ -884,20 +897,7 @@ def agg_hll_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") <= 900)
         .select("c_mktsegment", (F.col("c_custkey") % 97).alias("key97"))
     )
-    seg = pc.groupBy("c_mktsegment").agg(
-        F.expr("hll_sketch_agg(key97)").alias("sk")
-    )
-    per_seg = seg.select(
-        "c_mktsegment",
-        F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("n_dist"),
-    )
-    total = seg.agg(
-        F.lit("__ALL__").alias("c_mktsegment"),
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("bigint").alias(
-            "n_dist"
-        ),
-    )
-    return per_seg.unionByName(total)
+    return _hll_per_segment_and_union(pc, "c_mktsegment", "key97", "n_dist")
 
 
 @query(

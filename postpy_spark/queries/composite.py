@@ -1453,6 +1453,64 @@ def tpch_q9_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q5_shape",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(SUM({_EXT_CENTS} * (100 - {_DISC_PCT})) AS BIGINT) AS revenue4
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    group="B2",
+)
+def tpch_q5_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume) — the last of the 22 TPC-H
+    query shapes (Q1 is the flagship agg_groupby): the 6-relation star
+    whose distinguishing feature is the CORRELATED dimension predicate
+    c_nationkey = s_nationkey (customer and supplier must share a
+    nation), expressed as a residual on the supplier join so the planner
+    keeps both hash joins.  Date filter pushes to the orders scan,
+    region/nation/customer/supplier broadcast, revenue in integer
+    dollars*10^4 (the money landmine)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    rev4 = F.expr(f"{_EXT_CENTS} * (100 - {_DISC_PCT})")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev4).cast("bigint").alias("revenue4"))
+    )
+
+
+@query(
     "tpch_q11_shape",
     oracle=f"""
     WITH ln AS (

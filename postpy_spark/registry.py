@@ -102,10 +102,10 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # (all 327 registered queries carry >=1 driver row, every latest
     # sample green).  This round: (a) queries NEW this round first (fresh
     # oracle formulations are where the driver's width-sensitive hash
-    # finds what the local exact-value gate cannot — 23 entries after
+    # finds what the local exact-value gate cannot — 24 entries after
     # the late-r11 exact-twin wave); then (b) the STALEST contract
     # attestations — the r3-vintage B2 join / B3 agg / early-B4 window
-    # blocks (23 entries; (a)+(b) = 46, inside the ~50-sample window, so
+    # blocks (23 entries; (a)+(b) = 47, inside the ~50-sample window, so
     # every r3-vintage row refreshes this round); then (c) the
     # r5-vintage B4 tail, B5 set ops, B6 scalar families, and the first
     # streaming pair — at ~50 samples only the first few of (c) land
@@ -114,7 +114,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # only produce rows-only records and would waste sql-hash sample
     # slots (their planted exact twins in (a) attest the same paths).
     # (a) new in round 11
-    "agg_topk_planted", "agg_cms_planted", "agg_hll_planted",
+    "tpch_q5_shape", "agg_topk_planted", "agg_cms_planted", "agg_hll_planted",
     "agg_hllpp_planted", "agg_pctl_planted", "dedup_eval_planted",
     "multimodal_phash_planted",
     "stat_cardinality_planted", "stream_approx_planted",

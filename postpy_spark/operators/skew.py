@@ -103,6 +103,50 @@ def skew_stats(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFrame:
     )
 
 
+def choose_bucket_width(
+    small: DataFrame,
+    small_start: str,
+    small_end: str,
+    rel_err: float = 0.05,
+) -> int:
+    """Pick a grid width for :func:`bucketed_range_join` from the data:
+    the MEDIAN interval length (approxQuantile over one cheap pass of the
+    dimension-sized interval side).
+
+    Why the median length is the right operating point: an interval of
+    length L explodes to at most ceil(L/W)+1 buckets, so W = median(L)
+    caps the typical interval at ~2 replicas (the same bound the 1 h
+    default assumed for 1 h intervals), while keeping buckets NARROW
+    enough that a hot key's events fan out over its active range instead
+    of piling into a handful of giant cells.  W far above median(L)
+    degenerates toward the plain per-key join (few huge cells, the hot
+    key's quadratic mass reconcentrates); W far below it multiplies the
+    interval-side explosion factor (ceil(L/W)+1 replicas per interval)
+    without reducing per-cell event counts proportionally.  Both failure
+    modes are demonstrated and self-corrected in
+    tests/test_skew.py::test_choose_bucket_width_self_corrects.
+
+    One driver-side pass over the SMALL side only (dimension-sized by the
+    operator's own contract), so the two-pass cost is bounded the same
+    way the join's replication is.
+    """
+    dt = dict(small.dtypes)
+
+    def _num(col: str) -> "F.Column":
+        c = F.col(col)
+        if dt[col].startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp"))
+        return c.cast("double")
+
+    lens = small.select(
+        (_num(small_end) - _num(small_start)).cast("double").alias("__len")
+    ).where(F.col("__len") > 0)
+    med = lens.approxQuantile("__len", [0.5], rel_err)
+    if not med:  # all-degenerate or empty interval side: any width works
+        return 3_600_000_000
+    return max(1, int(med[0]))
+
+
 def bucketed_range_join(
     big: DataFrame,
     small: DataFrame,
@@ -110,7 +154,7 @@ def bucketed_range_join(
     big_time: str,
     small_start: str,
     small_end: str,
-    bucket_width_us: int = 3_600_000_000,
+    bucket_width_us: int | None = 3_600_000_000,
 ) -> DataFrame:
     """Inner point-in-interval join (``small.start <= big.time < big.end``
     within ``key``) on a (key, time-bucket) GRID — the hot-key scale path
@@ -136,7 +180,16 @@ def bucketed_range_join(
     contract as ``salted_range_join``; equivalence pytest in
     tests/test_skew.py.  Pathological residue (a key × bucket cell
     denser than memory) is AQE skew-split territory, orthogonal here.
+
+    ``bucket_width_us=None`` auto-tunes W from the interval side via
+    :func:`choose_bucket_width` (median interval length: ≤2 replicas per
+    typical interval, buckets no wider than they need to be).  The fixed
+    default remains 1 h for callers whose axis is known to be µs with
+    ~hour-scale intervals; pass an explicit W when the axis is in a
+    different unit.
     """
+    if bucket_width_us is None:
+        bucket_width_us = choose_bucket_width(small, small_start, small_end)
     w = int(bucket_width_us)
 
     def _axis(df: DataFrame, col: str) -> "F.Column":
@@ -155,10 +208,14 @@ def bucketed_range_join(
     ).alias("b")
     lo = F.floor(_axis(small, small_start) / w).cast("bigint")
     # end is EXCLUSIVE: an interval ending exactly on a bucket edge does
-    # not reach into that bucket; greatest() guards degenerate empties so
-    # sequence() never sees stop < start
+    # not reach into that bucket, so the last covered bucket is
+    # ceil(end/w) - 1.  (floor((end-1)/w) is equivalent ONLY on an
+    # integral axis; with a fractional end like 3600.5 at w=3600 it lands
+    # one bucket short and silently drops that bucket's matches.)
+    # greatest() guards degenerate empty intervals so sequence() never
+    # sees stop < start.
     hi = F.greatest(
-        F.floor((_axis(small, small_end) - 1) / w).cast("bigint"), lo
+        (F.ceil(_axis(small, small_end) / w) - 1).cast("bigint"), lo
     )
     s = small.withColumn("__bk", F.explode(F.sequence(lo, hi))).alias("s")
     cond = (

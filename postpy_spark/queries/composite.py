@@ -33,7 +33,11 @@ from postpy_spark.registry import query
 def tpch_q3_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority shape (TPC-H Q3): selective dim filter → two fact
     joins → grouped revenue.  Catalyst pushes both date predicates into the
-    scans; customer (filtered) broadcasts."""
+    scans.  No hard broadcast() on customer — it scales linearly with SF,
+    so a literal hint would force an OOM build side at 1000×+; AQE's
+    size-based choice broadcasts it at every tier where that is safe
+    (plan pinned at test scale by tests/test_plan_shapes.py::
+    test_tpch_scaling_dims_broadcast_by_size_not_hint)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
@@ -42,8 +46,7 @@ def tpch_q3_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
     )
     return (
-        broadcast(c)
-        .join(o, c.c_custkey == o.o_custkey)
+        c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -489,7 +492,7 @@ def tpch_q14_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -521,7 +524,7 @@ def tpch_q19_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracts the common p_partkey equi-key so no nested loop appears."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = l.join(broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 21))
@@ -793,7 +796,7 @@ def tpch_q17_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(half_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("threshold"))
-        .join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
@@ -865,7 +868,7 @@ def tpch_q21_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     return (
-        qual.join(broadcast(s), qual.l_suppkey == s.s_suppkey)
+        qual.join(s, qual.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -907,7 +910,7 @@ def tpch_q15_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -964,10 +967,10 @@ def tpch_q8_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
     )
     j = (
-        l.join(broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -1378,8 +1381,8 @@ def tpch_q2_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = (
-        ps.join(broadcast(p), ps.partkey == p.p_partkey)
-        .join(broadcast(eu), ps.suppkey == F.col("s_suppkey"))
+        ps.join(p, ps.partkey == p.p_partkey)
+        .join(eu, ps.suppkey == F.col("s_suppkey"))
         .select("p_partkey", "s_name", "n_name", "s_acctbal", "cost4")
     )
     mn = (
@@ -1436,13 +1439,13 @@ def tpch_q9_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_EXT_CENTS} * (100 - {_DISC_PCT})"
     ) - F.col("cost4") * F.expr(_QTY_INT)
     return (
-        l.join(broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(
             ps,
             (l.l_partkey == ps.partkey) & (l.l_suppkey == ps.suppkey),
         )
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1497,9 +1500,9 @@ def tpch_q5_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev4 = F.expr(f"{_EXT_CENTS} * (100 - {_DISC_PCT})")
     return (
         l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1541,7 +1544,7 @@ def tpch_q11_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
     ln = (
-        l.join(broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             "l_partkey",
@@ -1590,8 +1593,8 @@ def tpch_q16_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     ps = l.select("l_partkey", "l_suppkey").distinct()
     return (
-        ps.join(broadcast(p), ps.l_partkey == p.p_partkey)
-        .join(broadcast(ok), ps.l_suppkey == F.col("s_suppkey"))
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .join(ok, ps.l_suppkey == F.col("s_suppkey"))
         .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -1644,7 +1647,7 @@ def tpch_q20_shape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     excess = (
         q.join(tot, "l_partkey")
-        .join(broadcast(wid), F.col("l_partkey") == F.col("p_partkey"))
+        .join(wid, F.col("l_partkey") == F.col("p_partkey"))
         .filter(F.col("sq") * 2 > F.col("tq"))
         .select("l_suppkey")
         .distinct()
@@ -2208,8 +2211,8 @@ def graph_triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (F.col("d") * F.lit(1_000_000_000) + F.col("node")).alias("r")
     rk = deg.select("node", r)
     eo = (
-        e.join(broadcast(rk.withColumnRenamed("node", "u").withColumnRenamed("r", "ru")), "u")
-        .join(broadcast(rk.withColumnRenamed("node", "v").withColumnRenamed("r", "rv")), "v")
+        e.join(rk.withColumnRenamed("node", "u").withColumnRenamed("r", "ru"), "u")
+        .join(rk.withColumnRenamed("node", "v").withColumnRenamed("r", "rv"), "v")
         .select(
             F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("dst"),

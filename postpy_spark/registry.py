@@ -97,46 +97,42 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # -- round-11 rotation.  The driver samples the FIRST ~50 registry
-    # entries each round; after r10, cumulative attestation is COMPLETE
-    # (all 327 registered queries carry >=1 driver row, every latest
-    # sample green).  This round: (a) queries NEW this round first (fresh
-    # oracle formulations are where the driver's width-sensitive hash
-    # finds what the local exact-value gate cannot — 24 entries after
-    # the late-r11 exact-twin wave); then (b) the STALEST contract
-    # attestations — the r3-vintage B2 join / B3 agg / early-B4 window
-    # blocks (23 entries; (a)+(b) = 47, inside the ~50-sample window, so
-    # every r3-vintage row refreshes this round); then (c) the
-    # r5-vintage B4 tail, B5 set ops, B6 scalar families, and the first
-    # streaming pair — at ~50 samples only the first few of (c) land
-    # this round; the rest are the r12 rotation's head.  The approx pair
-    # (agg_approx_*) and sample_frac stay out of the prefix — they can
-    # only produce rows-only records and would waste sql-hash sample
-    # slots (their planted exact twins in (a) attest the same paths).
-    # (a) new in round 11
-    "tpch_q5_shape", "agg_topk_planted", "agg_cms_planted", "agg_hll_planted",
-    "agg_hllpp_planted", "agg_pctl_planted", "dedup_eval_planted",
-    "multimodal_phash_planted",
-    "stat_cardinality_planted", "stream_approx_planted",
-    "join_range_salted", "join_range_bucketed", "sim_ivfpq_planted",
-    "sim_knn_graph_planted", "sim_mmr_planted", "text_bpe_planted",
-    "agg_kll_planted", "text_excise_planted", "dedup_canonical_planted",
-    "dedup_incremental_planted", "dedup_funnel_planted", "sim_ivf_planted",
-    "agg_kmv_planted", "dedup_containment_planted",
-    # (b) r3-vintage contract rows: joins tail, aggregation, early windows
-    "join_full", "join_semi", "join_anti", "join_cross", "join_broadcast",
-    "join_theta", "join_range_interval", "join_asof", "join_multiway_star",
-    "agg_global", "agg_groupby", "agg_having", "agg_count_distinct",
-    "agg_stats", "agg_grouping_sets", "agg_rollup", "agg_cube",
-    "agg_collect", "agg_conditional", "pivot_wide",
-    "win_rank", "win_lead_lag", "win_running_sum",
-    # (c) r5-vintage contract rows: B4 tail, B5, B6, streaming head
-    "win_moving_avg", "win_ntile_pctrank", "win_first_last",
+    # -- round-12 rotation.  The driver samples the FIRST ~50 registry
+    # entries each round; cumulative attestation is COMPLETE (every
+    # registered query carries >=1 driver row, all latest rows green) —
+    # the rotation's job is draining staleness.  This round: (a) the one
+    # query NEW this round; then (b) the ENTIRE remaining r5/r6-vintage
+    # CONTRACT tail — B4 tail-from-topk, all B5 set ops, all nine B6
+    # scalar families, all seven streaming ops, the sql-checked D-group
+    # heads, and all five E-group UDF surfaces (36 entries; r11's sample
+    # covered the r3-vintage blocks and B4 through win_first_last, so
+    # after this round NO contract op's latest driver row predates r6);
+    # then (c) the 16 r1-vintage extras, of which ~13 land inside this
+    # round's ~50-sample window and the remainder leads r13.  The approx
+    # pair (agg_approx_*), sample_frac, and the probabilistic dedup/ANN
+    # contract trio stay out of the prefix — they can only produce
+    # rows-only records and would waste sql-hash sample slots (their
+    # planted exact twins, all driver-attested r11, cover those paths).
+    # (a) new in round 12
+    "join_range_autowidth",
+    # (b) r5/r6-vintage contract rows: B4 tail, B5, B6, streaming, D, E
     "topk_per_group", "sort_multi", "limit_n", "topk_global", "union_all",
     "union_distinct", "intersect_ab", "except_ab",
     "fn_string", "fn_regex", "fn_date", "fn_math", "fn_conditional",
     "fn_cast", "fn_array", "fn_map", "fn_json",
-    "stream_tumbling", "stream_sliding",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_watermark_late", "stream_dedup", "stream_stateful_sessionize",
+    "stream_sink_upsert",
+    "text_stats", "text_tokenize_tf", "text_tfidf", "dedup_exact",
+    "sim_cosine_pairs", "sim_topk_per_query", "multimodal_join",
+    "udf_scalar_py", "udf_scalar_pandas", "udaf_pandas",
+    "udtf_apply_in_pandas", "udtf_map_in_pandas",
+    # (c) r1-vintage extras (single driver row since round 1)
+    "tpch_q10_shape", "tpch_q18_shape", "win_range_frame",
+    "scalar_subquery", "join_lateral", "recursive_cte",
+    "fn_bitwise", "fn_hash", "fn_variant", "fn_string_extra",
+    "agg_bool", "agg_median_mode", "agg_regr", "rollup_time_multires",
+    "fn_array_hof", "join_anti_not_in",
 )
 
 

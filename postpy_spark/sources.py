@@ -113,9 +113,26 @@ def _build_synthetic_source():
             return _TaskCommit(tmp, n)
 
         def commit(self, messages) -> None:
+            """Driver-side publish.  Atomicity caveat (r11 advice): each
+            individual rename is atomic, but the overwrite sweep + renames
+            are NOT one atomic unit — a concurrent reader listing the
+            directory mid-commit can observe a partially emptied/partially
+            renamed set.  Same window every file-listing-based sink has
+            without a manifest (docs/SCALE.md); readers needing a
+            consistent snapshot should read through ``merge_versioned``'s
+            manifest commit instead."""
             import glob as _glob
             import os as _os
 
+            # staged files belonging to THIS job get renamed below; any
+            # other _staged_* in the directory is by definition the litter
+            # of a previously aborted job (abort() only runs when the
+            # driver survives) — sweep them so aborted runs can't
+            # accumulate orphans (r11 advice).
+            ours = {m.tmp_path for m in messages if m is not None}
+            for stale in _glob.glob(_os.path.join(self.path, "_staged_*.jsonl")):
+                if stale not in ours:
+                    _os.remove(stale)
             if self.overwrite:
                 # mode('overwrite') must not leave stale part files from a
                 # previous job visible to a re-read (r10 advice): clear every

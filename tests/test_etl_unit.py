@@ -441,6 +441,31 @@ def test_python_datasource_overwrite_clears_stale_parts(spark, tmp_path):
     assert {r["tag"] for r in back.collect()} == {f"s{i}" for i in range(5)}
 
 
+def test_python_datasource_commit_sweeps_orphaned_staged(spark, tmp_path):
+    """A previously ABORTED job can die before its abort() runs, littering
+    _staged_* files (r11 advice).  The next commit must sweep them — they
+    are by definition uncommitted — while still publishing its own staged
+    data, in both append and overwrite modes."""
+    import os
+
+    from postpy_spark import sources
+
+    sources.register(spark)
+    out = str(tmp_path / "jsonl_sink")
+    os.makedirs(out)
+    orphan = os.path.join(out, "_staged_deadbeef.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"id": 999, "tag": "ghost", "score": 0.0}\n')
+    df = spark.range(3).selectExpr(
+        "id", "concat('a', id) AS tag", "CAST(id AS DOUBLE) AS score"
+    ).coalesce(1)
+    df.write.format("pp_synth").option("path", out).mode("append").save()
+    assert not os.path.exists(orphan), "orphaned staged file survived commit"
+    files = sorted(os.listdir(out))
+    assert files == ["part-00000.jsonl"], files
+    assert spark.read.json(out).count() == 3  # ghost rows never visible
+
+
 def test_observation_metrics_single_pass(spark):
     """Pipeline observability: Observation collects row counts/sums as a
     side effect of the ONE action — no second scan for metrics."""

@@ -1227,8 +1227,9 @@ def test_label_propagation_communities_vs_components(spark):
 
 def test_knn_graph_recall_vs_bruteforce(spark):
     """kNN graph: recall of LSH-blocked top-5 neighbor edges vs the
-    exact brute-force graph >= 0.8; no self-edges; every rank in 1..5
-    exactly once per (src, rank)."""
+    exact brute-force graph >= 0.9 (the declared ANN bar, BASELINE.md —
+    raised from 0.8 in r12; measured 0.97 with 0.07 headroom); no
+    self-edges; every rank in 1..5 exactly once per (src, rank)."""
     import numpy as np
 
     from postpy_spark.operators.similarity import knn_graph
@@ -1254,8 +1255,8 @@ def test_knn_graph_recall_vs_bruteforce(spark):
             truth.add((int(ids[i]), int(ids[j])))
     got_edges = {(r.src, r.dst) for r in got}
     recall = len(got_edges & truth) / len(truth)
-    record_margin("sim_knn_graph", "knn_graph_edge_recall_vs_numpy_exact", recall, 0.8)
-    assert recall >= 0.8, recall
+    record_margin("sim_knn_graph", "knn_graph_edge_recall_vs_numpy_exact", recall, 0.9)
+    assert recall >= 0.9, recall
 
 
 def test_excise_repeated_spans_invariants(spark):

@@ -780,3 +780,28 @@ def test_pareto_gini_uses_ranged_prefix_paths(spark):
     plan = executed_plan(spark, "events_pareto_gini")
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange rangepartitioning" in final, final
+
+
+def test_tpch_scaling_dims_broadcast_by_size_not_hint(spark):
+    """r11 verdict item 4: the TPC-H shapes no longer carry literal
+    broadcast() hints on customer/part/supplier — tables that scale
+    linearly with SF, where a hard hint overrides the size check and
+    becomes a forced-OOM build side at 1000×+.  The hint's removal must
+    NOT change the local plan: at test scale the dims sit far under
+    autoBroadcastJoinThreshold, so Spark's statistics-based choice still
+    broadcasts them.  If this ever regresses to SortMergeJoin at test
+    scale, either the threshold conf drifted or a projection stopped
+    pruning — both worth failing loudly."""
+    for name, min_bhj in [
+        ("tpch_q3_shape", 1),   # customer (filtered)
+        ("tpch_q5_shape", 4),   # customer, supplier, nation, region
+        ("tpch_q8_shape", 6),   # part, supplier, customer, n1, n2, region
+        ("tpch_q16_shape", 2),  # part, supplier-filter
+    ]:
+        plan = executed_plan(spark, name).split("== Initial Plan ==")[0]
+        n_bhj = plan.count("BroadcastHashJoin")
+        assert n_bhj >= min_bhj, f"{name}: {n_bhj} BroadcastHashJoin < {min_bhj}\n{plan}"
+        assert "SortMergeJoin" not in plan or name == "tpch_q8_shape", name
+        # no literal hint remains on the scaling dims: the source of truth
+        # is the code itself, but the plan must at least not CARTESIAN
+        assert "CartesianProduct" not in plan, name

@@ -569,3 +569,26 @@ def test_cms_planted_collision_free(spark):
             per_row[r.j][r.bucket] == 1 for r in rows if r.k == k
         )
         assert private, f"key {k} collides in all 4 CMS rows"
+
+
+def test_hllpp_planted_exact_on_fixed_domain(spark):
+    """agg_hllpp_planted's exactness claim, pinned locally (r11 advice):
+    approx_count_distinct at rsd=0.01 must equal the EXACT distinct count
+    on the fixed planted domains (40 and 13 keys — the same modular plants
+    the registered query uses, independent of the parquet tables).  At
+    2^14+ registers both cardinalities sit deep in HLL++'s linear-counting
+    regime, so the rounded estimate is exactly c as long as the planted
+    keys occupy c distinct registers.  If a Spark upgrade changes the
+    HLL++ hash/register layout, this fails HERE with a clear cause instead
+    of surfacing only as an unexplained oracle-gate mismatch."""
+    dom = spark.range(1, 601).select(
+        (F.col("id") % 40).alias("k40"), (F.col("id") % 13).alias("k13")
+    )
+    got = dom.agg(
+        F.approx_count_distinct("k40", rsd=0.01).alias("n40"),
+        F.approx_count_distinct("k13", rsd=0.01).alias("n13"),
+        F.countDistinct("k40").alias("x40"),
+        F.countDistinct("k13").alias("x13"),
+    ).collect()[0]
+    assert got.n40 == got.x40 == 40, f"HLL++ no longer exact at 40 keys: {got}"
+    assert got.n13 == got.x13 == 13, f"HLL++ no longer exact at 13 keys: {got}"

@@ -239,3 +239,81 @@ def test_bucketed_range_join_degenerate_and_edge_intervals(spark):
         ev, iv, "user_id", "t", "t_start", "t_end", bucket_width_us=64
     ).collect()
     assert sorted((r.t, r.tag) for r in got) == [(100, "ok"), (200, "ok")]
+
+
+def test_bucketed_range_join_fractional_end(spark):
+    """r11-advice hazard: an interval whose EXCLUSIVE end lies within one
+    unit past a bucket edge on a FRACTIONAL axis (end=3600.5 at w=3600)
+    must still explode into its final bucket — floor((end-1)/w) dropped
+    it; the fix computes hi = ceil(end/w) - 1.  Events at t=3600.0 and
+    t=3600.25 fall inside [0, 3600.5) and live in bucket 1."""
+    from postpy_spark.operators.skew import bucketed_range_join
+
+    ev = spark.createDataFrame(
+        [(1, 10.0, 100), (1, 3600.0, 101), (1, 3600.25, 102), (1, 3600.5, 103)],
+        "k BIGINT, t DOUBLE, ev BIGINT",
+    )
+    iv = spark.createDataFrame(
+        [(1, 0.0, 3600.5, 7)], "k BIGINT, t_start DOUBLE, t_end DOUBLE, iv_id BIGINT"
+    )
+    got = bucketed_range_join(ev, iv, "k", "t", "t_start", "t_end", bucket_width_us=3600)
+    assert sorted(r.ev for r in got.collect()) == [100, 101, 102]  # 103 excluded (end exclusive)
+    # integral axis, end exactly on a bucket edge: ceil(end/w)-1 must NOT
+    # reach into the edge bucket (exclusive end)
+    ev2 = spark.createDataFrame([(1, 3600, 200)], "k BIGINT, t BIGINT, ev BIGINT")
+    iv2 = spark.createDataFrame(
+        [(1, 0, 3600, 8)], "k BIGINT, t_start BIGINT, t_end BIGINT, iv_id BIGINT"
+    )
+    got2 = bucketed_range_join(ev2, iv2, "k", "t", "t_start", "t_end", bucket_width_us=3600)
+    assert got2.count() == 0
+
+
+def test_choose_bucket_width_self_corrects(spark):
+    """The auto-tuner (bucket_width_us=None) must pick W ≈ median interval
+    length, escaping BOTH pathological fixed-W regimes: W far above the
+    interval scale reconcentrates a hot key into a handful of giant cells
+    (degenerates toward the plain per-key join the grid exists to avoid);
+    W far below it multiplies interval replication ~len/W times.  Results
+    must match the plain theta join either way — the tuner is a
+    performance choice, never a correctness one."""
+    from postpy_spark.operators.skew import bucketed_range_join, choose_bucket_width
+
+    ev = _skewed_events(spark, n=4_000)
+    iv = spark.range(200).selectExpr(
+        "1 + CAST(id % 50 AS BIGINT) AS user_id",
+        "CAST(id AS BIGINT) * 300 AS t_start",
+        "CAST(id AS BIGINT) * 300 + 2000 AS t_end",
+        "id AS iv_id",
+    )
+    w = choose_bucket_width(iv, "t_start", "t_end")
+    assert w == 2000  # median interval length (all intervals are 2000 long)
+
+    # pathological fixed widths vs the auto width, on the SAME data:
+    # W=10^9 → every interval in bucket 0 (grid degenerate); W=1 → each
+    # interval explodes ~2000×.  The auto width keeps replication ≤2 AND
+    # spreads the hot key's events over many cells.
+    hot_events = ev.filter("user_id = 1").count()
+    def max_cell(w_):
+        return (
+            ev.groupBy("user_id", (F.floor(F.col("t") / w_)).alias("b"))
+            .count().agg(F.max("count")).collect()[0][0]
+        )
+    assert max_cell(10**9) == hot_events          # degenerate: one giant cell
+    # auto: hot key fanned out over its active range (the fixture's hot
+    # span covers ~3 buckets at the chosen W; wider spans fan out more)
+    assert max_cell(w) <= hot_events / 2
+    repl = iv.selectExpr(
+        f"CAST(CEIL(t_end / {w}) - 1 - FLOOR(t_start / {w}) + 1 AS BIGINT) AS n"
+    ).agg(F.max("n")).collect()[0][0]
+    assert repl <= 2                              # auto: ≤2 replicas/interval
+
+    plain = ev.alias("e").join(
+        iv.alias("i"),
+        (F.col("e.user_id") == F.col("i.user_id"))
+        & (F.col("e.t") >= F.col("i.t_start"))
+        & (F.col("e.t") < F.col("i.t_end")),
+    ).select("e.user_id", "e.t", "e.ev", "i.t_start", "i.t_end", "i.iv_id")
+    auto = bucketed_range_join(
+        ev, iv, "user_id", "t", "t_start", "t_end", bucket_width_us=None
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, auto.collect()))

@@ -147,6 +147,21 @@ SOAK_SWEEP = [
     "agg_hllpp_planted", "agg_pctl_planted", "dedup_eval_planted",
     "multimodal_phash_planted",
     "stat_cardinality_planted", "stream_approx_planted",
+    # r12 widening (verdict item 6): the long-tail query families the
+    # sweep had not touched — TPC-H shapes incl. the r1-vintage extras,
+    # the iterative/lateral/frame extras, and all nine B6 scalar-function
+    # families plus their extras.  These run on the COPIED (unscaled)
+    # relational tables of the soak dir, so the check is oracle parity in
+    # the soak ENVIRONMENT (same session, same tier directory) rather
+    # than scaled-input parity — what it buys is that no query family is
+    # absent from the per-tier exact-value record.
+    "tpch_q10_shape", "tpch_q18_shape", "recursive_cte", "join_lateral",
+    "win_range_frame", "scalar_subquery",
+    "fn_string", "fn_regex", "fn_date", "fn_math", "fn_conditional",
+    "fn_cast", "fn_array", "fn_map", "fn_json",
+    "fn_bitwise", "fn_hash", "fn_variant", "fn_string_extra",
+    "agg_bool", "agg_median_mode", "agg_regr",
+    "fn_array_hof", "join_anti_not_in", "join_range_autowidth",
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key
@@ -379,14 +394,15 @@ def engagement_stats(spark: SparkSession, soak: str) -> dict:
 
 
 def run_soak(
-    spark: SparkSession, base: str, soak: str, mult: int
+    spark: SparkSession, base: str, soak: str, mult: int,
+    ops: list[str] | None = None,
 ) -> tuple[dict, list[str]]:
     from postpy_spark.registry import load_all
 
     reg = load_all()
     rows: dict = {"mult": mult, "base": base, "ops": {}}
     problems: list[str] = []
-    for name in SOAK_OPS:
+    for name in ops or SOAK_OPS:
         fn = reg[name].fn
         t_base, f_base = _timed(spark, fn, base, f"soak_base_{name}")
         t_soak, f_soak = _timed(spark, fn, soak, f"soak_{name}")
@@ -412,6 +428,11 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
     ap.add_argument("--write-doc", action="store_true")
+    ap.add_argument(
+        "--ops", nargs="*", default=None,
+        help="subset of SOAK_OPS to time (e.g. --ops dedup_semantic for a "
+        "single-op probe at a higher mult); cap-engagement still runs",
+    )
     args = ap.parse_args()
     out = args.out or f"/tmp/pp_soak_m{args.mult}_{os.path.basename(args.base)}"
 
@@ -427,7 +448,7 @@ def main() -> None:
     print(json.dumps(eng), flush=True)
 
     print("timed soak ...", flush=True)
-    rows, problems = run_soak(spark, args.base, out, args.mult)
+    rows, problems = run_soak(spark, args.base, out, args.mult, ops=args.ops)
     rows["engagement"] = eng
     print(json.dumps(rows), flush=True)
 

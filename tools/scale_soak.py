@@ -543,6 +543,31 @@ _STATIC_EPILOGUE = [
     "tested, right for dimension-sized interval sides) with its docstring",
     "stating exactly when it is NOT the answer.",
     "",
+    "## The 32× semantic-dedup probe (round 12): knee found, fixed, passed",
+    "",
+    "The r11 verdict ordered dedup_semantic — the op nearest its 16× gate",
+    "(22.7× vs ≤32) — re-measured at mult=32.  First run FAILED the ≤64",
+    "gate: **80.6× (178 s vs 2.2 s base)**.  Diagnosis: the IVF assignment",
+    "(`operators/similarity.py::_assign`) materialized corpus × n_cells",
+    "scored rows (2M × 4096 = 8.2B at 32×) through a row_number() window —",
+    "an n×k shuffle+sort just to keep each vector's argmax, with n_cells",
+    "itself growing as n/512 under the adaptive quantizer.  Fix: the argmax",
+    "is now a PARTIAL-AGGREGATING max_by — the broadcast-join stream emits",
+    "each vector's candidates consecutively, so map-side combine collapses",
+    "them before any exchange and shuffle volume is |corpus| rows",
+    "regardless of n_cells (tie-break identical: max over (sim,",
+    "-cell_id)).  Re-measured: **39.6× at mult=32 (229 s vs 5.8 s base,",
+    "gate ≤64, 0 failed tasks) — soak PASS**, with every IVF-family exact",
+    "twin (sim_ivf/ivfpq/knn_graph/mmr/kmeans/semantic_planted) and recall",
+    "gate re-verified green after the change.  The fix benefits every",
+    "_assign consumer (ivf_build / ivf_refine → sim_ivf_topk,",
+    "sim_ivfpq_topk, dedup_semantic).  Remaining super-linear term at the",
+    "cap: n × 4096 dot products in the scoring pass itself — linear per",
+    "row once n_cells saturates at 4096, which is why 39.6× lands between",
+    "mult (32) and the old 80.6×.  The full 16× table above was re-run",
+    "post-fix: dedup_semantic dropped 22.7× → 7.6×, every other op",
+    "inside its gate, 0 failed tasks anywhere.",
+    "",
     "## Exact-value parity at the 16× tier (round 11 — SOAK_SWEEP)",
     "",
     "The sweep list is now COMMITTED as `tools/scale_soak.py::SOAK_SWEEP`",

@@ -81,6 +81,11 @@ HEAVY_EXTRAS = [
     # (salted for the moderate-skew case, bucketed as the scale path)
     "join_range_salted",
     "join_range_bucketed",
+    # r12 additions: cross-document shared-passage extraction and the
+    # NN-descent refinement round (seed kNN graph + one friends-of-
+    # friends rescore — inherently ~2x sim_knn_graph's cost by design)
+    "dedup_crossdoc_spans",
+    "sim_nndescent_refine",
 ]
 EXTRAS_RUNS = 2
 

@@ -896,3 +896,98 @@ def containment_pairs_incremental(
     )
     cand = cand_new_src.unionByName(cand_old_src).distinct()
     return containment_verify(cand, full, id_col, text_col, k, threshold, shingles=sh)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document shared-passage extraction (exact-substring dedup audit)
+# ---------------------------------------------------------------------------
+
+
+def crossdoc_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 6,
+    df_cap: int = 10,
+    occ_cap: int = 50,
+    min_span: int = 8,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, start_a, start_b, span_tokens, passage): every
+    MAXIMAL token span of >= ``min_span`` tokens shared verbatim between
+    two DISTINCT documents — the pairwise, positional form of
+    exact-substring training-data dedup (Lee et al. 2022,
+    arXiv:2107.06499), via the diagonal trick instead of a suffix array:
+    a k-gram match at (pos_a, pos_b) lies on diagonal pos_a - pos_b, and
+    consecutive matches on one (doc_a, doc_b, diagonal) are exactly the
+    gram-level run of one shared substring, so a gaps-and-islands window
+    per diagonal recovers each maximal span (length = run + k - 1).
+
+    Distinct from ``dedup_repeated_spans`` (per-DOC duplicated-position
+    mass, no pairing) and the containment family (set-based, no
+    positions): this op names WHICH pair shares WHAT passage at WHICH
+    offsets — the audit/excision record.
+
+    Scale: the only corpus-sized stages are the posexplode and one
+    gram-count shuffle.  The posting join is double-capped — a gram
+    enters the pair stage only with document frequency in [2, df_cap]
+    AND total occurrences <= occ_cap — the same stop-gram policy as the
+    containment index (boilerplate grams shared by thousands of docs are
+    dropped and COUNTED, not joined; at the soak tier the planted footer
+    trips this cap).  Pair points shuffle as ids+ints keyed
+    (doc_a, doc_b, diag); the islands window is per-diagonal, never
+    global.  The passage text joins back onto the bounded SPAN set, not
+    the point set."""
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingles_col(F.col(text_col), k=k)).alias("pos", "gram"),
+    )
+    freq = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("_df"),
+        F.count(F.lit(1)).alias("_occ"),
+    )
+    keep = freq.filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= df_cap) & (F.col("_occ") <= occ_cap)
+    ).select("gram")
+    if stats is not None:
+        stopped = freq.filter(
+            (F.col("_df") > df_cap) | (F.col("_occ") > occ_cap)
+        ).count()
+        stats["stop_grams"] = stopped
+    gk = g.join(keep, "gram")
+    a = gk.select(
+        "gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = gk.select(
+        "gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pts = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+        .dropDuplicates(["doc_a", "doc_b", "pos_a", "pos_b"])
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        pts.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            F.min("pos_b").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+    toks = tokens_col(F.col(text_col))
+    src = docs.select(F.col(id_col).alias("doc_a"), toks.alias("_toks"))
+    return spans.join(src, "doc_a").select(
+        "doc_a", "doc_b", "start_a", "start_b", "span_tokens",
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("start_a") + 1, F.col("span_tokens")),
+            " ",
+        ).alias("passage"),
+    )

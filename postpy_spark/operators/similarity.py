@@ -632,6 +632,78 @@ def knn_graph(
     )
 
 
+def nndescent_round(
+    graph: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One NN-descent refinement round (Dong, Moses & Li 2011, "Efficient
+    k-nearest neighbor graph construction for generic similarity
+    measures", WWW'11) over an existing approximate kNN graph: a node's
+    improved neighbor candidates are its neighbors' neighbors in the
+    UNDIRECTED graph, because if v is near u and w is near v, w is
+    plausibly near u.  Candidates = two-hop pairs through B = graph ∪
+    reverse(graph), unioned with the existing edges, exact-rescored once,
+    re-top-k'd — the refinement monotonically improves recall (the old
+    edges are in the candidate set, so a node never loses a neighbor it
+    already had to a worse one).
+
+    ``graph``: (src, dst, cosine, rank) — any seed (knn_graph output, a
+    cheap low-band LSH pass, or a prior round's result).  Returns the
+    same shape.
+
+    Scale: never touches the corpus×corpus space — candidate volume is
+    bounded by (2k)² id-pairs per node; the two-hop join and the pair
+    dedup shuffle 16-byte id pairs only; vectors join back ONCE onto the
+    deduped candidate set (same discipline as knn_graph); top-k is a
+    per-src window over candidate lists, never the corpus."""
+    edges = graph.select("src", "dst")
+    undirected = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates(["src", "dst"])
+    hop2 = (
+        undirected.alias("uv")
+        .join(
+            undirected.select(
+                F.col("src").alias("dst"), F.col("dst").alias("dst2")
+            ).alias("vw"),
+            "dst",
+        )
+        .filter(F.col("uv.src") != F.col("vw.dst2"))
+        .select(F.col("uv.src").alias("src"), F.col("dst2").alias("dst"))
+    )
+    cands = (
+        undirected.unionByName(hop2)
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    vecs = vectors.select(
+        F.col(id_col).alias("id"), unit_col(F.col(vec_col)).alias("v")
+    )
+    scored = (
+        cands.join(vecs.select(F.col("id").alias("src"), F.col("v").alias("sv")),
+                   "src")
+        .join(vecs.select(F.col("id").alias("dst"), F.col("v").alias("dv")), "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(dot_expr(F.col("sv"), F.col("dv")), 6).alias("cosine"),
+        )
+    )
+    both = scored.unionByName(
+        scored.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    return (
+        both.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def kmeans_farthest_init(
     corpus: DataFrame,
     k: int,

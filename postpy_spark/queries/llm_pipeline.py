@@ -1825,6 +1825,67 @@ def dedup_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_crossdoc_spans",
+    oracle=f"""
+    WITH g0 AS (SELECT doc_id, {{grams}} AS gs FROM documents),
+    g AS (
+        SELECT doc_id, unnest(range(len(gs))) AS pos, unnest(gs) AS gram
+        FROM g0
+    ),
+    keep AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10 AND COUNT(*) <= 50
+    ),
+    gk AS (SELECT doc_id, pos, gram FROM g JOIN keep USING (gram)),
+    pts AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM pts
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               CAST(MIN(pos_a) AS BIGINT) AS start_a,
+               CAST(MIN(pos_b) AS BIGINT) AS start_b,
+               CAST(COUNT(*) + 5 AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING COUNT(*) + 5 >= 8
+    )
+    SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_tokens,
+           array_to_string(
+               ({{toks}})[s.start_a + 1 : s.start_a + s.span_tokens], ' '
+           ) AS passage
+    FROM spans s JOIN documents d ON s.doc_a = d.doc_id
+    """.format(grams=_grams_sql(6), toks=_TOKS_SQL),
+    group="D",
+)
+def dedup_crossdoc_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-passage extraction — every maximal token span
+    (>= 8 tokens) two documents share verbatim, with both offsets and the
+    passage text: the pairwise positional record exact-substring dedup
+    (Lee et al. 2022, arXiv:2107.06499) excises, produced by the diagonal
+    trick (6-gram matches grouped per (pair, pos_a - pos_b) diagonal,
+    gaps-and-islands per diagonal = maximal runs) instead of a suffix
+    array.  Complements dedup_repeated_spans (per-doc mass, unpaired) and
+    the containment family (set-based, unpositioned).
+
+    Scale: posting join double-capped (docfreq in [2, 10] AND <= 50
+    occurrences — boilerplate grams are stop-listed exactly like the
+    containment index, so the planted soak footer cannot go quadratic);
+    pair points shuffle as ids+ints; islands window per (pair, diagonal);
+    passage text joins onto the bounded span set only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.crossdoc_spans(
+        docs, k=6, df_cap=10, occ_cap=50, min_span=8
+    )
+
+
+@query(
     "text_chunk_fixed",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -2418,11 +2479,31 @@ def sim_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors via LSH-bucketed self-join (8-bit bands, salt-capped hot
     buckets) — the substrate for graph-based clustering and
     density-aware dedup.  Rows-only (hyperplane-seed dependent); pytest
-    pins recall ≥0.8 vs the exact brute-force graph and the no-self-edge
+    pins recall ≥0.9 vs the exact brute-force graph and the no-self-edge
     / rank-contract invariants."""
     from postpy_spark.operators.similarity import knn_graph
 
     return knn_graph(load_table(spark, sf_dir, "embeddings"), k=5)
+
+
+@query("sim_nndescent_refine", oracle=None, group="D")
+def sim_nndescent_refine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round (Dong et al. 2011, WWW'11) over
+    the LSH-seeded kNN graph
+    (operators/similarity.py::nndescent_round): neighbors-of-neighbors
+    become exact-rescored candidates, so edges the band hashing missed
+    but the graph's local structure implies are recovered — measured
+    edge recall 0.9732 → 0.9808 at sf0.001, and recall can never drop
+    (the old edges stay in the candidate set).  This is the standard
+    convergence loop of distributed kNN-graph construction; one round is
+    registered because each round is plan-identical.  Rows-only
+    (hyperplane-seed dependent); pytest pins refined ≥ seed ≥ the 0.9
+    ANN bar; sim_nndescent_planted is the sql-hash-checked exact twin
+    (incomplete ring seed completed to the full co-group clique)."""
+    from postpy_spark.operators.similarity import knn_graph, nndescent_round
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return nndescent_round(knn_graph(em, k=5), em, k=5)
 
 
 @query("multimodal_phash_dedup", oracle=None, group="D")
@@ -3051,6 +3132,66 @@ def sim_knn_graph_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postpy_spark.operators.similarity import knn_graph
 
     return knn_graph(_planted_onehot_corpus(spark, sf_dir), k=5).select(
+        "src", "dst", "cosine", "rank"
+    )
+
+
+@query(
+    "sim_nndescent_planted",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderkey AS id, o_orderkey // 5 AS g
+        FROM orders WHERE o_orderkey < 125
+    )
+    SELECT CAST(a.id AS BIGINT) AS src,
+           CAST(b.id AS BIGINT) AS dst,
+           CAST(1.0 AS DOUBLE) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY b.id)
+                AS BIGINT) AS rank
+    FROM v a JOIN v b ON a.g = b.g AND a.id <> b.id
+    """,
+    group="D",
+)
+def sim_nndescent_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the NN-descent round
+    (sim_nndescent_refine is rows-only): 25 exact-duplicate groups of 5
+    CONSECUTIVE ids (g = id div 5, one-hot dim g), seeded with a
+    deliberately INCOMPLETE graph — the directed within-group ring
+    i → next(i), rank 1, cosine 1.0 (exact: identical unit one-hots) —
+    so the round's hop-2 mechanism is what's under test, not the seed:
+
+    - undirected B = ring ∪ reverse = {±1 mod 5}; the friends-of-friends
+      join through B adds exactly {±2 mod 5}; in a group of 5 that is
+      ALL four co-members — one round provably completes the clique;
+    - cross-group candidates are structurally unreachable (no seed edge
+      crosses groups, and hop-2 cannot leave a connected component), so
+      every scored cosine is exactly 1.0 and the top-4 window orders by
+      the dst tie-break alone.
+
+    Every (src, dst, cosine, rank) value is hash-compared against the
+    closed-form co-group join.  Scale: identical plan to the production
+    path — id-only two-hop joins, vectors joined back once onto the
+    deduped candidate set, per-src window."""
+    from postpy_spark.operators.similarity import nndescent_round
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 125)
+    ids = o.select(F.col("o_orderkey").cast("bigint").alias("vec_id"))
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(j == (F.col("vec_id") / 5).cast("int"), 1.0)
+        .otherwise(0.0),
+    )
+    planted = ids.select("vec_id", onehot.alias("embedding"))
+    seed = ids.select(
+        F.col("vec_id").alias("src"),
+        (
+            F.floor(F.col("vec_id") / 5) * 5
+            + (F.col("vec_id") % 5 + 1) % 5
+        ).cast("bigint").alias("dst"),
+        F.lit(1.0).alias("cosine"),
+        F.lit(1).cast("bigint").alias("rank"),
+    )
+    return nndescent_round(seed, planted, k=4).select(
         "src", "dst", "cosine", "rank"
     )
 

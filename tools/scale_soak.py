@@ -127,7 +127,8 @@ SOAK_SWEEP = [
     "text_stats", "text_tfidf", "text_tokenize_tf", "text_token_count",
     "text_langid", "text_quality", "text_ngram_dup_ratio", "text_repetition",
     "text_zipf_slope", "text_bpe_pair_counts", "text_heavy_hitters",
-    "dedup_exact", "dedup_repeated_spans", "doc_fingerprint",
+    "dedup_exact", "dedup_repeated_spans", "dedup_crossdoc_spans",
+    "doc_fingerprint",
     "docs_quality_filter_chain", "docs_split_assign", "shard_by_token_budget",
     "dedup_url_canonical", "dedup_doc_prefix",
     # embeddings (1M vectors, dense-cluster plant)
@@ -136,7 +137,7 @@ SOAK_SWEEP = [
     "sim_range_search", "sim_topk_filtered",
     # planted exact twins (orders-based; closed forms must be tier-invariant)
     "sim_ann_planted", "sim_ivfpq_planted", "sim_knn_graph_planted",
-    "sim_mmr_planted", "text_bpe_planted", "dedup_minhash_planted",
+    "sim_nndescent_planted", "sim_mmr_planted", "text_bpe_planted", "dedup_minhash_planted",
     "dedup_simhash_planted", "dedup_semantic_planted", "kmeans_planted",
     "embed_pca_planted", "ml_logreg_planted", "stat_ks_test", "stat_psi_drift",
     # sketch/stream exact twins (fixed key ranges — tier-invariant by

@@ -3113,7 +3113,7 @@ def sim_knn_graph_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-oracle attestation of the k-NN GRAPH pipeline (LSH band
     signatures → bucket self-join → cross-band pair dedup → one exact
     cosine pass → per-src top-k window): sim_knn_graph is rows-only
-    (edge-recall-gated ≥0.8), but on the planted one-hot geometry the
+    (edge-recall-gated ≥0.9), but on the planted one-hot geometry the
     graph is a closed form:
 
     - identical vectors have identical signatures, so every co-group pair

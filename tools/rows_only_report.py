@@ -45,6 +45,7 @@ GATE_TESTS = [
     "tests/test_llm_ops.py::test_pq_recall_vs_brute_force",
     "tests/test_llm_ops.py::test_ivfpq_recall_vs_brute_force",
     "tests/test_llm_ops.py::test_knn_graph_recall_vs_bruteforce",
+    "tests/test_llm_ops.py::test_nndescent_refine_recall_monotone",
     "tests/test_relational_edges.py::test_hll_mergeable_within_tolerance",
     "tests/test_relational_edges.py::test_cms_contract_and_mergeability",
     "tests/test_relational_edges.py::test_kmv_accuracy_and_mergeability",
@@ -131,6 +132,7 @@ EXACT_TWINS = {
     "sim_ivf_topk": "sim_ivf_planted",
     "sim_ivfpq_topk": "sim_ivfpq_planted",
     "sim_knn_graph": "sim_knn_graph_planted",
+    "sim_nndescent_refine": "sim_nndescent_planted",
     "sim_mmr_rerank": "sim_mmr_planted",
     "sim_pq_topk": "sim_ivfpq_planted (shared PQ encode/ADC core)",
     "stat_join_cardinality_est": "stat_cardinality_planted",

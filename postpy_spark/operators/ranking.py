@@ -2,21 +2,41 @@
 
 A global ``Window.orderBy`` funnels the whole frame through ONE task — the
 contract query ``win_ntile_pctrank`` documents that honestly.  This module
-is the scale path: classic range-partitioned ranking, where the only
-full-data shuffles are a range exchange and one hash exchange, and every
-window runs over either a partition's rows or a partition-count frame.
+is the scale path: classic range-bucketed ranking, where the only
+full-data shuffles are one hash exchange per window/aggregate and every
+window runs over either a bucket's rows or a bucket-count frame.
 
-    1. ``repartitionByRange(P, cols)`` — range partitioner assigns ascending
-       key ranges to ascending partition ids (sampled split points);
-    2. local ``row_number`` per partition (window keyed on
-       ``spark_partition_id()`` — each range partition is one window group);
-    3. per-partition counts → exclusive prefix sum (a window over P rows,
-       trivially single-task by construction);
-    4. broadcast-join offsets back: ``global_rn = offset + local_rn``.
+    1. assign each row a DETERMINISTIC ascending bucket id from a
+       driver-collected list of approximate quantile split points
+       (literals — same discipline as the k-means centroids and bloom
+       bitmaps elsewhere in this package);
+    2. local ``row_number`` / cumsum / running-max per bucket (window
+       keyed on the bucket id);
+    3. per-bucket counts/totals → exclusive prefix over the ≤P bucket
+       rows (a window over P rows, trivially single-task by construction);
+    4. broadcast-join offsets back: ``global = offset + local``.
+
+Why explicit literal split points instead of ``repartitionByRange`` +
+``spark_partition_id()`` (the r1–r11 form): the local-window branch and
+the totals branch each planned their OWN range exchange (no exchange
+reuse fires across the self-join dedup), and each exchange SAMPLES its
+split points independently — when the samples disagree, "partition id"
+means different key ranges in the two branches and the joined offsets are
+silently wrong.  Observed live in r12: stat_auc_roc's prefix sum over
+392k distinct prices drifted +1472 mid-stream at sf0.1 while the same
+operator's sf0.01 run matched.  A bucket id computed from one collected
+literal list is a pure function of the ROW, so every branch agrees by
+construction, at any tier, under any physical replanning.
 
 ntile / percent_rank / cume_dist are then pure expressions over
 ``global_rn`` and the total count (joined in as a 1-row broadcast, no
 driver-side ``count()``).
+
+``order_cols`` must be plain column NAMES (ascending, NULLS FIRST — the
+Spark default); for a descending key, pre-negate into a column (see
+``win_ntile_distributed`` / ``events_rfm_segments``).  The FIRST order
+column must be numeric / timestamp / date (it seeds the quantile
+bucketing); the remaining columns only break ties inside a bucket.
 """
 
 from __future__ import annotations
@@ -31,6 +51,44 @@ _OFF = "__rank_offset"
 _N = "__rank_total"
 
 
+def _numeric_key(df: DataFrame, col: str) -> Column:
+    """``col`` as an order-preserving double (timestamps via unix_micros —
+    TIMESTAMP_NTZ won't cast to double directly)."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp"):
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    if dt == "date":
+        return F.unix_date(F.col(col)).cast("double")
+    return F.col(col).cast("double")
+
+
+def _bucket_id(df: DataFrame, first_col: str, num_partitions: int | None) -> Column:
+    """Deterministic ascending bucket id for the two-phase ranking scheme:
+    ≤ P-1 approximate-quantile split points of the first order column are
+    collected ONCE and inlined as literals, and the id is the count of
+    split points ≤ the row's key (NULLs → bucket 0, matching NULLS FIRST).
+    Any split-point list yields EXACT results — quality only balances the
+    buckets — so the approxQuantile error bound is a skew knob, not a
+    correctness parameter."""
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    key = _numeric_key(df, first_col)
+    probs = [i / n for i in range(1, n)]
+    keyed = df.select(key.alias("_k")).filter(F.col("_k").isNotNull())
+    bounds = sorted(set(keyed.stat.approxQuantile("_k", probs, 0.001)))
+    if not bounds:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    # the lambda re-evaluates `key` per element (no CSE) — a scalar cast,
+    # cheap by design; keep expensive keys out of order_cols[0].
+    return (
+        F.when(key.isNull(), F.lit(0))
+        .otherwise(F.size(F.filter(arr, lambda b: b <= key)))
+        .cast("int")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -39,18 +97,17 @@ def global_row_number(
     total_col: str | None = None,
 ) -> DataFrame:
     """df + 1-based ``rn_col`` = global row number under ``order_cols``
-    (which must form a total order — add a unique tiebreak; names or
-    Column sort expressions, e.g. ``F.col(x).desc()``).  Optionally
-    also attaches the total row count as ``total_col``.  Two full-data
-    shuffles, no single-task stage over the data."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = df.repartitionByRange(*( [num_partitions] if num_partitions else [] ), *cols)
-    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    (which must form a total order — add a unique tiebreak; plain column
+    names, ascending; pre-negate for descending).  Optionally also
+    attaches the total row count as ``total_col``.  One full-data
+    shuffle, no single-task stage over the data."""
+    cols = [F.col(c) for c in order_cols]
+    tagged = df.withColumn(_PID, _bucket_id(df, order_cols[0], num_partitions))
     w_local = Window.partitionBy(_PID).orderBy(*cols)
     local = tagged.withColumn(_LRN, F.row_number().over(w_local))
 
-    cnts = local.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
-    # P rows — one task over partition COUNTS only.  The constant partition
+    cnts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
+    # ≤P rows — one task over bucket COUNTS only.  The constant partition
     # key pins the tiny frame to one window group WITHOUT tripping Spark's
     # unpartitioned-window warning; pmod(_pid, 1) (always 0) is used instead
     # of lit(0) because Catalyst constant-folds a foldable partition key
@@ -86,16 +143,14 @@ def global_running_sum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """df + inclusive global prefix sum of ``value_col`` under
-    ``order_cols`` (a total order), via the same range-partitioned
-    two-phase scheme as :func:`global_row_number`: local per-partition
-    cumsum, then an exclusive prefix over the P partition TOTALS (a window
-    over P rows) broadcast-joined back.  Two full-data shuffles, no
-    single-task stage over the data — the scalable form of
-    ``SUM(v) OVER (ORDER BY ...)``, which would otherwise funnel the whole
-    frame through one task."""
+    ``order_cols`` (a total order), via the same bucketed two-phase
+    scheme as :func:`global_row_number`: local per-bucket cumsum, then an
+    exclusive prefix over the ≤P bucket TOTALS (a window over P rows)
+    broadcast-joined back.  One full-data shuffle, no single-task stage
+    over the data — the scalable form of ``SUM(v) OVER (ORDER BY ...)``,
+    which would otherwise funnel the whole frame through one task."""
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
-    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    tagged = df.withColumn(_PID, _bucket_id(df, order_cols[0], num_partitions))
     w_local = (
         Window.partitionBy(_PID)
         .orderBy(*cols)
@@ -130,16 +185,15 @@ def global_running_max(
     """df + inclusive global running max of ``value_col`` under
     ``order_cols`` (a total order) — the scalable form of
     ``MAX(v) OVER (ORDER BY ...)``, which funnels the whole frame through
-    ONE task.  Running max is associative, so the same range-partitioned
-    two-phase scheme as :func:`global_running_sum` applies: local
-    per-partition running max, then an exclusive prefix-max over the P
-    partition MAXes (a window over P rows) broadcast-joined back and
-    combined with ``greatest`` (which skips the NULL offset of the first
-    partition).  Preserves ``value_col``'s type (no numeric cast) so it
-    works on timestamps."""
+    ONE task.  Running max is associative, so the same bucketed two-phase
+    scheme as :func:`global_running_sum` applies: local per-bucket
+    running max, then an exclusive prefix-max over the ≤P bucket MAXes
+    (a window over P rows) broadcast-joined back and combined with
+    ``greatest`` (which skips the NULL offset of the first bucket).
+    Preserves ``value_col``'s type (no numeric cast) so it works on
+    timestamps — only the ORDER key needs a numeric/timestamp type."""
     cols = [F.col(c) for c in order_cols]
-    ranged = df.repartitionByRange(*([num_partitions] if num_partitions else []), *cols)
-    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    tagged = df.withColumn(_PID, _bucket_id(df, order_cols[0], num_partitions))
     w_local = (
         Window.partitionBy(_PID)
         .orderBy(*cols)

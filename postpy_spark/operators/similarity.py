@@ -654,14 +654,32 @@ def nndescent_round(
     cheap low-band LSH pass, or a prior round's result).  Returns the
     same shape.
 
-    Scale: never touches the corpus×corpus space — candidate volume is
-    bounded by (2k)² id-pairs per node; the two-hop join and the pair
+    Scale: never touches the corpus×corpus space.  Forward degree is ≤k
+    by contract, but REVERSE degree is unbounded — on high-dim data a
+    hub vector appears in hundreds of nodes' top-k lists, and the
+    friends-of-friends join is quadratic in degree (measured 31.8 s vs
+    the 9.2 s seed at sf0.1 before the cap).  The paper's fix is
+    sampling each node's reverse neighbors (the ρK parameter, Dong et
+    al. §2.3); here the reverse edges are capped at the k best by
+    cosine (dst tie-break) in a per-node window, bounding candidate
+    volume at (2k)² id-pairs per node.  The two-hop join and the pair
     dedup shuffle 16-byte id pairs only; vectors join back ONCE onto the
     deduped candidate set (same discipline as knn_graph); top-k is a
     per-src window over candidate lists, never the corpus."""
-    edges = graph.select("src", "dst")
-    undirected = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = graph.select("src", "dst", "cosine")
+    w_rev = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst")
+    )
+    reverse_capped = (
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
+        )
+        .withColumn("_rr", F.row_number().over(w_rev))
+        .filter(F.col("_rr") <= k)
+        .select("src", "dst")
+    )
+    undirected = edges.select("src", "dst").unionByName(
+        reverse_capped
     ).dropDuplicates(["src", "dst"])
     hop2 = (
         undirected.alias("uv")
@@ -674,8 +692,15 @@ def nndescent_round(
         .filter(F.col("uv.src") != F.col("vw.dst2"))
         .select(F.col("uv.src").alias("src"), F.col("dst2").alias("dst"))
     )
+    # old edges enter the pair set in BOTH orders, uncapped (≤k|V| rows):
+    # monotonicity — "a node never loses a neighbor it already had" —
+    # requires every existing pair to survive the src<dst fold even when
+    # the reverse cap dropped its mirror from the hop-2 substrate.
+    old_pairs = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     cands = (
-        undirected.unionByName(hop2)
+        old_pairs.unionByName(hop2)
         .filter(F.col("src") < F.col("dst"))
         .dropDuplicates(["src", "dst"])
     )

@@ -3243,13 +3243,18 @@ def events_pareto_gini_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postpy_spark.operators.ranking import global_row_number
 
     e = load_table(spark, sf_dir, "events")
-    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("_negn", -F.col("n"))  # desc key pre-negated (plain
+        # ascending names only on the bucketed ranking path)
+    )
     ranked = global_row_number(
         per_user,
-        [F.col("n").desc(), F.col("user_id").asc()],
+        ["_negn", "user_id"],
         rn_col="rn",
         total_col="n_users",
-    )
+    ).drop("_negn")
     tot = per_user.agg(F.sum("n").alias("total"))
     # cum_n via the distributed prefix sum over the rn order — no global
     # one-task window even on this users-sized frame
@@ -4280,6 +4285,100 @@ def stat_ks_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
         (-F.col("m.negv")).alias("ks_at"),
+    )
+
+
+@query(
+    "stat_auc_roc",
+    oracle="""
+    WITH s AS (
+        SELECT l_extendedprice AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ),
+    g AS (
+        SELECT v,
+               CAST(SUM(y) AS BIGINT) AS p_cnt,
+               CAST(SUM(1 - y) AS BIGINT) AS n_cnt
+        FROM s GROUP BY v
+    ),
+    c AS (
+        SELECT v, p_cnt, n_cnt,
+               CAST(SUM(n_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_n
+        FROM g
+    ),
+    tot AS (
+        SELECT CAST(SUM(p_cnt) AS BIGINT) AS np,
+               CAST(SUM(n_cnt) AS BIGINT) AS nn,
+               CAST(SUM(p_cnt * (2 * (cum_n - n_cnt) + n_cnt)) AS BIGINT)
+                   AS u2
+        FROM c
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           ROUND(CAST(u2 AS DOUBLE) / (2.0 * np * nn), 6) AS auc,
+           ROUND(CAST(u2 - np * nn AS DOUBLE) / (CAST(np AS DOUBLE) * nn), 6)
+               AS gini
+    FROM tot
+    """,
+    group="B3",
+)
+def stat_auc_roc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC (and Gini = 2·AUC−1) of price as a ranking score for the
+    RETURNED ('R') vs ACCEPTED ('A') class — the standard model-eval /
+    feature-screening statistic, computed distributed via the
+    Mann-Whitney rank-sum identity with exact tie correction:
+    AUC = Σ_v [p_v·N_<(v) + ½·p_v·n_v] / (P·N), where p_v/n_v are the
+    per-distinct-value class counts and N_<(v) the negatives strictly
+    below v.  No per-row rank is ever materialized — ties collapse into
+    the per-value GROUP first, so the window length is |distinct scores|,
+    not |rows|.
+
+    Exactness discipline (stat_ks_test's): everything stays in INTEGER
+    arithmetic — 2U = Σ p_v·(2·N_<(v) + n_v) is an exact bigint — and
+    the single rounded division happens once at the end, so the
+    ROUND(SUM(float)) flake class cannot occur.  The bigint path is
+    exact while P·N < 2⁶³ (≈3·10⁹ rows per class); past that tier the
+    two SUMs widen to decimal(38,0) — a type annotation, not a redesign.
+
+    Scale: per-value counts are one partial-aggregating groupBy; the
+    cumulative negative count rides the SAME range-partitioned two-phase
+    prefix sum as stat_ks_test (operators/ranking.py::global_running_sum
+    — no one-task global window); the final reduction is a scalar
+    aggregate.  The oracle uses the plain window form (fine at DuckDB
+    sf)."""
+    from postpy_spark.operators.ranking import global_running_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        F.col("l_extendedprice").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    g = s.groupBy("v").agg(
+        F.sum("y").cast("bigint").alias("p_cnt"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("n_cnt"),
+    )
+    c = global_running_sum(g, ["v"], "n_cnt", "cum_n")
+    tot = c.agg(
+        F.sum("p_cnt").cast("bigint").alias("np"),
+        F.sum("n_cnt").cast("bigint").alias("nn"),
+        F.sum(
+            F.col("p_cnt")
+            * (2 * (F.col("cum_n") - F.col("n_cnt")) + F.col("n_cnt"))
+        ).cast("bigint").alias("u2"),
+    )
+    return tot.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+        F.round(
+            (F.col("u2") - F.col("np") * F.col("nn")).cast("double")
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("gini"),
     )
 
 

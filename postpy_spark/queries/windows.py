@@ -323,14 +323,18 @@ def events_rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    out = per_user
+    # descending keys pre-negated into columns: the ranking path buckets
+    # on the first order column's VALUES (plain ascending names only)
+    out = per_user.withColumn("_negf", -F.col("frequency")).withColumn(
+        "_negm", -F.col("monetary_cents")
+    )
     for score, order in [
-        ("r_score", [F.col("recency_days").asc(), F.col("user_id").asc()]),
-        ("f_score", [F.col("frequency").desc(), F.col("user_id").asc()]),
-        ("m_score", [F.col("monetary_cents").desc(), F.col("user_id").asc()]),
+        ("r_score", ["recency_days", "user_id"]),
+        ("f_score", ["_negf", "user_id"]),
+        ("m_score", ["_negm", "user_id"]),
     ]:
         ranked = global_row_number(out, order, rn_col="_rn", total_col="_n")
         out = ranked.withColumn(
             score, ntile_expr(F.col("_rn"), F.col("_n"), 5)
         ).drop("_rn", "_n")
-    return out
+    return out.drop("_negf", "_negm")

@@ -14,11 +14,13 @@ def _gini_desc(spark, counts):
     per-user count list (descending-rank Lorenz form)."""
     per_user = spark.createDataFrame(
         [Row(user_id=i, n=c) for i, c in enumerate(counts)]
-    )
+    ).withColumn("_negn", -F.col("n"))  # desc key pre-negated, as the
+    # production query does (plain ascending names only on the bucketed
+    # ranking path)
     ranked = global_row_number(
-        per_user, [F.col("n").desc(), F.col("user_id").asc()],
+        per_user, ["_negn", "user_id"],
         rn_col="rn", total_col="n_users",
-    )
+    ).drop("_negn")
     tot = per_user.agg(F.sum("n").alias("total"))
     cum = global_running_sum(ranked, ["rn"], "n", sum_col="cum_n").crossJoin(
         F.broadcast(tot)
@@ -56,3 +58,31 @@ def test_bloom_no_false_negatives_after_bitget_rewrite(spark):
     absent = spark.createDataFrame([Row(k=-i) for i in range(1, 201)])
     fp = absent.filter(bloom_might_contain("k", words, m_bits=1 << 12, k=5)).count()
     assert fp < 40, fp  # ~0.02 expected rate at these parameters
+
+
+def test_prefix_sum_consistent_across_plan_branches(spark):
+    """Regression (r12): the two-phase prefix sum's local-window branch
+    and totals branch must see the SAME bucket assignment.  The old form
+    (spark_partition_id after repartitionByRange) let each branch's range
+    exchange sample its own split points — observed live as a +1472 drift
+    in stat_auc_roc's cumulative counts over 392k distinct doubles at
+    sf0.1.  The bucket id is now a literal-split-point expression, a pure
+    function of the row, so every branch agrees by construction.  Pin the
+    exact cumsum against pandas on a frame wide enough to span many
+    buckets (hash-scrambled distinct doubles, adversarial to sampling)."""
+    import pandas as pd
+
+    n = 120_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.xxhash64(F.col("id")) % 1_000_000_007).cast("double").alias("v"),
+            (F.col("id") % 7).cast("bigint").alias("x"),
+        )
+        .dropDuplicates(["v"])
+    )
+    out = global_running_sum(df, ["v"], "x", "cum").toPandas()
+    out = out.sort_values("v").reset_index(drop=True)
+    expected = out["x"].cumsum()
+    mism = int((out["cum"] != expected).sum())
+    assert mism == 0, f"{mism} of {len(out)} prefix sums inconsistent"

@@ -1261,10 +1261,11 @@ def test_knn_graph_recall_vs_bruteforce(spark):
 
 def test_nndescent_refine_recall_monotone(spark):
     """One NN-descent round over the LSH seed: refined edge recall >= 0.9
-    (the declared ANN bar; measured 0.9808 at sf0.001) AND >= the seed's
-    own recall (monotone by construction: old edges stay in the candidate
-    set, so a neighbor is only ever replaced by a strictly better one);
-    rank contract preserved."""
+    (the declared ANN bar; measured 0.9776 at sf0.001 with the reverse-
+    neighbor cap) AND >= the seed's own recall (monotone by construction:
+    old edges enter the candidate pair set in both orders uncapped, so a
+    neighbor is only ever replaced by a strictly better one); rank
+    contract preserved."""
     import numpy as np
 
     from postpy_spark.operators.similarity import knn_graph, nndescent_round

@@ -122,11 +122,12 @@ def test_ivf_no_global_sort_or_unpartitioned_window(spark):
 @pytest.mark.parametrize("key", ["win_ntile_distributed", "win_ntile_pctrank"])
 def test_ntile_avoids_global_data_window(spark, key):
     """The scalable ntile (now also the CONTRACT key win_ntile_pctrank) must
-    range-partition the data and run its full-data window keyed on the
-    partition id — the only unpartitioned window may be the one over the
-    P-row partition-count frame."""
+    bucket the data deterministically and run its full-data window keyed
+    on the bucket id — the only unpartitioned window may be the one over
+    the P-row bucket-count frame (r12: literal-split-point bucket id
+    replaced the range exchange; see operators/ranking.py)."""
     plan = executed_plan(spark, key)
-    assert "rangepartitioning" in plan
+    assert "__rank_pid#" in plan
     data_windows = [
         ln for ln in plan.splitlines()
         if "Window [" in ln and "row_number" in ln
@@ -326,11 +327,13 @@ def test_cbo_join_reorder_with_stats(spark, tmp_path):
 
 
 def test_token_shard_running_sum_is_distributed(spark):
-    """The global token prefix sum must use the range-partitioned two-phase
-    path: rangepartitioning present, and every full-data window keyed on
-    the partition id — never an unpartitioned SUM OVER (ORDER BY) window."""
+    """The global token prefix sum must use the bucketed two-phase path:
+    every full-data window keyed on the deterministic bucket id — never an
+    unpartitioned SUM OVER (ORDER BY) window (r12: the bucket id is a
+    literal-split-point expression, not spark_partition_id after a range
+    exchange, so no rangepartitioning node is expected anymore)."""
     plan = executed_plan(spark, "shard_by_token_budget")
-    assert "rangepartitioning" in plan
+    assert "__rank_pid#" in plan
     for line in plan.splitlines():
         if "Window [" in line and "sum(" in line and "__rank_pid#" not in line:
             # the only non-pid window is the P-row offsets frame (pmod group)
@@ -339,12 +342,12 @@ def test_token_shard_running_sum_is_distributed(spark):
 
 def test_watermark_running_max_is_distributed(spark):
     """stream_watermark_late's watermark (global running max of ts) must use
-    the range-partitioned two-phase path: rangepartitioning present, and
-    every full-data window keyed on the partition id — never an
-    unpartitioned MAX OVER (ORDER BY) that funnels events through one
-    task."""
+    the bucketed two-phase path: every full-data window keyed on the
+    deterministic bucket id — never an unpartitioned MAX OVER (ORDER BY)
+    that funnels events through one task (r12: literal-split-point bucket
+    id replaced the range exchange; see operators/ranking.py)."""
     plan = executed_plan(spark, "stream_watermark_late")
-    assert "rangepartitioning" in plan
+    assert "__rank_pid#" in plan
     for line in plan.splitlines():
         if "Window [" in line and "max(" in line and "__rank_pid#" not in line:
             # the only non-pid window is the P-row partition-max frame
@@ -712,12 +715,13 @@ def test_bloom_prune_filters_fact_before_shuffle(spark):
 
 def test_equidepth_and_rfm_have_no_one_task_window(spark):
     """agg_histogram_equidepth / events_rfm_segments: the distributed
-    ranked path must show a RANGE exchange and no empty-partition
-    global Window (the one-task scale killer)."""
+    ranked path must key every full-data window on the deterministic
+    bucket id — no empty-partition global Window (the one-task scale
+    killer)."""
     for name in ("agg_histogram_equidepth", "events_rfm_segments"):
         plan = executed_plan(spark, name)
         final = plan.split("== Initial Plan ==")[0]
-        assert "Exchange rangepartitioning" in final, (name, final)
+        assert "__rank_pid#" in final, (name, final)
         # every full-data window must ride the ranged-path partition id;
         # benign SinglePartition exchanges remain (1-row global-agg
         # combines like the RFM horizon), so assert on the windows, not
@@ -774,12 +778,15 @@ def test_null_skew_join_routes_nulls_around_exchange(spark):
 
 
 def test_pareto_gini_uses_ranged_prefix_paths(spark):
-    """events_pareto_gini: both rank and cumulative sum ride the
-    range-partitioned two-phase path — no SinglePartition exchange over
-    the per-user frame."""
+    """events_pareto_gini: both rank and cumulative sum ride the bucketed
+    two-phase path (full-data windows keyed on the deterministic bucket
+    id) — no SinglePartition exchange over the per-user frame."""
     plan = executed_plan(spark, "events_pareto_gini")
     final = plan.split("== Initial Plan ==")[0]
-    assert "Exchange rangepartitioning" in final, final
+    assert "__rank_pid#" in final, final
+    for m in re.finditer(r"Exchange SinglePartition", final):
+        tail = final[m.start() : m.start() + 1500]
+        assert "__rank_pid" in tail or "partial" in tail.lower(), tail
 
 
 def test_tpch_scaling_dims_broadcast_by_size_not_hint(spark):

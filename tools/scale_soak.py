@@ -163,6 +163,7 @@ SOAK_SWEEP = [
     "fn_bitwise", "fn_hash", "fn_variant", "fn_string_extra",
     "agg_bool", "agg_median_mode", "agg_regr",
     "fn_array_hof", "join_anti_not_in", "join_range_autowidth",
+    "stat_auc_roc",
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key
@@ -568,6 +569,28 @@ _STATIC_EPILOGUE = [
     "mult (32) and the old 80.6×.  The full 16× table above was re-run",
     "post-fix: dedup_semantic dropped 22.7× → 7.6×, every other op",
     "inside its gate, 0 failed tasks anywhere.",
+    "",
+    "## The 32× heavy-family probe (round 12): all pass",
+    "",
+    "With dedup_semantic fixed, the three remaining highest-16×-ratio ops",
+    "were pushed to mult=32 (`--mult 32 --ops …`; gate ratio ≤ 64, planted",
+    "pathologies engaged: 9 hot minhash buckets, 12 stop-grams, hot-user",
+    "share 20.05%):",
+    "",
+    "| op | base (s) | soak 32× (s) | ratio | failed tasks |",
+    "| --- | --- | --- | --- | --- |",
+    "| sim_knn_graph | 7.00 | 178.31 | 25.5× | 0 |",
+    "| join_interval_overlap | 0.80 | 11.78 | 14.7× | 0 |",
+    "| sim_ivfpq_topk | 5.07 | 34.79 | 6.9× | 0 |",
+    "",
+    "sim_knn_graph's 25.5× (vs 13.0× at 16×) is the dense-cluster plant",
+    "growing the capped buckets' candidate mass linearly with the corpus",
+    "while the base stays scheduling-floor-bound — still inside the gate",
+    "with 2.5× headroom and zero task failures; the salt split is what",
+    "keeps it from going quadratic.  join_interval_overlap's 14.7× tracks",
+    "the hot user's interval density doubling vs 16×.  ivfpq stays",
+    "sublinear-per-mult (6.9×) because n_probe routing bounds the ADC",
+    "scan.  No knee found in the heavy family through 32×.",
     "",
     "## Exact-value parity at the 16× tier (round 11 — SOAK_SWEEP)",
     "",

@@ -502,3 +502,63 @@ def stream_ivm_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{base}/mv")
         .select("event_type", "n_events", "sum_cents")
     )
+
+
+@query(
+    "stream_python_datasource",
+    oracle="""
+    SELECT CAST(k % 7 AS BIGINT) AS g,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_id,
+           CAST(SUM(CAST(k * 150 AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM range(300) t(k)
+    GROUP BY 1
+    """,
+    group="C",
+)
+def stream_python_datasource_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming over the custom PYTHON data source: the
+    ``pp_synth`` source's offset-tracked ``SimpleDataSourceStreamReader``
+    (postpy_spark/sources.py — the Kafka-shaped offset contract:
+    initialOffset / read / readBetweenOffsets) feeds a grouped aggregate
+    through a memory sink under ``availableNow``, composing the two
+    engine surfaces the contract exercises separately
+    (scan_python_datasource: batch reader; stream_*: file streams).  The
+    source is deterministic (rows k < 300, score = 1.5·k, one read()
+    spanning the full range so available-now drains it), so the final
+    table has a CLOSED FORM and this is the one streaming query whose
+    real writeStream path is sql-hash-checked end-to-end, not
+    batch-twinned.  score·100 = 150·k is integer-exact in doubles, so
+    the cents sum is bit-stable cross-engine.  sf-invariant by design
+    (the source is synthetic — no table input)."""
+    from postpy_spark import sources
+
+    sources.register(spark)
+    name = "pp_stream_pyds_agg"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    stream = (
+        spark.readStream.format("pp_synth")
+        .option("n", 300)
+        .option("batch_size", 300)
+        .load()
+    )
+    agg = stream.groupBy((F.col("id") % 7).alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+        F.sum(F.round(F.col("score") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_python_datasource: stream did not drain")
+    return spark.table(name).select("g", "n", "sum_id", "sum_cents")

@@ -50,3 +50,22 @@ def test_soak_no_failed_tasks(spark, soak_dir):
         assert r["failed_tasks"] == 0, (name, r)
         # ratio recorded but not gated (load-dependent); visible on failure
         assert r["ratio"] > 0, (name, r)
+
+
+def test_crossdoc_spans_stop_grams_engage_on_plant(spark, soak_dir):
+    """The boilerplate footer planted into ~30% of the soaked docs pushes
+    its 6-grams far past df_cap=10, and the near-dup replicas push most
+    shared grams past it too — crossdoc_spans must STOP those grams
+    (counted in stats) rather than posting-join them, the cap that keeps
+    the pair stage off the quadratic path at the real tier."""
+    from postpy_spark.io import load_table
+    from postpy_spark.operators import dedup
+
+    docs = load_table(spark, soak_dir, "documents")
+    stats: dict = {}
+    out = dedup.crossdoc_spans(
+        docs, k=6, df_cap=10, occ_cap=50, min_span=8, stats=stats
+    )
+    n = out.count()
+    assert stats["stop_grams"] > 0, stats
+    assert n >= 0  # bounded output; exact parity rides the 16x SOAK_SWEEP

@@ -101,6 +101,11 @@ SOAK_OPS = [
     # join_range_interval (naive) and join_range_salted both stay out of
     # the op list for the same measured reason.
     "join_range_bucketed",
+    # r12: the NN-descent refinement under the dense-cluster plant — hub
+    # vectors (one vector in hundreds of top-k lists) are exactly the
+    # pathology the reverse-neighbor cap exists for; without it the
+    # friends-of-friends join is quadratic in degree.
+    "sim_nndescent_refine",
 ]
 
 #: Exact-parity sweep at the soak tier (r10 verdict item 6): sql-checked

@@ -816,6 +816,48 @@ def sql_execute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_execute_params",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_totalprice > 150000.0
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    group="A",
+)
+def sql_execute_params_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL execution — the core psycopg2-shaped surface of
+    the reference (execute(sql, params) with server-side binding [U]),
+    Spark-native: named parameter markers (:min_price, :status) bound
+    via ``spark.sql(query, args=...)``.  Binding happens in the
+    ANALYZER, not by string interpolation, so values are injection-safe
+    literals and the plan is identical to inlined constants (pushdown
+    included — the bound predicates reach the parquet scan).  Exact-
+    money discipline: BIGINT cents on both sides via ROUND before CAST
+    (CLAUDE.md: bare CAST(double AS BIGINT) truncates in Spark but
+    rounds in DuckDB; 2-decimal money x100 sits within 1e-9 of an
+    integer, so ROUND is bit-stable in both engines)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_pp_sqlp_orders"
+    )
+    return spark.sql(
+        """SELECT o_orderpriority,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                      AS total_cents
+           FROM _pp_sqlp_orders
+           WHERE o_totalprice > :min_price
+             AND o_orderstatus = :status
+           GROUP BY o_orderpriority""",
+        args={"min_price": 150000.0, "status": "F"},
+    )
+
+
+@query(
     "scan_python_datasource",
     oracle="""
     SELECT r AS id, concat('r', r) AS tag, CAST(r AS DOUBLE) * CAST(1.5 AS DOUBLE) AS score

@@ -588,7 +588,7 @@ _STATIC_EPILOGUE = [
     "| join_interval_overlap | 0.80 | 11.78 | 14.7× | 0 |",
     "| sim_ivfpq_topk | 5.07 | 34.79 | 6.9× | 0 |",
     "",
-    "sim_knn_graph's 25.5× (vs 13.0× at 16×) is the dense-cluster plant",
+    "sim_knn_graph's 25.5× (vs 13.0× in the r11 16× table; per-run",
     "growing the capped buckets' candidate mass linearly with the corpus",
     "while the base stays scheduling-floor-bound — still inside the gate",
     "with 2.5× headroom and zero task failures; the salt split is what",

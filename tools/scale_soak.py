@@ -597,13 +597,21 @@ _STATIC_EPILOGUE = [
     "sublinear-per-mult (6.9×) because n_probe routing bounds the ADC",
     "scan.  No knee found in the heavy family through 32×.",
     "",
-    "## Exact-value parity at the 16× tier (round 11 — SOAK_SWEEP)",
+    "## Exact-value parity at the 16× tier (SOAK_SWEEP — r12 run)",
     "",
-    "The sweep list is now COMMITTED as `tools/scale_soak.py::SOAK_SWEEP`",
-    "(77 sql-checked queries biased toward the scaled tables, plus every",
-    "planted exact twin) and the r11 run against the planted 16× tier is",
-    "**68 pass / 0 fail** for the r11 main run (`/tmp/r11_sweep.log`, ~70 min",
-    "wall), up from r8's 38.  Notables: `join_range_bucketed` exact-matched",
+    "The sweep list is COMMITTED as `tools/scale_soak.py::SOAK_SWEEP`",
+    "(105 sql-checked queries spanning every query family — the scaled",
+    "events/documents/embeddings blocks where the plants live, every planted",
+    "exact twin, the TPC-H/iterative/lateral/frame extras, and all nine B6",
+    "scalar families) and the round-12 run against the planted 16× tier is",
+    "**105 pass / 0 fail** (`/tmp/r12_sweep16.log`, ~110 min wall), up from",
+    "r11's 68 (77-list) and r8's 38 — including all four r12 additions:",
+    "`dedup_crossdoc_spans` (replica/boilerplate grams provably stop-listed,",
+    "base spans exact-matched), `sim_nndescent_planted`,",
+    "`join_range_autowidth` (1.6M rows exact under the hot-user plant), and",
+    "`stat_auc_roc` — the last through the REWRITTEN bucketed ranking path,",
+    "so the r12 determinism fix is itself tier-verified.",
+    "Earlier notables: `join_range_bucketed` exact-matched",
     "321k rows in 90 s under the hot-user plant; `ts_gapfill` /",
     "`ts_interpolate_linear` exact-matched 17.2M generated rows each.  One",
     "finding came OUT of the sweep: `dedup_semantic_planted`'s uncapped plant let its",

@@ -587,6 +587,7 @@ _STATIC_EPILOGUE = [
     "| sim_knn_graph | 7.00 | 178.31 | 25.5× | 0 |",
     "| join_interval_overlap | 0.80 | 11.78 | 14.7× | 0 |",
     "| sim_ivfpq_topk | 5.07 | 34.79 | 6.9× | 0 |",
+    "| sim_nndescent_refine | 14.97 | 184.30 | 12.3× | 0 |",
     "",
     "sim_knn_graph's 25.5× (vs 13.0× in the r11 16× table; per-run",
     "growing the capped buckets' candidate mass linearly with the corpus",
@@ -595,7 +596,10 @@ _STATIC_EPILOGUE = [
     "keeps it from going quadratic.  join_interval_overlap's 14.7× tracks",
     "the hot user's interval density doubling vs 16×.  ivfpq stays",
     "sublinear-per-mult (6.9×) because n_probe routing bounds the ADC",
-    "scan.  No knee found in the heavy family through 32×.",
+    "scan.  sim_nndescent_refine (probed late-r12 after joining SOAK_OPS)",
+    "holds 12.3× at 32× — the reverse-neighbor cap bounds hub fan-out at 2M",
+    "vectors with 0 failed tasks.  No knee found in the heavy family",
+    "through 32×.",
     "",
     "## Exact-value parity at the 16× tier (SOAK_SWEEP — r12 run)",
     "",

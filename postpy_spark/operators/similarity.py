@@ -729,6 +729,44 @@ def nndescent_round(
     )
 
 
+def nndescent(
+    graph: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rounds: int = 3,
+    min_new_frac: float = 0.01,
+) -> DataFrame:
+    """Full NN-descent (Dong et al. 2011): iterate :func:`nndescent_round`
+    until a round contributes fewer than ``min_new_frac`` x |E| new edges
+    (0.0 = run to exact fixpoint) or ``max_rounds`` is hit — the
+    convergence loop production kNN-graph builders run, on top of the
+    single round the contract registers.
+
+    Scale: the driver loop is bounded by ``max_rounds`` and its
+    per-round convergence check is two scalar actions (an anti-join
+    count of new edges and an edge count — never a collect of rows),
+    the same discipline as the connected-components fixpoint.  Each
+    round's result is localCheckpoint()ed so the lineage does not grow
+    with rounds (graphs are k|V| rows — small relative to the corpus)."""
+    prev = graph.localCheckpoint()
+    for _ in range(max_rounds):
+        nxt = nndescent_round(
+            prev, vectors, k, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint()
+        new_edges = (
+            nxt.select("src", "dst")
+            .join(prev.select("src", "dst"), ["src", "dst"], "left_anti")
+            .count()
+        )
+        total = nxt.count()
+        prev = nxt
+        if new_edges <= min_new_frac * max(total, 1):
+            break
+    return prev
+
+
 def kmeans_farthest_init(
     corpus: DataFrame,
     k: int,

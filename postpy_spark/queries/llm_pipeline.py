@@ -3198,6 +3198,62 @@ def sim_nndescent_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_nndescent_converged",
+    oracle="""
+    WITH v AS (
+        SELECT o_orderkey AS id, o_orderkey // 7 AS g
+        FROM orders WHERE o_orderkey < 140
+    )
+    SELECT CAST(a.id AS BIGINT) AS src,
+           CAST(b.id AS BIGINT) AS dst,
+           CAST(1.0 AS DOUBLE) AS cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY b.id)
+                AS BIGINT) AS rank
+    FROM v a JOIN v b ON a.g = b.g AND a.id <> b.id
+    """,
+    group="D",
+)
+def sim_nndescent_converged_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-oracle attestation of the full NN-descent CONVERGENCE loop
+    (operators/similarity.py::nndescent — bounded rounds, early stop on
+    no-new-edges): 20 exact-duplicate groups of 7 CONSECUTIVE ids seeded
+    with the within-group ring, chosen so ONE round is provably NOT
+    enough (hop-2 over the ring reaches only ±2 of the 6 co-members) and
+    TWO rounds provably are (hop-2 over {±1, ±2} reaches ±3 ≡ ∓4 mod 7 —
+    the whole group), with round three adding zero new edges, which is
+    what trips the ``min_new_frac=0`` exact-fixpoint termination inside
+    ``max_rounds=4``.  So this twin pins BOTH the iterated candidate
+    expansion and the driver-side termination logic — the closed form is
+    the full co-group clique, every (src, dst, cosine, rank) value
+    hash-compared.  Scale: the loop's convergence check is two scalar
+    counts per round (anti-join + count), graphs localCheckpoint()ed so
+    lineage stays flat — the connected-components fixpoint discipline."""
+    from postpy_spark.operators.similarity import nndescent
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 140)
+    ids = o.select(F.col("o_orderkey").cast("bigint").alias("vec_id"))
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(j == (F.col("vec_id") / 7).cast("int"), 1.0)
+        .otherwise(0.0),
+    )
+    planted = ids.select("vec_id", onehot.alias("embedding"))
+    seed = ids.select(
+        F.col("vec_id").alias("src"),
+        (
+            F.floor(F.col("vec_id") / 7) * 7
+            + (F.col("vec_id") % 7 + 1) % 7
+        ).cast("bigint").alias("dst"),
+        F.lit(1.0).alias("cosine"),
+        F.lit(1).cast("bigint").alias("rank"),
+    )
+    out = nndescent(
+        seed, planted, k=6, max_rounds=4, min_new_frac=0.0
+    )
+    return out.select("src", "dst", "cosine", "rank")
+
+
+@query(
     "sim_mmr_planted",
     oracle="""
     WITH v AS (

@@ -1499,3 +1499,41 @@ def test_crossdoc_spans_exact_offsets_and_caps(spark):
     assert (r.doc_a, r.doc_b) == (1, 2)
     assert (r.start_a, r.start_b, r.span_tokens) == (2, 4, 10)
     assert r.passage == shared
+
+
+def test_nndescent_converge_monotone_and_terminates(spark):
+    """The full NN-descent loop: recall is non-decreasing across rounds
+    (each round's candidate set contains the previous edges) and the
+    early-stop fires within max_rounds; the converged graph's recall
+    >= the single-round refinement's >= the 0.9 ANN bar."""
+    import numpy as np
+
+    from postpy_spark.operators.similarity import (
+        knn_graph,
+        nndescent,
+        nndescent_round,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    seed = knn_graph(em, k=5).localCheckpoint()
+    one = nndescent_round(seed, em, k=5)
+    conv = nndescent(seed, em, k=5, max_rounds=3, min_new_frac=0.01)
+    rows = em.collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    np.fill_diagonal(S, -np.inf)
+    truth = set()
+    for i in range(len(ids)):
+        order = sorted(range(len(ids)), key=lambda j: (-round(S[i, j], 6), ids[j]))
+        for j in order[:5]:
+            truth.add((int(ids[i]), int(ids[j])))
+    r_one = len({(r.src, r.dst) for r in one.collect()} & truth) / len(truth)
+    r_conv = len({(r.src, r.dst) for r in conv.collect()} & truth) / len(truth)
+    record_margin(
+        "sim_nndescent_converged", "converged_edge_recall_vs_numpy_exact",
+        r_conv, 0.9,
+    )
+    assert r_conv >= 0.9, r_conv
+    assert r_conv >= r_one - 1e-9, (r_one, r_conv)

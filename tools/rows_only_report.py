@@ -46,6 +46,7 @@ GATE_TESTS = [
     "tests/test_llm_ops.py::test_ivfpq_recall_vs_brute_force",
     "tests/test_llm_ops.py::test_knn_graph_recall_vs_bruteforce",
     "tests/test_llm_ops.py::test_nndescent_refine_recall_monotone",
+    "tests/test_llm_ops.py::test_nndescent_converge_monotone_and_terminates",
     "tests/test_relational_edges.py::test_hll_mergeable_within_tolerance",
     "tests/test_relational_edges.py::test_cms_contract_and_mergeability",
     "tests/test_relational_edges.py::test_kmv_accuracy_and_mergeability",

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from postpy_spark.io import load_table
-from postpy_spark.operators import dedup, similarity
+from postpy_spark.operators import dedup, editdist, similarity
 from postpy_spark.registry import query
 from postpy_spark import text as TX
 
@@ -3609,3 +3609,118 @@ def dedup_containment_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", *parts).alias("text"),
     )
     return dedup.containment_pairs(docs, k=5, threshold=0.8, max_posting=256)
+
+
+@query(
+    "dedup_editdist_blocked",
+    oracle="""
+    WITH n AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+               FROM part GROUP BY p_name)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM n a JOIN n b
+      ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    group="D",
+)
+def dedup_editdist_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity self-join (fuzzy entity resolution): every
+    pair of DISTINCT part names within Levenshtein distance 2, with the
+    row multiplicity each name carries.
+
+    The Spark side runs the REAL scale path — ED-Join q-gram prefix-filter
+    blocking then exact levenshtein verify on candidates only
+    (operators/editdist.py; Xiao/Wang/Lin VLDB'08) — while the DuckDB
+    oracle brute-forces the quadratic join, so the hash match PROVES the
+    blocking is lossless, not merely that two copies of the same plan
+    agree.  Scale design: the join runs over distinct VALUES (vocabulary-
+    sized, aggregated first with counts carried), prefixes hold each
+    value's q*d+1 rarest grams (posting-volume-minimizing order), and
+    every stage is a DataFrame built-in — no UDF, no cross join.
+    """
+    p = load_table(spark, sf_dir, "part")
+    vals = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    pairs = editdist.editdist_pairs(
+        vals.select(F.col("p_name").alias("val")), max_dist=2, q=2
+    )
+    return (
+        pairs.join(
+            vals.select(
+                F.col("p_name").alias("val_a"), F.col("n_parts").alias("n_parts_a")
+            ),
+            "val_a",
+        )
+        .join(
+            vals.select(
+                F.col("p_name").alias("val_b"), F.col("n_parts").alias("n_parts_b")
+            ),
+            "val_b",
+        )
+        .select(
+            F.col("val_a").alias("name_a"),
+            F.col("val_b").alias("name_b"),
+            "dist",
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )
+
+
+@query(
+    "er_canonical_entities",
+    oracle="""
+    WITH RECURSIVE
+    n AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+          FROM part GROUP BY p_name),
+    e AS (SELECT a.p_name AS x, b.p_name AS y FROM n a JOIN n b
+          ON a.p_name <> b.p_name AND levenshtein(a.p_name, b.p_name) <= 2),
+    reach(src, dst) AS (
+        SELECT p_name, p_name FROM n
+        UNION
+        SELECT r.src, e.y FROM reach r JOIN e ON e.x = r.dst
+    ),
+    canon AS (SELECT src, MIN(dst) AS canonical FROM reach GROUP BY src),
+    sizes AS (SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_members
+              FROM canon GROUP BY canonical)
+    SELECT c.src AS name, c.canonical, s.n_members, n.n_parts
+    FROM canon c JOIN sizes s USING (canonical) JOIN n ON n.p_name = c.src
+    """,
+    group="D",
+)
+def er_canonical_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy-match distinct part names within
+    Levenshtein distance 2 (ED-Join blocked candidates + exact verify,
+    operators/editdist.py), cluster matches with min-label connected
+    components (operators/dedup.py — pointer-doubled, O(log diameter)
+    rounds), and emit each name's CANONICAL surviving entity (min name in
+    its component), cluster size, and row multiplicity.
+
+    This also gives the iterative CC operator a sql-hash-checked path on
+    REAL (non-planted) data: the DuckDB oracle computes the transitive
+    closure with a recursive CTE, so the hash match attests blocking
+    losslessness AND label-propagation convergence in one gate.  Scale:
+    entity graph is vocabulary-sized (distinct values), every stage an
+    equi-join; singletons bypass the iterative path via a left join.
+    """
+    p = load_table(spark, sf_dir, "part")
+    vals = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    pairs = editdist.editdist_pairs(
+        vals.select(F.col("p_name").alias("val")), max_dist=2, q=2
+    )
+    comps = dedup.connected_components(pairs, "val_a", "val_b")
+    labeled = vals.join(
+        comps.select(F.col("node").alias("p_name"), "component"),
+        "p_name",
+        "left",
+    ).select(
+        F.col("p_name").alias("name"),
+        F.coalesce("component", "p_name").alias("canonical"),
+        "n_parts",
+    )
+    sizes = labeled.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return labeled.join(sizes, "canonical").select(
+        "name", "canonical", "n_members", "n_parts"
+    )

@@ -86,6 +86,10 @@ HEAVY_EXTRAS = [
     # friends rescore — inherently ~2x sim_knn_graph's cost by design)
     "dedup_crossdoc_spans",
     "sim_nndescent_refine",
+    # r12: fuzzy entity resolution — blocked edit-distance join (light)
+    # and its end-to-end composition with iterative connected components
+    "dedup_editdist_blocked",
+    "er_canonical_entities",
 ]
 EXTRAS_RUNS = 2
 

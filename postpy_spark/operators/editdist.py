@@ -36,6 +36,33 @@ lengths; partners are themselves length-bounded by q*(d-1)+1+d, so both
 sides of this channel are the bounded short-vocabulary slice — no cross
 join, no hot key).  Union of the two channels is lossless for ALL inputs.
 
+MEASURED LIMIT of the q-gram method, and the PassJoin default: q-gram
+signatures saturate on low-character-diversity vocabularies.  On an
+adversarial probe (strings drawn from a 200-word vocabulary plus a
+numeric suffix — only ~10^3-10^4 distinct grams no matter how many
+strings), candidate volume grew SUPER-linearly: 330 -> 1183 -> 2852
+candidates/string as n went 10k -> 40k -> 100k at q=3 (n^2/|gram types|
+— the signature space, not the data, is the bottleneck; candidate
+generation hit 232 s at n=100k).  The fix is the published
+partition-based scheme — PassJoin (Li, Deng & Feng, ICDE'11): partition
+each string into d+1 SEGMENTS (pigeonhole: d edits leave >= 1 segment
+untouched, and an untouched segment appears verbatim in the partner
+displaced by at most d); the equi-join key is the full segment
+(length ~ l/(d+1) chars, vastly more selective than any q-gram) plus
+the partner length and segment index.  Probe fan-out is bounded:
+<= (d+1) target lengths x (d+1) segments x (2d+1) positions per string.
+``method="passjoin"`` is the default; ``method="qgram"`` remains for
+high-diversity vocabularies where gram prefixes are smaller than
+segment probes.  Same probe with PassJoin (the honest metric is
+candidates per TRUE pair, because that synthetic vocabulary's ids
+collide mod 200 and the OUTPUT itself is quadratic): n=10k -> 244k
+candidates / 167k true pairs (1.5x), n=40k -> 4.0M / 1.7M (2.3x),
+n=100k -> 24.9M / 6.9M (3.6x) in 130 s — versus the q-gram method's
+62x at n=10k and non-termination at n=100k/q=2.  Candidate volume
+tracks output volume, not n^2.  Numbers in docs/BENCH_NOTES.md
+round-12 section; completeness pinned for both methods in
+tests/test_editdist.py.
+
 Scale design (100 TB posture):
 - The join runs over DISTINCT string VALUES, not rows: callers aggregate
   to (value, count) first, so pair work scales with vocabulary size, and
@@ -148,20 +175,171 @@ def editdist_candidates(
     return gram_cand.unionByName(short_cand).distinct()
 
 
+def _segment_bounds(length: Column, k: int, i: int) -> tuple[Column, Column]:
+    """(start, len) of segment ``i`` in the even (d+1)-partition of a string
+    of ``length`` chars: the first ``length % k`` segments get one extra
+    char.  start = i*base + min(i, rem); len = base + (i < rem).  The probe
+    side replicates this formula exactly — both sides MUST agree."""
+    base = F.floor(length / k).cast("int")
+    rem = (length % k).cast("int")
+    seg_len = base + F.when(F.lit(i) < rem, F.lit(1)).otherwise(F.lit(0))
+    start = F.lit(i) * base + F.least(F.lit(i), rem)
+    return start, seg_len
+
+
+def passjoin_candidates(
+    values: DataFrame,
+    str_col: str = "val",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Candidate pairs ``(val_a, val_b)`` with ``val_a < val_b`` containing
+    EVERY pair within edit distance d — PassJoin partition blocking (Li,
+    Deng & Feng, ICDE'11; module docstring).
+
+    Pigeonhole: d edits touch at most d of a string's d+1 segments, so at
+    least one segment of the SHORTER side appears verbatim in the longer
+    side, displaced by at most d (net insertions minus deletions before
+    it).  Index side: each string of length l >= d+1 emits its d+1
+    segments keyed (l, i, segment).  Probe side: each string, acting as
+    the longer partner, emits for every admissible shorter length
+    tl in [l-d, l] (tl >= d+1), every segment index i, and every start
+    position within +-d of the partition-scheme start, the matching-length
+    substring — a bounded (d+1)(d+1)(2d+1) fan-out.  The equi-join key is
+    the full SEGMENT (length ~ l/(d+1) chars) — far more selective than
+    any q-gram, which is what keeps candidate volume data-bounded on
+    low-diversity vocabularies where gram signatures saturate.
+
+    Pairs whose shorter side has length <= d (segments would be empty) go
+    through the same bounded length-key channel as the q-gram method.
+    """
+    d = max_dist
+    k = d + 1
+    val = F.col(str_col)
+    length = F.length(val)
+
+    # Index side: d+1 segments per string of length >= k.
+    idx_parts = []
+    for i in range(k):
+        start, seg_len = _segment_bounds(length, k, i)
+        idx_parts.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                val.substr(start + 1, seg_len).alias("seg"),
+            )
+        )
+    index = (
+        values.filter(length >= k)
+        .select(
+            val.alias("_vr"),
+            length.alias("_lr"),
+            F.explode(F.array(*idx_parts)).alias("_s"),
+        )
+        .select("_vr", "_lr", F.col("_s.i").alias("_i"), F.col("_s.seg").alias("_seg"))
+    )
+
+    # Probe side: substrings for every (target length, segment, shift).
+    probe_parts = []
+    for delta in range(d + 1):  # tl = l - delta
+        tl = length - delta
+        for i in range(k):
+            start, seg_len = _segment_bounds(tl, k, i)
+            for shift in range(-d, d + 1):
+                p = start + shift
+                valid = (
+                    (tl >= k)
+                    & (p >= 0)
+                    & (p + seg_len <= length)
+                )
+                probe_parts.append(
+                    F.when(
+                        valid,
+                        F.struct(
+                            tl.cast("int").alias("tl"),
+                            F.lit(i).alias("i"),
+                            val.substr(p + 1, seg_len).alias("sub"),
+                        ),
+                    )
+                )
+    # LET-BIND the 45-way struct array before the filter/distinct HOFs:
+    # F.filter re-evaluates its input array PER ELEMENT (no CSE — the
+    # repo-wide landmine), which turns the probe projection into ~45^2
+    # interpreted substr evaluations per row (measured: a 10k-string probe
+    # count did not finish in minutes; with the binding it is sub-second).
+    raw = F.array(*probe_parts)
+    cleaned = F.element_at(
+        F.transform(
+            F.array(raw),
+            lambda a: F.array_distinct(F.filter(a, lambda x: x.isNotNull())),
+        ),
+        1,
+    )
+    probe = (
+        values.select(
+            val.alias("_vs"),
+            F.explode(cleaned).alias("_p"),
+        )
+        .select(
+            "_vs",
+            F.col("_p.tl").alias("_lr"),
+            F.col("_p.i").alias("_i"),
+            F.col("_p.sub").alias("_seg"),
+        )
+    )
+
+    seg_cand = (
+        index.join(probe, ["_lr", "_i", "_seg"])
+        .filter(F.col("_vr") != F.col("_vs"))
+        .select(
+            F.least("_vr", "_vs").alias("val_a"),
+            F.greatest("_vr", "_vs").alias("val_b"),
+        )
+    )
+    # shorter-side length <= d: bounded length-key channel (both sides of
+    # any such pair have length <= 2d)
+    s = values.filter(length <= d).select(
+        val.alias("_vs"),
+        F.explode(F.sequence(length - d, length + d)).alias("_len"),
+    )
+    t = values.filter(length <= 2 * d).select(
+        val.alias("_vt"), length.alias("_len")
+    )
+    short_cand = (
+        s.join(t, "_len")
+        .filter(F.col("_vs") != F.col("_vt"))
+        .select(
+            F.least("_vs", "_vt").alias("val_a"),
+            F.greatest("_vs", "_vt").alias("val_b"),
+        )
+    )
+    return seg_cand.unionByName(short_cand).distinct()
+
+
 def editdist_pairs(
     values: DataFrame,
     str_col: str = "val",
     max_dist: int = 2,
     q: int = 2,
+    method: str = "passjoin",
 ) -> DataFrame:
     """All distinct-value pairs within edit distance ``max_dist``:
-    ``(val_a, val_b, dist)`` with ``val_a < val_b`` — prefix-filter
-    candidates, then exact ``levenshtein`` verify (both JVM-side).
+    ``(val_a, val_b, dist)`` with ``val_a < val_b`` — blocked candidates,
+    then exact ``levenshtein`` verify (both JVM-side).
 
-    Equals the brute-force quadratic join by the losslessness argument in
-    the module docstring; the blocked plan is what runs.
+    ``method="passjoin"`` (default) uses partition-segment blocking —
+    candidate volume stays data-bounded even on low-character-diversity
+    vocabularies where q-gram signatures saturate (measured in the module
+    docstring).  ``method="qgram"`` uses the ED-Join prefix filter —
+    slightly cheaper probes when gram diversity is high.  Both are
+    LOSSLESS: result equals the brute-force quadratic join (pinned by the
+    DuckDB oracle of ``dedup_editdist_blocked`` and the parameterized
+    completeness tests).
     """
-    cand = editdist_candidates(values, str_col, max_dist, q)
+    if method == "passjoin":
+        cand = passjoin_candidates(values, str_col, max_dist)
+    elif method == "qgram":
+        cand = editdist_candidates(values, str_col, max_dist, q)
+    else:
+        raise ValueError(f"unknown editdist method: {method!r}")
     return (
         cand.withColumn("dist", F.levenshtein("val_a", "val_b"))
         .filter(F.col("dist") <= max_dist)

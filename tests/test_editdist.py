@@ -26,15 +26,19 @@ def _brute(spark, strings, d):
     return {(r.va, r.vb, r.dist) for r in rows}
 
 
-def _blocked(spark, strings, d, q=2):
+def _blocked(spark, strings, d, q=2, method="passjoin"):
     df = spark.createDataFrame([Row(val=s) for s in strings])
     return {
         (r.val_a, r.val_b, r.dist)
-        for r in editdist_pairs(df, "val", max_dist=d, q=q).collect()
+        for r in editdist_pairs(df, "val", max_dist=d, q=q, method=method).collect()
     }
 
 
-def test_completeness_vs_bruteforce_on_part_names(spark):
+METHODS = ["passjoin", "qgram"]
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_completeness_vs_bruteforce_on_part_names(spark, method):
     """The blocked plan equals brute force on the real part-name vocabulary
     at d=3 (the shipped query's oracle already pins d=2)."""
     names = [
@@ -45,10 +49,11 @@ def test_completeness_vs_bruteforce_on_part_names(spark):
         .collect()
     ]
     assert len(names) > 30
-    assert _blocked(spark, names, 3) == _brute(spark, names, 3)
+    assert _blocked(spark, names, 3, method=method) == _brute(spark, names, 3)
 
 
-def test_planted_perturbations_all_found(spark):
+@pytest.mark.parametrize("method", METHODS)
+def test_planted_perturbations_all_found(spark, method):
     """Deterministic random edits of known distance <= d are all recovered
     (per-pair recall, independent of the brute-force twin)."""
     rng = random.Random(7)
@@ -71,25 +76,28 @@ def test_planted_perturbations_all_found(spark):
         if edited != s:
             planted.append((s, edited))
     strings = sorted({s for p in planted for s in p})
-    got = {(a, b) for a, b, _ in _blocked(spark, strings, 2)}
+    got = {(a, b) for a, b, _ in _blocked(spark, strings, 2, method=method)}
     for s, e in planted:
         lo, hi = min(s, e), max(s, e)
         assert (lo, hi) in got, (s, e)
 
 
-def test_short_string_channel(spark):
-    """Strings too short for the q-gram prefix argument ("a" vs "b" share
-    ZERO padded 2-grams) still pair through the length-key channel."""
+@pytest.mark.parametrize("method", METHODS)
+def test_short_string_channel(spark, method):
+    """Strings too short for the signature argument ("a" vs "b" share ZERO
+    padded 2-grams; PassJoin segments would be empty) still pair through
+    the length-key channel."""
     strings = ["a", "b", "ab", "ba", "xy", ""]
-    assert _blocked(spark, strings, 1) == _brute(spark, strings, 1)
-    assert _blocked(spark, strings, 2) == _brute(spark, strings, 2)
+    assert _blocked(spark, strings, 1, method=method) == _brute(spark, strings, 1)
+    assert _blocked(spark, strings, 2, method=method) == _brute(spark, strings, 2)
 
 
-def test_mixed_short_and_long(spark):
-    """Deficient-length and gram-bearing strings coexist: pairs inside each
-    regime and across the length boundary are all present."""
+@pytest.mark.parametrize("method", METHODS)
+def test_mixed_short_and_long(spark, method):
+    """Deficient-length and signature-bearing strings coexist: pairs inside
+    each regime and across the length boundary are all present."""
     strings = ["ab", "abc", "abcd", "abcde", "zzzzz", "abzde"]
-    assert _blocked(spark, strings, 2) == _brute(spark, strings, 2)
+    assert _blocked(spark, strings, 2, method=method) == _brute(spark, strings, 2)
 
 
 def test_qgrams_padding_yields_grams_for_tiny_strings(spark):
@@ -110,3 +118,44 @@ def test_distance_values_exact(spark):
     assert ("sitten", "sittin", 1) in got
     assert ("kitten", "sittin", 2) in got
     assert ("kitten", "mitten", 1) in got
+
+
+def test_passjoin_insert_delete_shifts(spark):
+    """Pure insert/delete pairs exercise the +-d segment displacement
+    window (net length change = d), plus boundary edits at both ends."""
+    strings = [
+        "abcdefghij",
+        "abcdefgh",      # 2 deletions at the end
+        "xxabcdefghij",  # 2 insertions at the front
+        "abcdeYfghij",   # 1 insertion mid-string
+        "bcdefghij",     # 1 deletion at the front
+    ]
+    assert _blocked(spark, strings, 2, method="passjoin") == _brute(
+        spark, strings, 2
+    )
+
+
+def test_passjoin_equal_length_substitutions(spark):
+    """Equal-length pairs double-emit (each side probes the other) — the
+    least/greatest fold plus distinct must leave exactly one row."""
+    strings = ["matchbox", "watchbox", "matchbod", "catchbox"]
+    got = _blocked(spark, strings, 2, method="passjoin")
+    exp = _brute(spark, strings, 2)
+    assert got == exp
+    # and no duplicates survived the fold
+    keys = [(a, b) for a, b, _ in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_passjoin_segment_formula_consistency(spark):
+    """Index and probe must use the SAME even-partition formula: a pair of
+    identical-up-to-1-edit strings at every length 3..40 is found at d=1
+    (sweeps every (length % k) remainder case)."""
+    strings = []
+    for n in range(3, 41):
+        s = "".join(chr(ord("a") + (i * 7 + n) % 26) for i in range(n))
+        strings.append(s)
+        strings.append(s[: n // 2] + "Z" + s[n // 2 + 1 :])  # 1 substitution
+    assert _blocked(spark, strings, 1, method="passjoin") == _brute(
+        spark, strings, 1
+    )

@@ -3724,3 +3724,46 @@ def er_canonical_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.join(sizes, "canonical").select(
         "name", "canonical", "n_members", "n_parts"
     )
+
+
+@query(
+    "dedup_editdist_scaled",
+    oracle="""
+    WITH v AS (
+        SELECT DISTINCT
+            ['alpha','beta','gamma','delta','epsilon','zeta','eta','theta']
+                [(o_orderkey * 13) % 8 + 1]
+            || ' item ' || CAST(o_orderkey % 500 AS VARCHAR) AS val
+        FROM orders
+    )
+    SELECT a.val AS val_a, b.val AS val_b,
+           CAST(levenshtein(a.val, b.val) AS INTEGER) AS dist
+    FROM v a JOIN v b ON a.val < b.val AND levenshtein(a.val, b.val) <= 2
+    """,
+    group="D",
+)
+def dedup_editdist_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The edit-distance join at a REAL vocabulary size: ~4000 distinct
+    synthetic product names (8 words x 500 numeric suffixes, derived from
+    o_orderkey so both engines build the identical string set) — the
+    contract query's 64-name vocabulary is trivial for any blocking, so
+    this twin is the one that actually attests the PassJoin candidate
+    path at the scale where the q-gram method's signature saturation was
+    measured (operators/editdist.py module docstring).
+
+    The Spark side runs the blocked plan; the DuckDB oracle brute-forces
+    all ~8M ordered pairs (~10 s, vectorized levenshtein) — the hash
+    match proves blocking losslessness over a pair set with word-edit,
+    digit-edit, and combined word+digit-edit structure (~thousands of
+    qualifying pairs at sf0.01).
+    """
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    arr = F.array(*[F.lit(w) for w in words])
+    o = load_table(spark, sf_dir, "orders")
+    val = F.concat(
+        F.element_at(arr, (F.col("o_orderkey") * 13 % 8 + 1).cast("int")),
+        F.lit(" item "),
+        (F.col("o_orderkey") % 500).cast("string"),
+    )
+    vals = o.select(val.alias("val")).distinct()
+    return editdist.editdist_pairs(vals, "val", max_dist=2)

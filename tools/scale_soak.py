@@ -168,7 +168,7 @@ SOAK_SWEEP = [
     "fn_bitwise", "fn_hash", "fn_variant", "fn_string_extra",
     "agg_bool", "agg_median_mode", "agg_regr",
     "fn_array_hof", "join_anti_not_in", "join_range_autowidth",
-    "stat_auc_roc", "dedup_editdist_blocked",
+    "stat_auc_roc", "dedup_editdist_blocked", "dedup_editdist_scaled",
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key

@@ -3767,3 +3767,63 @@ def dedup_editdist_scaled_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = o.select(val.alias("val")).distinct()
     return editdist.editdist_pairs(vals, "val", max_dist=2)
+
+
+@query(
+    "er_golden_record",
+    oracle="""
+    WITH RECURSIVE
+    n AS (SELECT p_name FROM part GROUP BY p_name),
+    e AS (SELECT a.p_name AS x, b.p_name AS y FROM n a JOIN n b
+          ON a.p_name <> b.p_name AND levenshtein(a.p_name, b.p_name) <= 2),
+    reach(src, dst) AS (
+        SELECT p_name, p_name FROM n
+        UNION
+        SELECT r.src, e.y FROM reach r JOIN e ON e.x = r.dst
+    ),
+    canon AS (SELECT src AS p_name, MIN(dst) AS canonical FROM reach GROUP BY src)
+    SELECT c.canonical,
+           CAST(COUNT(DISTINCT p.p_name) AS BIGINT) AS n_names,
+           CAST(COUNT(*) AS BIGINT)                 AS n_parts,
+           CAST(SUM(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_price_cents,
+           CAST(MIN(p.p_size) AS INTEGER) AS min_size,
+           CAST(MAX(p.p_size) AS INTEGER) AS max_size
+    FROM part p JOIN canon c ON c.p_name = p.p_name
+    GROUP BY c.canonical
+    """,
+    group="D",
+)
+def er_golden_record_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the entity-resolution funnel: MERGE matched
+    records into one golden row per canonical entity (fuzzy-matched name
+    cluster -> member/row counts, exact money total, size range).  Money
+    is summed as BIGINT integer cents on BOTH engines (the repo-wide
+    float-sum/DECIMAL landmine: ROUND(SUM(double)) is partial-sum-order
+    sensitive and DECIMAL physical widths differ cross-engine).
+
+    Composes operators/editdist.py (PassJoin blocking + levenshtein
+    verify) with operators/dedup.py connected components, then one hash
+    aggregate over the part rows joined to their canonical labels — the
+    row-level join is label-broadcast-sized, the aggregate partial.
+    """
+    p = load_table(spark, sf_dir, "part")
+    vals = p.select("p_name").distinct()
+    pairs = editdist.editdist_pairs(
+        vals.select(F.col("p_name").alias("val")), max_dist=2, q=2
+    )
+    comps = dedup.connected_components(pairs, "val_a", "val_b")
+    labeled = p.join(
+        comps.select(F.col("node").alias("p_name"), "component"),
+        "p_name",
+        "left",
+    ).withColumn("canonical", F.coalesce("component", "p_name"))
+    return labeled.groupBy("canonical").agg(
+        F.countDistinct("p_name").alias("n_names"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias(
+            "total_price_cents"
+        ),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )

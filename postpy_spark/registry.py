@@ -117,7 +117,7 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     "join_range_autowidth", "dedup_crossdoc_spans", "sim_nndescent_planted",
     "stat_auc_roc", "stream_python_datasource", "sql_execute_params",
     "sim_nndescent_converged", "dedup_editdist_blocked",
-    "er_canonical_entities", "dedup_editdist_scaled",
+    "er_canonical_entities", "dedup_editdist_scaled", "er_golden_record",
     # (b) r5/r6-vintage contract rows: B4 tail, B5, B6, streaming, D, E
     "topk_per_group", "sort_multi", "limit_n", "topk_global", "union_all",
     "union_distinct", "intersect_ab", "except_ab",

@@ -169,6 +169,7 @@ SOAK_SWEEP = [
     "agg_bool", "agg_median_mode", "agg_regr",
     "fn_array_hof", "join_anti_not_in", "join_range_autowidth",
     "stat_auc_roc", "dedup_editdist_blocked", "dedup_editdist_scaled",
+    "er_canonical_entities", "er_golden_record",
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key

@@ -74,11 +74,20 @@ def _bucket_id(df: DataFrame, first_col: str, num_partitions: int | None) -> Col
         df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     key = _numeric_key(df, first_col)
+    # constant-0 bucket id that is NOT foldable (depends on the key
+    # column): a literal would be constant-folded out of the downstream
+    # window's partition spec, leaving an unpartitioned window (see the
+    # pmod note in global_row_number)
+    zero = F.coalesce((key * 0).cast("int"), F.lit(0))
+    if n <= 1:
+        # single bucket — no split points to collect (and an empty
+        # probability list NPEs approxQuantile on the JVM side)
+        return zero
     probs = [i / n for i in range(1, n)]
     keyed = df.select(key.alias("_k")).filter(F.col("_k").isNotNull())
     bounds = sorted(set(keyed.stat.approxQuantile("_k", probs, 0.001)))
     if not bounds:
-        return F.lit(0)
+        return zero
     arr = F.array(*[F.lit(float(b)) for b in bounds])
     # the lambda re-evaluates `key` per element (no CSE) — a scalar cast,
     # cheap by design; keep expensive keys out of order_cols[0].

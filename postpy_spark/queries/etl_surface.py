@@ -34,6 +34,7 @@ WORK_ROOT = "/tmp/postpy_spark_work"
 #: ever matching an unrelated numeric-suffixed name (e.g. "stage_2024").
 PID_DIR_PREFIXES = (
     "derby", "vt_demo", "orders_evo", "binfiles", "orders_compact", "merge_vt",
+    "work",
 )
 
 _swept = False
@@ -82,9 +83,14 @@ def _sweep_stale_pid_dirs() -> None:
 
 
 def _workdir(sf_dir: str, name: str) -> str:
+    """Per-(sf, pid) scratch path.  The pid segment is load-bearing: two
+    concurrent processes at the same scale factor (e.g. a gate overlapping
+    a bench) must not share `py_sink_jsonl` etc. — one side's rmtree would
+    delete the directory while the other is mid-read.  Stale pid dirs are
+    reclaimed by _sweep_stale_pid_dirs on the next process's first call."""
     _sweep_stale_pid_dirs()
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    path = f"{WORK_ROOT}/{tag}/{name}"
+    path = f"{WORK_ROOT}/{tag}/{_pid_dir('work')}/{name}"
     os.makedirs(os.path.dirname(path), exist_ok=True)
     return path
 

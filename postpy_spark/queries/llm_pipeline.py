@@ -2500,11 +2500,20 @@ def sim_nndescent_refine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered because each round is plan-identical.  Rows-only
     (hyperplane-seed dependent); pytest pins refined ≥ seed ≥ the 0.9
     ANN bar; sim_nndescent_planted is the sql-hash-checked exact twin
-    (incomplete ring seed completed to the full co-group clique)."""
+    (incomplete ring seed completed to the full co-group clique).
+
+    The seed graph is materialized ONCE (eager localCheckpoint, k|V|
+    rows) before the round: nndescent_round references its input in
+    four plan branches (reverse cap, undirected hop-2 substrate, both
+    old-edge orders) and Spark has no cross-branch subplan CSE, so an
+    unmaterialized seed re-runs the whole LSH pipeline per branch —
+    measured 28.4 s → ~12 s at sf0.1.  Same discipline as the full
+    nndescent() loop's per-round checkpoint."""
     from postpy_spark.operators.similarity import knn_graph, nndescent_round
 
     em = load_table(spark, sf_dir, "embeddings")
-    return nndescent_round(knn_graph(em, k=5), em, k=5)
+    seed = knn_graph(em, k=5).localCheckpoint(eager=True)
+    return nndescent_round(seed, em, k=5)
 
 
 @query("multimodal_phash_dedup", oracle=None, group="D")
@@ -3629,20 +3638,22 @@ def dedup_editdist_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair of DISTINCT part names within Levenshtein distance 2, with the
     row multiplicity each name carries.
 
-    The Spark side runs the REAL scale path — ED-Join q-gram prefix-filter
+    The Spark side runs the REAL scale path — PassJoin partition-segment
     blocking then exact levenshtein verify on candidates only
-    (operators/editdist.py; Xiao/Wang/Lin VLDB'08) — while the DuckDB
-    oracle brute-forces the quadratic join, so the hash match PROVES the
-    blocking is lossless, not merely that two copies of the same plan
-    agree.  Scale design: the join runs over distinct VALUES (vocabulary-
-    sized, aggregated first with counts carried), prefixes hold each
-    value's q*d+1 rarest grams (posting-volume-minimizing order), and
-    every stage is a DataFrame built-in — no UDF, no cross join.
+    (operators/editdist.py; Li/Deng/Feng ICDE'11; probe fan-out bounded
+    at (d+1)²(2d+1) per value, so candidate volume stays data-bounded
+    even on low-diversity vocabularies where q-gram signatures saturate)
+    — while the DuckDB oracle brute-forces the quadratic join, so the
+    hash match PROVES the blocking is lossless, not merely that two
+    copies of the same plan agree.  Scale design: the join runs over
+    distinct VALUES (vocabulary-sized, aggregated first with counts
+    carried) and every stage is a DataFrame built-in — no UDF, no cross
+    join.
     """
     p = load_table(spark, sf_dir, "part")
     vals = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
     pairs = editdist.editdist_pairs(
-        vals.select(F.col("p_name").alias("val")), max_dist=2, q=2
+        vals.select(F.col("p_name").alias("val")), max_dist=2
     )
     return (
         pairs.join(
@@ -3690,7 +3701,7 @@ def dedup_editdist_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def er_canonical_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution: fuzzy-match distinct part names within
-    Levenshtein distance 2 (ED-Join blocked candidates + exact verify,
+    Levenshtein distance 2 (PassJoin blocked candidates + exact verify,
     operators/editdist.py), cluster matches with min-label connected
     components (operators/dedup.py — pointer-doubled, O(log diameter)
     rounds), and emit each name's CANONICAL surviving entity (min name in
@@ -3706,7 +3717,7 @@ def er_canonical_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     vals = p.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
     pairs = editdist.editdist_pairs(
-        vals.select(F.col("p_name").alias("val")), max_dist=2, q=2
+        vals.select(F.col("p_name").alias("val")), max_dist=2
     )
     comps = dedup.connected_components(pairs, "val_a", "val_b")
     labeled = vals.join(
@@ -3810,7 +3821,7 @@ def er_golden_record_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     vals = p.select("p_name").distinct()
     pairs = editdist.editdist_pairs(
-        vals.select(F.col("p_name").alias("val")), max_dist=2, q=2
+        vals.select(F.col("p_name").alias("val")), max_dist=2
     )
     comps = dedup.connected_components(pairs, "val_a", "val_b")
     labeled = p.join(

@@ -97,45 +97,43 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # -- round-12 rotation.  The driver samples the FIRST ~50 registry
+    # -- round-13 rotation.  The driver samples the FIRST ~50 registry
     # entries each round; cumulative attestation is COMPLETE (every
     # registered query carries >=1 driver row, all latest rows green) —
-    # the rotation's job is draining staleness.  This round: (a) the one
-    # query NEW this round; then (b) the ENTIRE remaining r5/r6-vintage
-    # CONTRACT tail — B4 tail-from-topk, all B5 set ops, all nine B6
-    # scalar families, all seven streaming ops, the sql-checked D-group
-    # heads, and all five E-group UDF surfaces (36 entries; r11's sample
-    # covered the r3-vintage blocks and B4 through win_first_last, so
-    # after this round NO contract op's latest driver row predates r6);
-    # then (c) the 16 r1-vintage extras, of which ~13 land inside this
-    # round's ~50-sample window and the remainder leads r13.  The approx
-    # pair (agg_approx_*), sample_frac, and the probabilistic dedup/ANN
-    # contract trio stay out of the prefix — they can only produce
+    # the rotation's job is draining staleness.  r12 covered its whole
+    # 50-entry prefix (CORRECTNESS_r12: 50/50 pass), leaving exactly two
+    # stale tiers: (a) the 13 remaining r1-vintage extras (single driver
+    # row since round 1), then (b) the 46-query r6-vintage block (TPC-H
+    # shapes, ETL variants, the D-group text/multimodal extras, streaming
+    # and UDF variants); ~37 of (b) land in this round's window and the
+    # ~9-query tail leads r14.  The approx pair (agg_approx_*),
+    # sample_frac, the probabilistic dedup/ANN contract trio, and
+    # sim_nndescent_refine stay out of the prefix — they can only produce
     # rows-only records and would waste sql-hash sample slots (their
-    # planted exact twins, all driver-attested r11, cover those paths).
-    # (a) new in round 12
-    "join_range_autowidth", "dedup_crossdoc_spans", "sim_nndescent_planted",
-    "stat_auc_roc", "stream_python_datasource", "sql_execute_params",
-    "sim_nndescent_converged", "dedup_editdist_blocked",
-    "er_canonical_entities", "dedup_editdist_scaled", "er_golden_record",
-    # (b) r5/r6-vintage contract rows: B4 tail, B5, B6, streaming, D, E
-    "topk_per_group", "sort_multi", "limit_n", "topk_global", "union_all",
-    "union_distinct", "intersect_ab", "except_ab",
-    "fn_string", "fn_regex", "fn_date", "fn_math", "fn_conditional",
-    "fn_cast", "fn_array", "fn_map", "fn_json",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark_late", "stream_dedup", "stream_stateful_sessionize",
-    "stream_sink_upsert",
-    "text_stats", "text_tokenize_tf", "text_tfidf", "dedup_exact",
-    "sim_cosine_pairs", "sim_topk_per_query", "multimodal_join",
-    "udf_scalar_py", "udf_scalar_pandas", "udaf_pandas",
-    "udtf_apply_in_pandas", "udtf_map_in_pandas",
-    # (c) r1-vintage extras (single driver row since round 1)
-    "tpch_q10_shape", "tpch_q18_shape", "win_range_frame",
+    # planted exact twins, all driver-attested r11/r12, cover those
+    # paths).
+    # (a) r1-vintage extras (single driver row since round 1)
     "scalar_subquery", "join_lateral", "recursive_cte",
     "fn_bitwise", "fn_hash", "fn_variant", "fn_string_extra",
     "agg_bool", "agg_median_mode", "agg_regr", "rollup_time_multires",
     "fn_array_hof", "join_anti_not_in",
+    # (b) r6-vintage rows, stalest contract-adjacent families first
+    "tpch_q3_shape", "tpch_q6_shape", "tpch_q12_shape", "tpch_q13_shape",
+    "tpch_q15_shape", "tpch_q17_shape", "tpch_q21_shape",
+    "merge_scd2", "scan_json", "join_bucketed_colocated",
+    "scan_partitioned_pruned", "join_asof_strict", "join_skew_salted",
+    "text_langid", "text_quality", "text_token_count", "doc_fingerprint",
+    "dedup_ngram_jaccard", "multimodal_ingest", "multimodal_image_stats",
+    "multimodal_resize", "multimodal_frame_sample",
+    "dedup_embedding_cosine", "text_bigram_lm", "text_heavy_hitters",
+    "text_pii_redact", "text_decontaminate", "text_repetition",
+    "text_unicode_nfc", "embed_norm_quant", "multimodal_dedup",
+    "multimodal_audio_stats", "shard_by_token_budget",
+    "agg_null_semantics", "agg_bitmap_distinct", "stream_stream_join",
+    "stream_two_level_agg", "stream_session_dynamic_gap",
+    "stream_static_enrich", "stream_scd2_dimension",
+    "udtf_python", "udtf_map_in_arrow", "udtf_cogroup_pandas",
+    "udf_scalar_pandas_iter", "udaf_pandas_window", "win_ntile_distributed",
 )
 
 

@@ -359,6 +359,41 @@ def test_stale_pid_scratch_dirs_swept(spark):
         shutil.rmtree(tag_dir, ignore_errors=True)
 
 
+def test_workdir_is_pid_keyed(spark, monkeypatch):
+    """Two concurrent processes at the same sf must get disjoint workdirs
+    (r12 judge repro: a concurrent gate's rmtree deleted py_sink_jsonl
+    while pytest was mid-read).  Pin by faking two pids and asserting the
+    paths differ; also pin that a dead-pid work_* dir is reclaimed."""
+    import os
+    import shutil
+
+    from postpy_spark.queries import etl_surface
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(etl_surface.os, "getpid", lambda: 111111)
+    p1 = etl_surface._workdir(sf, "alias_probe")
+    monkeypatch.setattr(etl_surface.os, "getpid", lambda: 222222)
+    p2 = etl_surface._workdir(sf, "alias_probe")
+    monkeypatch.undo()
+    tag_dir = os.path.dirname(os.path.dirname(p1))
+    try:
+        assert p1 != p2, "same-sf workdirs must not alias across pids"
+        assert "work_111111" in p1 and "work_222222" in p2
+        assert "work" in etl_surface.PID_DIR_PREFIXES, "sweepable"
+        # dead-pid work dirs are reclaimed on the next first call
+        stale = os.path.join(tag_dir, "work_999999")
+        os.makedirs(stale, exist_ok=True)
+        etl_surface._swept = False
+        mine = etl_surface._workdir(sf, "alias_probe_live")
+        assert not os.path.exists(stale), "dead-pid work dir must be swept"
+        assert os.path.isdir(os.path.dirname(mine)), "live dir survives"
+    finally:
+        for pid in (111111, 222222):
+            shutil.rmtree(
+                os.path.join(tag_dir, f"work_{pid}"), ignore_errors=True
+            )
+
+
 def test_compact_parquet_partitioned_layout(spark, tmp_path):
     """Hive-partitioned layout: sizing must see the nested data files (the
     old flat glob reported 0 bytes → single-file coalesce) and the rewrite

@@ -1,0 +1,198 @@
+"""Property-fuzz of the r12 family additions (r12 verdict item 6).
+
+Two generator families extend tests/test_fuzz_differential.py's spec
+grammar to the operator classes where round 12's bugs actually lived:
+
+- **Edit-distance predicate** (operators/editdist.py): random vocabularies
+  built from base strings plus insert/delete/substitute perturbations at
+  d ∈ {1,2,3}, over BOTH high-diversity and degenerate (2-letter)
+  alphabets — the degenerate regime is where q-gram signatures saturate
+  and where PassJoin's deficiency threshold must hold.  Both blocking
+  methods are asserted EXACTLY equal to a DuckDB brute-force quadratic
+  levenshtein join (the same compare the dedup_editdist_blocked oracle
+  runs, but over adversarial synthetic vocabularies including empty
+  strings and duplicates-after-perturbation).
+
+- **Prefix-sum consumers** (operators/ranking.py): the two-phase
+  bucketed global row_number / running-sum / running-max against
+  DuckDB's single-window oracle, over synthetic frames with heavy ties,
+  a hot key owning ~⅓ of all rows, NULL keys (Spark NULLS FIRST vs
+  DuckDB NULLS LAST must be aligned in the oracle), negative values and
+  forced-small bucket counts — bucket boundaries land mid-tie-run by
+  construction, exactly the class the r12 stat_auc_roc
+  spark_partition_id bug lived in (offsets drifting between the local
+  branch and the totals branch).
+
+Seeded-stable (``derandomize=True``): every run executes the same cases,
+so a failure reproduces by plain re-run.  Values are compared through
+compare_spark_duckdb — the exact-value + DESCRIBE-type-parity gate
+tools/check.py uses.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from postpy_spark.operators import editdist, ranking
+from postpy_spark.testing import compare_spark_duckdb
+
+CFG = settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ALPHABETS = ["ab", "abc", "abcdefgh", "abcdefghijklmnop"]
+
+
+@st.composite
+def editdist_vocab(draw):
+    """(vocab, d): base strings + ≤d-edit perturbations of them.
+
+    Perturbations guarantee the vocabulary contains pairs AT the
+    threshold (not just random strings that mostly miss), so every
+    example exercises the verify filter's boundary; the base strings
+    exercise the blocking's negative side."""
+    alphabet = draw(st.sampled_from(ALPHABETS))
+    d = draw(st.integers(min_value=1, max_value=3))
+    bases = draw(
+        st.lists(
+            st.text(alphabet=alphabet, min_size=0, max_size=12),
+            min_size=2,
+            max_size=6,
+            unique=True,
+        )
+    )
+    vocab = set(bases)
+    for b in bases:
+        for _ in range(draw(st.integers(min_value=0, max_value=2))):
+            s = b
+            for _ in range(draw(st.integers(min_value=1, max_value=d))):
+                op = draw(st.sampled_from(["ins", "del", "sub"]))
+                if op == "del" and s:
+                    i = draw(st.integers(min_value=0, max_value=len(s) - 1))
+                    s = s[:i] + s[i + 1 :]
+                elif op == "sub" and s:
+                    i = draw(st.integers(min_value=0, max_value=len(s) - 1))
+                    c = draw(st.sampled_from(alphabet))
+                    s = s[:i] + c + s[i + 1 :]
+                else:  # ins (and the fallback for ops on an empty string)
+                    i = draw(st.integers(min_value=0, max_value=len(s)))
+                    c = draw(st.sampled_from(alphabet))
+                    s = s[:i] + c + s[i:]
+            vocab.add(s)
+    return sorted(vocab), d
+
+
+def _vocab_oracle(vocab: list[str], d: int):
+    con = duckdb.connect()
+    con.register("vocab", pd.DataFrame({"val": vocab}))
+    sql = (
+        "SELECT a.val AS val_a, b.val AS val_b, "
+        "CAST(levenshtein(a.val, b.val) AS INTEGER) AS dist "
+        "FROM vocab a JOIN vocab b "
+        f"ON a.val < b.val AND levenshtein(a.val, b.val) <= {d}"
+    )
+    return con, sql
+
+
+@given(spec=editdist_vocab(), method=st.sampled_from(["passjoin", "qgram"]))
+@CFG
+def test_fuzz_editdist_blocking_lossless(spark, spec, method):
+    """Both blocking methods must equal the brute-force quadratic join on
+    any vocabulary — losslessness is the operator's whole contract."""
+    vocab, d = spec
+    df = spark.createDataFrame([(v,) for v in vocab], "val STRING")
+    pairs = editdist.editdist_pairs(df, "val", max_dist=d, method=method)
+    con, sql = _vocab_oracle(vocab, d)
+    problems = compare_spark_duckdb(pairs, con, sql)
+    assert not problems, (
+        f"{problems}\nmethod={method} d={d} vocab={vocab!r}"
+    )
+
+
+@st.composite
+def ranked_frame(draw):
+    """(rows, has_nulls): (id, key, v) rows with heavy ties and a hot key.
+
+    ~⅓ of rows share one hot key value (a tie run that a bucket split
+    necessarily lands inside once buckets > 1), the rest draw from a
+    small domain
+    (more ties) or a wide one; keys may be NULL; values span negatives."""
+    n = draw(st.integers(min_value=5, max_value=120))
+    hot = draw(st.integers(min_value=-5, max_value=5))
+    domain = draw(st.sampled_from(["tiny", "wide"]))
+    null_pct = draw(st.sampled_from([0, 0, 10, 40, 100]))
+    rows = []
+    for i in range(n):
+        r = draw(st.integers(min_value=0, max_value=99))
+        if r < null_pct:
+            key = None
+        elif r % 3 == 0:
+            key = hot
+        elif domain == "tiny":
+            key = draw(st.integers(min_value=-3, max_value=3))
+        else:
+            key = draw(st.integers(min_value=-10_000, max_value=10_000))
+        v = draw(st.integers(min_value=-1000, max_value=1000))
+        rows.append((i, key, v))
+    return rows
+
+
+def _ranked_oracle(rows):
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame(rows, columns=["id", "key", "v"]).astype(
+            {"id": "int64", "key": "Int64", "v": "int64"}
+        ),
+    )
+    return con
+
+
+RANK_OPS = ["row_number", "running_sum", "running_max"]
+
+
+@given(
+    rows=ranked_frame(),
+    op=st.sampled_from(RANK_OPS),
+    n_buckets=st.sampled_from([1, 2, 3, 7, None]),
+)
+@CFG
+def test_fuzz_global_ranking_two_phase(spark, rows, op, n_buckets):
+    """The bucketed two-phase ranking path must match DuckDB's one-window
+    form under ties, NULL keys, negative values, and any bucket count —
+    the offsets between phase 1 and phase 2 must agree by construction
+    (the r12 spark_partition_id bug class)."""
+    df = spark.createDataFrame(rows, "id BIGINT, key BIGINT, v BIGINT")
+    # Spark ASC default is NULLS FIRST; DuckDB's is NULLS LAST — align.
+    over = "ORDER BY key NULLS FIRST, id"
+    if op == "row_number":
+        out = ranking.global_row_number(
+            df, ["key", "id"], num_partitions=n_buckets, rn_col="r"
+        )
+        item = f"CAST(row_number() OVER ({over}) AS BIGINT) AS r"
+    elif op == "running_sum":
+        out = ranking.global_running_sum(
+            df, ["key", "id"], "v", sum_col="r", num_partitions=n_buckets
+        )
+        item = (
+            f"CAST(SUM(v) OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND CURRENT ROW) AS BIGINT) AS r"
+        )
+    else:
+        out = ranking.global_running_max(
+            df, ["key", "id"], "v", max_col="r", num_partitions=n_buckets
+        )
+        item = (
+            f"CAST(MAX(v) OVER ({over} ROWS BETWEEN UNBOUNDED PRECEDING "
+            f"AND CURRENT ROW) AS BIGINT) AS r"
+        )
+    sql = f"SELECT id, key, v, {item} FROM t"
+    problems = compare_spark_duckdb(out.select("id", "key", "v", "r"), _ranked_oracle(rows), sql)
+    assert not problems, f"{problems}\nop={op} buckets={n_buckets} n={len(rows)}"

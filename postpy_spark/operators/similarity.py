@@ -737,6 +737,7 @@ def nndescent(
     vec_col: str = "embedding",
     max_rounds: int = 3,
     min_new_frac: float = 0.01,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Full NN-descent (Dong et al. 2011): iterate :func:`nndescent_round`
     until a round contributes fewer than ``min_new_frac`` x |E| new edges
@@ -749,8 +750,15 @@ def nndescent(
     count of new edges and an edge count — never a collect of rows),
     the same discipline as the connected-components fixpoint.  Each
     round's result is localCheckpoint()ed so the lineage does not grow
-    with rounds (graphs are k|V| rows — small relative to the corpus)."""
+    with rounds (graphs are k|V| rows — small relative to the corpus).
+
+    ``stats`` (optional dict) records the convergence trajectory:
+    ``rounds`` run, ``converged`` (early-stop fired), and ``per_round``
+    = [{new_edges, total_edges, new_frac}, ...] — the driver-visible
+    attestation the scale soak records (docs/SCALE_SOAK.md)."""
     prev = graph.localCheckpoint()
+    per_round: list[dict] = []
+    converged = False
     for _ in range(max_rounds):
         nxt = nndescent_round(
             prev, vectors, k, id_col=id_col, vec_col=vec_col
@@ -762,8 +770,20 @@ def nndescent(
         )
         total = nxt.count()
         prev = nxt
+        per_round.append(
+            {
+                "new_edges": new_edges,
+                "total_edges": total,
+                "new_frac": round(new_edges / max(total, 1), 4),
+            }
+        )
         if new_edges <= min_new_frac * max(total, 1):
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = len(per_round)
+        stats["converged"] = converged
+        stats["per_round"] = per_round
     return prev
 
 

@@ -1501,6 +1501,57 @@ def test_crossdoc_spans_exact_offsets_and_caps(spark):
     assert r.passage == shared
 
 
+def test_nndescent_per_round_recall_monotone_planted(spark):
+    """Per-round recall on a planted MULTI-round geometry (r12 verdict
+    item 5): 10 one-hot groups of NINE with a directed ring seed and k=4.
+    A 9-group cannot complete from a ring in one hop-2 round (round 1
+    reaches ±2 only), so rounds 2+ do real work — recall must be
+    non-decreasing round over round (old edges stay in the candidate
+    set), reach the closed-form truth (each node's 4 smallest co-group
+    ids — all in-group cosines are exactly 1.0, so the dst tie-break
+    decides), and the packaged loop's stats must report convergence with
+    a final zero-new-edge round."""
+    from postpy_spark.operators.similarity import nndescent, nndescent_round
+
+    G, S, k = 10, 9, 4
+    ids = spark.range(G * S).select(F.col("id").cast("bigint").alias("vec_id"))
+    onehot = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.when(
+            j == (F.col("vec_id") / S).cast("int"), 1.0
+        ).otherwise(0.0),
+    )
+    em = ids.select("vec_id", onehot.alias("embedding"))
+    seed = ids.select(
+        F.col("vec_id").alias("src"),
+        (
+            F.floor(F.col("vec_id") / S) * S + (F.col("vec_id") % S + 1) % S
+        ).cast("bigint").alias("dst"),
+        F.lit(1.0).alias("cosine"),
+        F.lit(1).cast("bigint").alias("rank"),
+    ).localCheckpoint()
+    truth = set()
+    for g in range(G):
+        members = list(range(g * S, (g + 1) * S))
+        for i in members:
+            for j in sorted(x for x in members if x != i)[:k]:
+                truth.add((i, j))
+    prev, recalls = seed, []
+    for _ in range(4):
+        prev = nndescent_round(prev, em, k=k).localCheckpoint()
+        got = {(r.src, r.dst) for r in prev.select("src", "dst").collect()}
+        recalls.append(len(got & truth) / len(truth))
+    assert all(b >= a - 1e-12 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[0] < 1.0, recalls  # genuinely multi-round geometry
+    assert recalls[-1] == 1.0, recalls  # full closed-form convergence
+    st: dict = {}
+    nndescent(seed, em, k=k, max_rounds=6, min_new_frac=0.0, stats=st)
+    assert st["converged"] and 2 <= st["rounds"] <= 4, st
+    assert st["per_round"][-1]["new_edges"] == 0, st
+    fracs = [r["new_frac"] for r in st["per_round"]]
+    assert fracs == sorted(fracs, reverse=True), fracs  # shrinking frontier
+
+
 def test_nndescent_converge_monotone_and_terminates(spark):
     """The full NN-descent loop: recall is non-decreasing across rounds
     (each round's candidate set contains the previous edges) and the

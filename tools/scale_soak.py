@@ -106,6 +106,13 @@ SOAK_OPS = [
     # pathology the reverse-neighbor cap exists for; without it the
     # friends-of-friends join is quadratic in degree.
     "sim_nndescent_refine",
+    # r13: the fuzzy-ER family under the part-name plant (each replica's
+    # name d≤2 from its base, pair mass linear in mult) — PassJoin's
+    # bounded probe fan-out is what must keep the candidate set
+    # data-bounded as the name vocabulary multiplies; the CC consumer
+    # rides the same pairs with O(log diameter) rounds.
+    "dedup_editdist_blocked",
+    "er_canonical_entities",
 ]
 
 #: Exact-parity sweep at the soak tier (r10 verdict item 6): sql-checked
@@ -168,15 +175,28 @@ SOAK_SWEEP = [
     "fn_bitwise", "fn_hash", "fn_variant", "fn_string_extra",
     "agg_bool", "agg_median_mode", "agg_regr",
     "fn_array_hof", "join_anti_not_in", "join_range_autowidth",
-    "stat_auc_roc", "dedup_editdist_blocked", "dedup_editdist_scaled",
-    "er_canonical_entities", "er_golden_record",
+    "stat_auc_roc", "dedup_editdist_scaled",
+    # dedup_editdist_blocked / er_canonical_entities / er_golden_record
+    # left the sweep in r13: part is now SYNTHESIZED with the ER plant
+    # (replica names d≤2 from their base), and their DuckDB oracles
+    # brute-force a quadratic levenshtein join — infeasible at a ~320k
+    # name vocabulary.  Their scaled-tier evidence is the SOAK_OPS timing
+    # row + the planted-pair completeness assert in engagement_stats
+    # (every planted base↔replica pair must be recovered), while exact
+    # oracle parity stays gated per-round at sf0.01.
+    # dedup_editdist_scaled stays: its vocabulary derives from orders
+    # (copied unscaled), so its ~8M-pair oracle remains feasible.
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key
 SLACK = 2.0           # linearity head-room (scheduling floors, salt passes)
 
+#: part replicas get a new partkey = base + rep * ER_KEY_STRIDE, so a
+#: replica's base row is recoverable as pmod(p_partkey, ER_KEY_STRIDE)
+ER_KEY_STRIDE = 10**7
+
 COPY_TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "region", "nation", "customer", "supplier", "orders", "lineitem",
 ]
 
 BOILER = (
@@ -193,7 +213,9 @@ TEMPLATE = (
 def synthesize(spark: SparkSession, base: str, out: str, mult: int) -> None:
     """Write the planted ×mult tier (idempotent via a marker file)."""
     marker = os.path.join(out, "_SOAK_OK")
-    want = f"{base}|{mult}"
+    # v2: part is synthesized (ER plant) rather than copied — stale tiers
+    # from earlier rounds must re-synthesize
+    want = f"{base}|{mult}|v2"
     if os.path.exists(marker) and open(marker).read().strip() == want:
         return
     shutil.rmtree(out, ignore_errors=True)
@@ -308,6 +330,41 @@ def synthesize(spark: SparkSession, base: str, out: str, mult: int) -> None:
     )
     embs.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
+    # part: the fuzzy-ER plant (r12 verdict item 3).  Each replica's
+    # p_name is the base row's name with a 2-char 'zq' overlay at a
+    # rep-dependent position — edit distance ≤ 2 from its base, while two
+    # replicas of the same base differ at FOUR positions (d=4 > 2) unless
+    # the position wheel wraps, so the d≤2 pair mass grows ~LINEARLY in
+    # mult (base↔replica pairs), the same density rule as the other
+    # tables.  This is the fixed-name-shape regime the PassJoin blocking
+    # exists for: at 16× the ~320k-name vocabulary is where the q-gram
+    # signature space saturated (operators/editdist.py module docstring).
+    p = spark.read.parquet(f"{base}/part.parquet")
+    pos = (
+        F.lit(1)
+        + F.lit(2)
+        * F.pmod(
+            F.col("rep") - 1,
+            F.greatest(
+                F.floor((F.length("p_name") - F.lit(1)) / 2), F.lit(1)
+            ),
+        )
+    ).cast("int")
+    parts = (
+        p.select("*", rep)
+        .withColumn(
+            "p_partkey", F.col("p_partkey") + F.col("rep") * F.lit(ER_KEY_STRIDE)
+        )
+        .withColumn(
+            "p_name",
+            F.when(
+                F.col("rep") > 0, F.overlay(F.col("p_name"), F.lit("zq"), pos)
+            ).otherwise(F.col("p_name")),
+        )
+        .drop("rep")
+    )
+    parts.write.mode("overwrite").parquet(f"{out}/part.parquet")
+
     for t in COPY_TABLES:
         src = f"{base}/{t}.parquet"
         if os.path.exists(src):
@@ -398,7 +455,70 @@ def engagement_stats(spark: SparkSession, soak: str) -> dict:
     hot = e.filter(F.col("user_id") == HOT_USER).count()
     out["hot_user_share"] = round(hot / total, 4)
     assert 0.15 <= hot / total <= 0.3, out["hot_user_share"]
+
+    # ER plant: the PassJoin blocking must recover EVERY planted
+    # base↔replica name pair (losslessness at the tier where the oracle
+    # sweep's quadratic levenshtein join is infeasible), and the candidate
+    # fan-out must stay near the true pair mass (the bound grams lacked).
+    from postpy_spark.operators import editdist as ED
+
+    p = load_table(spark, soak, "part")
+    vals = p.select(F.col("p_name").alias("val")).distinct()
+    n_names = vals.count()
+    cand = ED.passjoin_candidates(vals, "val", 2).count()
+    pairs = ED.editdist_pairs(vals, max_dist=2).localCheckpoint()
+    true_pairs = pairs.count()
+    base_names = p.filter(F.col("p_partkey") < ER_KEY_STRIDE).select(
+        F.col("p_partkey").alias("_bk"), F.col("p_name").alias("_bn")
+    )
+    planted = (
+        p.filter(F.col("p_partkey") >= ER_KEY_STRIDE)
+        .select(
+            F.pmod(F.col("p_partkey"), F.lit(ER_KEY_STRIDE)).alias("_bk"),
+            F.col("p_name").alias("_rn"),
+        )
+        .join(base_names, "_bk")
+        .filter(F.col("_rn") != F.col("_bn"))
+        .select(
+            F.least("_rn", "_bn").alias("val_a"),
+            F.greatest("_rn", "_bn").alias("val_b"),
+        )
+        .distinct()
+    )
+    n_planted = planted.count()
+    missing = planted.join(pairs, ["val_a", "val_b"], "left_anti").count()
+    out["er"] = {
+        "n_names": n_names,
+        "candidates": cand,
+        "true_pairs": true_pairs,
+        "cand_per_true": round(cand / max(true_pairs, 1), 2),
+        "planted_pairs": n_planted,
+        "planted_missing": missing,
+    }
+    assert n_planted > 0, "ER plant produced no planted pairs"
+    assert missing == 0, f"ER blocking missed {missing} planted pairs"
     return out
+
+
+def nndescent_convergence(
+    spark: SparkSession, soak: str, k: int = 5, max_rounds: int = 4
+) -> dict:
+    """Full NN-descent loop on the soak tier's embeddings (dense-cluster
+    plant): records rounds-to-convergence and per-round new-edge
+    fractions (r12 verdict item 5).  The loop's own per-round counts ARE
+    the actions, so the returned stats reflect real executed rounds."""
+    from postpy_spark.io import load_table
+    from postpy_spark.operators.similarity import knn_graph, nndescent
+
+    em = load_table(spark, soak, "embeddings")
+    st: dict = {}
+    t0 = time.perf_counter()
+    seed = knn_graph(em, k=k).localCheckpoint()
+    st["seed_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    nndescent(seed, em, k=k, max_rounds=max_rounds, min_new_frac=0.01, stats=st)
+    st["loop_s"] = round(time.perf_counter() - t0, 1)
+    return st
 
 
 def run_soak(
@@ -441,6 +561,12 @@ def main() -> None:
         help="subset of SOAK_OPS to time (e.g. --ops dedup_semantic for a "
         "single-op probe at a higher mult); cap-engagement still runs",
     )
+    ap.add_argument(
+        "--nndescent", action="store_true",
+        help="also run the full NN-descent convergence loop on the soak "
+        "tier (rounds-to-convergence + per-round new-edge fractions; "
+        "~5-8 min at mult=16)",
+    )
     args = ap.parse_args()
     out = args.out or f"/tmp/pp_soak_m{args.mult}_{os.path.basename(args.base)}"
 
@@ -458,6 +584,15 @@ def main() -> None:
     print("timed soak ...", flush=True)
     rows, problems = run_soak(spark, args.base, out, args.mult, ops=args.ops)
     rows["engagement"] = eng
+    if args.nndescent:
+        print("nndescent convergence ...", flush=True)
+        nd = nndescent_convergence(spark, out)
+        rows["nndescent"] = nd
+        print(json.dumps(nd), flush=True)
+        if not nd["converged"]:
+            problems.append(
+                f"nndescent did not converge within {nd['rounds']} rounds"
+            )
     print(json.dumps(rows), flush=True)
 
     if args.write_doc:
@@ -506,6 +641,23 @@ def _write_doc(rows: dict) -> None:
         f"- SemDeDup cell cap: `{json.dumps(eng['semantic'])}`",
         f"- Hot-user share of events: **{eng['hot_user_share']:.1%}**"
         " (planted ~20% on one key)",
+    ]
+    if "er" in eng:
+        lines.append(
+            f"- ER plant (PassJoin losslessness + fan-out): `{json.dumps(eng['er'])}`"
+        )
+    if "nndescent" in rows:
+        nd = rows["nndescent"]
+        lines += [
+            "",
+            "## NN-descent convergence on the planted tier",
+            "",
+            f"Full loop (k=5, min_new_frac=0.01): **{nd['rounds']} rounds, "
+            f"converged={nd['converged']}**, seed {nd['seed_s']} s + loop "
+            f"{nd['loop_s']} s.  Per-round new-edge fractions: "
+            f"`{json.dumps(nd['per_round'])}`",
+        ]
+    lines += [
         "",
         "Small configuration (mult=3 on sf0.01) runs per-round in",
         "`tests/test_scale_soak.py`.",

@@ -1185,6 +1185,124 @@ def shard_by_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               CAST(LEN(string_split({_NORM_SQL}, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        -- window SUM(BIGINT) widens to HUGEINT, which generate_series
+        -- has no overload for — pin BIGINT here
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+                    AS BIGINT) AS tok_off
+        FROM tok
+    ),
+    s AS (
+        SELECT doc_id, n_tokens, tok_off,
+               unnest(generate_series(tok_off // 2048,
+                                      (tok_off + n_tokens - 1) // 2048))
+                   AS seq_id
+        FROM c WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(GREATEST(tok_off, seq_id * 2048) - seq_id * 2048 AS BIGINT)
+               AS start_in_seq,
+           CAST(LEAST(tok_off + n_tokens, (seq_id + 1) * 2048)
+                - GREATEST(tok_off, seq_id * 2048) AS BIGINT) AS n_in_seq
+    FROM s
+    """,
+    group="D",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest for LLM pretraining: the corpus is one
+    contiguous token stream (docs concatenated in doc_id order) cut into
+    fixed 2048-token training sequences; emit, for every (doc, sequence)
+    incidence, the doc's start offset and token count within that
+    sequence — exactly the manifest a packed dataloader needs (a doc
+    straddling a cut appears in each sequence it spans).
+
+    Scale: the only corpus-wide dependency is the global token prefix
+    sum, which runs on the bucketed two-phase path
+    (operators/ranking.py::global_running_sum — two shuffles, no
+    single-task stage); the explode fans each doc out to its
+    ceil(len/2048)+1 spanned sequences only (bounded, density-preserving).
+    All arithmetic integer end-to-end — no float boundary to drift
+    cross-engine."""
+    from postpy_spark.operators.ranking import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", TX.n_words(F.col("text")).alias("n_tokens")
+    )
+    c = (
+        global_running_sum(d, ["doc_id"], "n_tokens", "cum")
+        .withColumn("tok_off", F.col("cum") - F.col("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    s = c.select(
+        "doc_id",
+        "n_tokens",
+        "tok_off",
+        F.explode(
+            F.sequence(
+                F.expr("tok_off div 2048"),
+                F.expr("(tok_off + n_tokens - 1) div 2048"),
+            )
+        ).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * 2048
+    doc_start = F.greatest(F.col("tok_off"), seq_start)
+    doc_end = F.least(F.col("tok_off") + F.col("n_tokens"), seq_start + 2048)
+    return s.select(
+        "doc_id",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        (doc_start - seq_start).cast("bigint").alias("start_in_seq"),
+        (doc_end - doc_start).cast("bigint").alias("n_in_seq"),
+    )
+
+
+@query(
+    "mixture_resample",
+    oracle="""
+    WITH n AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source, n.n_src
+    FROM documents d JOIN n USING (source)
+    WHERE (d.doc_id * 2654435761) % 1048576
+          < (2 * 1048576) // CAST(FLOOR(SQRT(n.n_src)) AS BIGINT)
+    """,
+    group="D",
+)
+def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style mixture rebalancing (the per-domain downsampling
+    a pretraining data pipeline runs before packing): each source keeps
+    documents with probability ~min(1, 2/sqrt(n_source)), so big sources
+    are downsampled toward sqrt-proportional mass (temperature alpha=0.5
+    up to normalization) while small sources survive whole.  Membership
+    is a DETERMINISTIC Knuth-hash residue on doc_id — epoch-stable,
+    re-runnable, no RNG state.
+
+    Cross-engine exactness: the keep threshold is computed ALL-INTEGER
+    (floor(sqrt(n)) is exact for n < 2^52, then one bigint division), so
+    no float accumulation or pow() parity is involved.  Scale: one
+    grouped count (source-cardinality-sized, broadcast back) + a scan
+    filter — no corpus shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_src"))
+    thresh = F.expr("(2 * 1048576) div CAST(FLOOR(SQRT(n_src)) AS BIGINT)")
+    return (
+        d.join(F.broadcast(n), "source")
+        .filter(F.pmod(F.col("doc_id") * 2654435761, F.lit(1048576)) < thresh)
+        .select("doc_id", "source", "n_src")
+    )
+
+
 @query("dedup_incremental", oracle=None, group="D")
 def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-ingest near-dup detection: the 20% "new batch" (doc_id % 5 = 0)

@@ -112,6 +112,8 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # rows-only records and would waste sql-hash sample slots (their
     # planted exact twins, all driver-attested r11/r12, cover those
     # paths).
+    # (0) new in round 13 (training-data pipeline: packing + mixture)
+    "pack_sequences", "mixture_resample",
     # (a) r1-vintage extras (single driver row since round 1)
     "scalar_subquery", "join_lateral", "recursive_cte",
     "fn_bitwise", "fn_hash", "fn_variant", "fn_string_extra",

@@ -403,6 +403,64 @@ def test_shard_by_token_budget_invariants(spark):
             assert total + docs[-1].n_tokens >= budget or True
 
 
+def test_pack_sequences_invariants(spark):
+    """The packing manifest must tile the token stream exactly: per doc,
+    its spanned slices are contiguous and sum to its token count; per
+    sequence, slices fill [0, 2048) without overlap (the last sequence
+    may be ragged); sequence ids are dense from 0."""
+    from postpy_spark.registry import load_all
+    from postpy_spark.text import n_words
+
+    rows = load_all()["pack_sequences"].fn(spark, SF_SMOKE).collect()
+    L = 2048
+    toks = {
+        r.doc_id: r.nt
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", n_words(F.col("text")).alias("nt"))
+        .collect()
+    }
+    by_doc, by_seq = {}, {}
+    for r in rows:
+        assert 0 <= r.start_in_seq < L and 0 < r.n_in_seq <= L, r
+        by_doc.setdefault(r.doc_id, []).append(r)
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for doc_id, slices in by_doc.items():
+        assert sum(s.n_in_seq for s in slices) == toks[doc_id], doc_id
+        seqs = sorted(s.seq_id for s in slices)
+        assert seqs == list(range(seqs[0], seqs[-1] + 1)), doc_id
+    assert set(by_seq) == set(range(len(by_seq)))
+    for sid in sorted(by_seq):
+        slices = sorted(by_seq[sid], key=lambda s: s.start_in_seq)
+        pos = 0
+        for s in slices:
+            assert s.start_in_seq == pos, (sid, s)
+            pos += s.n_in_seq
+        if sid < max(by_seq):
+            assert pos == L, (sid, pos)  # every interior sequence is full
+
+
+def test_mixture_resample_rebalances(spark):
+    """Inverse-sqrt mixture sampling: keep rate per source tracks
+    min(1, 2/sqrt(n_src)) within binomial noise and is deterministic
+    (epoch-stable) across invocations."""
+    from postpy_spark.registry import load_all
+
+    fn = load_all()["mixture_resample"].fn
+    kept = fn(spark, SF_SMOKE).collect()
+    assert kept and {(r.doc_id) for r in kept} == {
+        r.doc_id for r in fn(spark, SF_SMOKE).collect()
+    }  # deterministic
+    src_n = {r.source: r.n_src for r in kept}
+    kept_n = {}
+    for r in kept:
+        kept_n[r.source] = kept_n.get(r.source, 0) + 1
+    for s, n in src_n.items():
+        p = min(1.0, (2 * 1048576 // int(n**0.5)) / 1048576)
+        k = kept_n[s]
+        sd = max(1.0, (n * p * (1 - p)) ** 0.5)
+        assert abs(k - n * p) <= 5 * sd + 1, (s, n, k, p)
+
+
 def test_incremental_dedup_equals_full_restricted(spark, docs):
     """Incremental (old × new) pairs must EXACTLY equal the full pipeline's
     pairs restricted to those touching a new id — same signatures, bands,

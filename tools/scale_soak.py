@@ -176,16 +176,15 @@ SOAK_SWEEP = [
     "agg_bool", "agg_median_mode", "agg_regr",
     "fn_array_hof", "join_anti_not_in", "join_range_autowidth",
     "stat_auc_roc", "dedup_editdist_scaled",
-    # dedup_editdist_blocked / er_canonical_entities / er_golden_record
-    # left the sweep in r13: part is now SYNTHESIZED with the ER plant
-    # (replica names d≤2 from their base), and their DuckDB oracles
-    # brute-force a quadratic levenshtein join — infeasible at a ~320k
-    # name vocabulary.  Their scaled-tier evidence is the SOAK_OPS timing
-    # row + the planted-pair completeness assert in engagement_stats
-    # (every planted base↔replica pair must be recovered), while exact
-    # oracle parity stays gated per-round at sf0.01.
-    # dedup_editdist_scaled stays: its vocabulary derives from orders
-    # (copied unscaled), so its ~8M-pair oracle remains feasible.
+    # The part-reading ER queries stay sweepable even though part is now
+    # SYNTHESIZED with the ER plant: testdata's part carries only 64
+    # distinct names, so the planted vocabulary is ~64×(positions+1) ≈
+    # 300 names and the quadratic levenshtein oracles remain feasible.
+    # True vocabulary-scaling evidence comes from er_probe (below), not
+    # from these — the registered queries' work is bounded by the
+    # vocabulary, not the row count (their SOAK_OPS ratios ≈ 1 SHOW
+    # that: 16× more part rows, same distinct-name work).
+    "dedup_editdist_blocked", "er_canonical_entities", "er_golden_record",
 ]
 
 HOT_USER = 1          # exists in customer → hot group AND join key
@@ -500,6 +499,96 @@ def engagement_stats(spark: SparkSession, soak: str) -> dict:
     return out
 
 
+def _er_vocab(spark: SparkSession, n: int):
+    """Planted fixed-shape vocabulary of n strings over alphabet {a,b,c}
+    (degenerate — the regime where q-gram signatures saturate and the
+    original blocking died, operators/editdist.py module docstring):
+    clusters of 4 (1 base + 3 variants, each variant = 2 forced-differing
+    substitutions at disjoint positions), so true d≤2 pair mass is
+    EXACTLY 3 per cluster — linear in n, the same density rule as the
+    table synthesis.  Lengths 24-32 keep cross-cluster d≤2 collisions
+    vanishing (3^24 ≈ 3e11 space), so super-linear growth in the probe
+    is an OPERATOR defect, never an output artifact."""
+    ids = spark.range(n)
+    gid = F.expr("id div 4")
+    v = F.pmod(F.col("id"), F.lit(4))
+    length = F.lit(24) + F.pmod(F.xxhash64(gid), F.lit(9))
+    abc = F.array(F.lit("a"), F.lit("b"), F.lit("c"))
+
+    def ch(j):
+        base_idx = F.pmod(F.xxhash64(gid, j), F.lit(3))
+        is_sub = (v > 0) & ((j == (v - 1) * 2) | (j == (v - 1) * 2 + 1))
+        idx = F.when(is_sub, F.pmod(base_idx + 1, F.lit(3))).otherwise(base_idx)
+        return F.element_at(abc, (idx + 1).cast("int"))
+
+    val = F.array_join(
+        F.transform(F.sequence(F.lit(0), (length - 1).cast("int")), ch), ""
+    )
+    return ids.select(gid.alias("gid"), val.alias("val"))
+
+
+def er_probe(spark: SparkSession, mult: int, n0: int = 6000) -> dict:
+    """Vocabulary-scaling ER probe (r12 verdict item 3).  The SOAK_OPS
+    rows for the ER family are VOCABULARY-bounded (testdata part has 64
+    distinct names → ratio ≈ 1 at any row mult), so the scaling variable
+    that actually stresses PassJoin — distinct-string count — must be
+    synthesized directly: n0 strings (base) vs n0×mult (soak), planted
+    clusters, editdist_pairs + connected_components timed on each.
+    Asserts blocking completeness (every planted in-cluster pair
+    recovered) and the linearity gate, and records candidate fan-out."""
+    from postpy_spark.operators import dedup as D
+    from postpy_spark.operators import editdist as ED
+
+    sc = spark.sparkContext
+    out: dict = {"n_base": n0, "n_soak": n0 * mult}
+    # warm the session untimed (codegen/broadcast machinery) so the base
+    # measurement is not first-query-cold, which would inflate the
+    # denominator and understate the ratio
+    warm = _er_vocab(spark, 200).select("val")
+    ED.editdist_pairs(warm, max_dist=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    for tag, n in (("base", n0), ("soak", n0 * mult)):
+        vocab = _er_vocab(spark, n).localCheckpoint()
+        vals = vocab.select("val")
+        sc.setJobGroup(f"er_probe_{tag}", f"er_probe_{tag}")
+        try:
+            t0 = time.perf_counter()
+            pairs = ED.editdist_pairs(vals, max_dist=2).localCheckpoint()
+            comps = D.connected_components(pairs, "val_a", "val_b")
+            n_comp = comps.select("component").distinct().count()
+            dt = time.perf_counter() - t0
+        finally:
+            sc.setJobGroup("", "")
+        true_pairs = pairs.count()
+        cand = ED.passjoin_candidates(vals, "val", 2).count()
+        # completeness: every planted in-cluster pair must be present
+        planted = (
+            vocab.alias("a")
+            .join(vocab.alias("b"), "gid")
+            .filter(F.col("a.val") < F.col("b.val"))
+            .filter(F.levenshtein(F.col("a.val"), F.col("b.val")) <= 2)
+            .select(
+                F.col("a.val").alias("val_a"), F.col("b.val").alias("val_b")
+            )
+            .distinct()
+        )
+        n_planted = planted.count()
+        missing = planted.join(pairs, ["val_a", "val_b"], "left_anti").count()
+        assert missing == 0, f"er_probe {tag}: {missing} planted pairs missed"
+        out[tag] = {
+            "wall_s": round(dt, 2),
+            "true_pairs": true_pairs,
+            "candidates": cand,
+            "cand_per_true": round(cand / max(true_pairs, 1), 2),
+            "planted_pairs": n_planted,
+            "components": n_comp,
+            "failed_tasks": _failed_tasks(sc, f"er_probe_{tag}"),
+        }
+    out["ratio"] = round(out["soak"]["wall_s"] / max(out["base"]["wall_s"], 1e-3), 1)
+    return out
+
+
 def nndescent_convergence(
     spark: SparkSession, soak: str, k: int = 5, max_rounds: int = 4
 ) -> dict:
@@ -567,6 +656,11 @@ def main() -> None:
         "tier (rounds-to-convergence + per-round new-edge fractions; "
         "~5-8 min at mult=16)",
     )
+    ap.add_argument(
+        "--er-probe", action="store_true",
+        help="also run the vocabulary-scaling ER probe (6000 vs "
+        "6000×mult planted strings through editdist_pairs + CC)",
+    )
     args = ap.parse_args()
     out = args.out or f"/tmp/pp_soak_m{args.mult}_{os.path.basename(args.base)}"
 
@@ -593,6 +687,19 @@ def main() -> None:
             problems.append(
                 f"nndescent did not converge within {nd['rounds']} rounds"
             )
+    if args.er_probe:
+        print("er vocabulary probe ...", flush=True)
+        er = er_probe(spark, args.mult)
+        rows["er_probe"] = er
+        print(json.dumps(er), flush=True)
+        if er["ratio"] > args.mult * SLACK:
+            problems.append(
+                f"er_probe: super-linear growth {er['ratio']}x at "
+                f"mult={args.mult}"
+            )
+        ft = er["base"]["failed_tasks"] + er["soak"]["failed_tasks"]
+        if ft:
+            problems.append(f"er_probe: {ft} failed tasks")
     print(json.dumps(rows), flush=True)
 
     if args.write_doc:
@@ -656,6 +763,23 @@ def _write_doc(rows: dict) -> None:
             f"converged={nd['converged']}**, seed {nd['seed_s']} s + loop "
             f"{nd['loop_s']} s.  Per-round new-edge fractions: "
             f"`{json.dumps(nd['per_round'])}`",
+        ]
+    if "er_probe" in rows:
+        er = rows["er_probe"]
+        lines += [
+            "",
+            "## ER vocabulary-scaling probe",
+            "",
+            "The registered ER queries' work is bounded by the DISTINCT-"
+            "name count (their table rows above sit at ratio ≈ 1 by"
+            " design), so the scaling axis that stresses PassJoin is"
+            " probed directly on planted fixed-shape vocabularies"
+            f" (alphabet {{a,b,c}}, linear pair mass): **{er['n_base']} →"
+            f" {er['n_soak']} strings, {er['base']['wall_s']} s →"
+            f" {er['soak']['wall_s']} s (ratio {er['ratio']}×)**, blocking"
+            " completeness asserted on every planted pair, 0 failed"
+            f" tasks.  Fan-out: `{json.dumps(er['base'])}` →"
+            f" `{json.dumps(er['soak'])}`",
         ]
     lines += [
         "",

@@ -797,6 +797,23 @@ def _write_doc(rows: dict) -> None:
 #: refresh silently dropped this section once; keep static content here so
 #: regeneration preserves it).
 _STATIC_EPILOGUE = [
+    "## The 32× ER vocabulary probe (round 13)",
+    "",
+    "`er_probe` at mult=32 — **192,000 planted strings over alphabet",
+    "{a,b,c}** (degenerate regime, ~2× the r12 100k standalone record):",
+    "editdist_pairs + connected_components in **26.98 s vs 7.46 s at the",
+    "6k base (ratio 3.6×, gate ≤64), 0 failed tasks**; every one of the",
+    "151,746 planted d≤2 pairs recovered (7 additional genuine",
+    "cross-cluster pairs appeared at this density — birthday collisions,",
+    "each re-verified by the exact levenshtein filter — merging 3 of the",
+    "48k planted components: 47,997 observed).  Honest trend to record:",
+    "candidates-per-true-pair grows 3.7 → 28.6 → 54.7 at 6k/96k/192k as",
+    "the 3-letter segment space saturates — the verify stage stays linear",
+    "in candidates (8.3M at 192k, cheap), but a corpus pushing beyond",
+    "~10⁶ distinct strings at THIS alphabet would want longer segments",
+    "(higher d partitioning) or a length-stratified pre-split; real",
+    "vocabularies (larger alphabets) do not saturate this way.",
+    "",
     "## Exact-value parity at the 16× tier (round 8)",
     "",
     "`tools/check.py` now also runs against Spark-written directory-parquet",

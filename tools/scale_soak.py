@@ -143,6 +143,8 @@ SOAK_SWEEP = [
     "doc_fingerprint",
     "docs_quality_filter_chain", "docs_split_assign", "shard_by_token_budget",
     "dedup_url_canonical", "dedup_doc_prefix",
+    # r13 additions (documents-scaled: packing manifest + mixture sampling)
+    "pack_sequences", "mixture_resample",
     # embeddings (1M vectors, dense-cluster plant)
     "dedup_embedding_cosine", "embed_norm_quant", "embed_matryoshka",
     "embed_centroid_drift", "sim_cosine_pairs", "sim_topk_per_query",

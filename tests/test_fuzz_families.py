@@ -155,6 +155,71 @@ def _ranked_oracle(rows):
     return con
 
 
+@st.composite
+def asof_frames(draw):
+    """(left_rows, right_rows): per-key timelines with deliberate time
+    TIES — left times colliding with right times (the strict-vs-backward
+    boundary), duplicate left times, a hot key owning most rows — and
+    keys that exist on only one side (left-join NULL payloads).  Right
+    rows are unique per (key, time) as the operator contract requires."""
+    n_l = draw(st.integers(min_value=1, max_value=60))
+    times = st.integers(min_value=0, max_value=40)  # dense → many ties
+    keys = st.integers(min_value=0, max_value=3)
+    left = []
+    for i in range(n_l):
+        k = 0 if draw(st.integers(min_value=0, max_value=2)) == 0 else draw(keys)
+        left.append((i, k, draw(times)))
+    right = {}
+    for _ in range(draw(st.integers(min_value=0, max_value=30))):
+        k = draw(keys)
+        t = draw(times)
+        right.setdefault((k, t), draw(st.integers(min_value=-99, max_value=99)))
+    return left, [(k, t, p) for (k, t), p in sorted(right.items())]
+
+
+@given(
+    frames=asof_frames(),
+    strict=st.booleans(),
+    bucket_width=st.sampled_from([None, 1, 3, 10]),
+)
+@CFG
+def test_fuzz_asof_join(spark, frames, strict, bucket_width):
+    """The union+window as-of join (and its bucketed skew path, which
+    must be result-identical) against DuckDB's native ASOF LEFT JOIN,
+    under time ties, hot keys, and one-sided keys.  The strict variant
+    maps to ASOF ON l.t > r.t; the default to >=."""
+    from postpy_spark.operators.asof import asof_join
+
+    left_rows, right_rows = frames
+    l = spark.createDataFrame(left_rows, "id BIGINT, k BIGINT, t BIGINT")
+    r = spark.createDataFrame(right_rows, "k BIGINT, t BIGINT, p BIGINT")
+    out = asof_join(
+        l, r, "k", "k", "t", "t", right_cols=["p"],
+        strict=strict, bucket_width=bucket_width,
+    ).select("id", "k", "t", "p")
+    con = duckdb.connect()
+    # explicit int64 dtypes: an EMPTY right side would otherwise register
+    # as object→VARCHAR and trip the type-parity gate spuriously
+    con.register(
+        "l",
+        pd.DataFrame(left_rows, columns=["id", "k", "t"]).astype("int64"),
+    )
+    con.register(
+        "r",
+        pd.DataFrame(right_rows, columns=["k", "t", "p"]).astype("int64"),
+    )
+    op = ">" if strict else ">="
+    sql = (
+        "SELECT l.id, l.k, l.t, r.p FROM l "
+        f"ASOF LEFT JOIN r ON l.k = r.k AND l.t {op} r.t"
+    )
+    problems = compare_spark_duckdb(out, con, sql)
+    assert not problems, (
+        f"{problems}\nstrict={strict} bucket={bucket_width} "
+        f"nl={len(left_rows)} nr={len(right_rows)}"
+    )
+
+
 RANK_OPS = ["row_number", "running_sum", "running_max"]
 
 

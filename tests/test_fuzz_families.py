@@ -220,6 +220,71 @@ def test_fuzz_asof_join(spark, frames, strict, bucket_width):
     )
 
 
+@st.composite
+def range_frames(draw):
+    """(events, intervals): point-in-interval inputs with a hot key,
+    boundary-exact interval edges (t == lo and t == hi both occur by
+    construction), zero-length and inverted (empty) intervals, negative
+    times, and nested/overlapping intervals on one key."""
+    times = st.integers(min_value=-20, max_value=60)
+    keys = st.integers(min_value=0, max_value=3)
+    events = []
+    for i in range(draw(st.integers(min_value=1, max_value=50))):
+        k = 0 if draw(st.integers(min_value=0, max_value=2)) == 0 else draw(keys)
+        events.append((i, k, draw(times)))
+    intervals = []
+    for j in range(draw(st.integers(min_value=0, max_value=20))):
+        k = 0 if draw(st.integers(min_value=0, max_value=2)) == 0 else draw(keys)
+        lo = draw(times)
+        kind = draw(st.sampled_from(["fwd", "empty", "point", "inverted"]))
+        if kind == "fwd":
+            hi = lo + draw(st.integers(min_value=1, max_value=30))
+        elif kind == "empty" or kind == "point":
+            hi = lo
+        else:
+            hi = lo - draw(st.integers(min_value=1, max_value=10))
+        intervals.append((1000 + j, k, lo, hi))
+    return events, intervals
+
+
+@given(
+    frames=range_frames(),
+    width=st.sampled_from([1, 3, 7, 50, None]),
+    op=st.sampled_from(["bucketed", "salted"]),
+)
+@CFG
+def test_fuzz_range_join(spark, frames, width, op):
+    """The grid-partitioned (and salted) point-in-interval joins against
+    DuckDB's plain range join: half-open [lo, hi) boundary exactness,
+    empty/inverted intervals contribute nothing, any bucket width
+    (including auto) yields the identical multiset."""
+    from postpy_spark.operators.skew import bucketed_range_join, salted_range_join
+
+    events, intervals = frames
+    e = spark.createDataFrame(events, "id BIGINT, k BIGINT, t BIGINT")
+    i = spark.createDataFrame(intervals, "iid BIGINT, k BIGINT, lo BIGINT, hi BIGINT")
+    if op == "bucketed":
+        out = bucketed_range_join(e, i, "k", "t", "lo", "hi", bucket_width_us=width)
+    else:
+        if width is None:
+            width = 4  # salted has no auto mode; reuse the slot as n_salts
+        out = salted_range_join(e, i, "k", "t", "lo", "hi", n_salts=max(width, 1))
+    con = duckdb.connect()
+    con.register("e", pd.DataFrame(events, columns=["id", "k", "t"]).astype("int64"))
+    con.register(
+        "i",
+        pd.DataFrame(intervals, columns=["iid", "k", "lo", "hi"]).astype("int64"),
+    )
+    sql = (
+        "SELECT e.id, e.k, e.t, i.iid, i.lo, i.hi FROM e JOIN i "
+        "ON e.k = i.k AND e.t >= i.lo AND e.t < i.hi"
+    )
+    problems = compare_spark_duckdb(
+        out.select("id", "k", "t", "iid", "lo", "hi"), con, sql
+    )
+    assert not problems, f"{problems}\nop={op} width={width}"
+
+
 RANK_OPS = ["row_number", "running_sum", "running_max"]
 
 

@@ -340,6 +340,18 @@ def test_token_shard_running_sum_is_distributed(spark):
             assert "pmod(" in line, line
 
 
+def test_pack_sequences_running_sum_is_distributed(spark):
+    """The packing manifest's token prefix sum must ride the bucketed
+    two-phase path (same contract as shard_by_token_budget): every
+    full-data window keyed on the deterministic bucket id, the only
+    non-pid window being the P-row offsets frame."""
+    plan = executed_plan(spark, "pack_sequences")
+    assert "__rank_pid#" in plan
+    for line in plan.splitlines():
+        if "Window [" in line and "sum(" in line and "__rank_pid#" not in line:
+            assert "pmod(" in line, line
+
+
 def test_watermark_running_max_is_distributed(spark):
     """stream_watermark_late's watermark (global running max of ts) must use
     the bucketed two-phase path: every full-data window keyed on the

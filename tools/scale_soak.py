@@ -815,6 +815,20 @@ _STATIC_EPILOGUE = [
     "golden-record composition identical to the DuckDB recursive-CTE",
     "closure); `ts_gapfill` again exact-matched 17.3M generated rows.",
     "",
+    "## The 32× refine re-probe after the r13 seed-materialization fix",
+    "",
+    "sim_nndescent_refine's r12 32× row (12.3×) predates the r13 change",
+    "that materializes the LSH seed once (eager localCheckpoint) instead",
+    "of letting four plan branches re-run it.  Re-probed at mult=32 on",
+    "the v2 tier: **198.8 s vs 7.7 s base (ratio 25.9×, gate ≤64, 0",
+    "failed tasks, soak PASS)**.  Honest reading: the fix is a ~3× win at",
+    "bench scale (28.4 → ~10 s at sf0.1, where the re-planned seed",
+    "dominates) but NEUTRAL at 32× (199 vs r12's 184 s — within the load",
+    "band; at that tier Spark's exchange reuse was already deduplicating",
+    "most of the seed subtree, and the ratio rose only because the BASE",
+    "halved).  Both plans sit far inside the gate; the checkpointed form",
+    "is kept for its bench-scale win and bounded-lineage property.",
+    "",
     "## The 32× ER vocabulary probe (round 13)",
     "",
     "`er_probe` at mult=32 — **192,000 planted strings over alphabet",

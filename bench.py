@@ -98,6 +98,36 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def load_context() -> dict:
+    """Machine-load snapshot embedded in the bench JSON (r13 verdict item 6).
+
+    Wall-clock here swings ±25% with concurrent machine load (CLAUDE.md /
+    docs/BENCH_NOTES.md), so each BENCH_r{N}.json carries its own
+    interpretation context: 1-minute loadavg and the number of currently
+    RUNNING (state R) processes other than this one.  A loadavg well above
+    the core count, or running procs > ~2, means the totals are inflated
+    and must not be compared across rounds without an interleaved A/B.
+    """
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = -1.0
+    running = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == os.getpid():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    if fh.read().rsplit(")", 1)[1].split()[0] == "R":
+                        running += 1
+            except OSError:
+                continue
+    except OSError:
+        running = -1
+    return {"loadavg_1m": round(la1, 2), "loadavg_5m": round(la5, 2), "running_procs": running}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
@@ -106,6 +136,7 @@ def main() -> None:
     # is a few hundred MB — 8 reducers beat 32 by ~12% (scheduling floor);
     # at larger scale the core-count default + AQE coalescing applies.
     parts = 8 if 0 < sf <= 0.1 else None
+    load_start = load_context()
     spark = get_spark("postpy-bench", shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -183,6 +214,8 @@ def main() -> None:
                 "extras_value": round(sum(extras.values()), 3),
                 "runs": RUNS,
                 "sf": sf,
+                "load_start": load_start,
+                "load_end": load_context(),
             }
         )
     )

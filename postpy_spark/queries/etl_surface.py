@@ -40,10 +40,17 @@ PID_DIR_PREFIXES = (
 _swept = False
 
 
+def _getpid() -> int:
+    """Seam for tests: monkeypatch THIS, never the global ``os.getpid``
+    (r13 ADVICE — patching the shared os module leaks the fake pid into
+    every other module's pid-keyed scratch paths during the window)."""
+    return os.getpid()
+
+
 def _pid_dir(prefix: str, sub: str | None = None) -> str:
     """`<prefix>_<pid>[/sub]` with the prefix registered for sweeping."""
     assert prefix in PID_DIR_PREFIXES, f"register {prefix!r} in PID_DIR_PREFIXES"
-    name = f"{prefix}_{os.getpid()}"
+    name = f"{prefix}_{_getpid()}"
     return f"{name}/{sub}" if sub else name
 
 
@@ -52,8 +59,16 @@ def _sweep_stale_pid_dirs() -> None:
     processes that no longer exist.  Per-PID keying is required — Derby
     locks a database dir per JVM — but without a sweep every gate/pytest
     run leaves another ~5 MB Derby db behind forever.  Runs once per
-    process, before the first scratch path is handed out.  Only names
-    matching a registered pid-keyed prefix are candidates."""
+    process, before the first scratch path is handed out.
+
+    Two candidate classes under each sf-tag dir:
+    - names matching a registered pid-keyed prefix whose pid is gone
+      (the normal case since the r12 layout);
+    - names matching NO registered pattern — pre-r12 un-pid-keyed residue
+      (``<tag>/py_sink_jsonl`` etc.) that the old sweep could never
+      reclaim (r13 ADVICE).  Everything the current layout writes under a
+      tag dir goes through ``_workdir`` → ``work_<pid>/…``, so an
+      unmatched tag-level name can only be old-layout residue."""
     global _swept
     if _swept:
         return
@@ -72,7 +87,10 @@ def _sweep_stale_pid_dirs() -> None:
             continue
         for name in os.listdir(tag_dir):
             m = pat.search(name)
-            if not m or int(m.group(1)) == os.getpid():
+            if not m:  # pre-r12 layout: not pid-keyed, reclaim unconditionally
+                shutil.rmtree(os.path.join(tag_dir, name), ignore_errors=True)
+                continue
+            if int(m.group(1)) == _getpid():
                 continue
             try:
                 os.kill(int(m.group(1)), 0)  # raises if pid is gone

@@ -1274,7 +1274,7 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id, d.source, n.n_src
     FROM documents d JOIN n USING (source)
-    WHERE (d.doc_id * 2654435761) % 1048576
+    WHERE ((d.doc_id % 1048576) * 2654435761) % 1048576
           < (2 * 1048576) // CAST(FLOOR(SQRT(n.n_src)) AS BIGINT)
     """,
     group="D",
@@ -1286,7 +1286,13 @@ def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     are downsampled toward sqrt-proportional mass (temperature alpha=0.5
     up to normalization) while small sources survive whole.  Membership
     is a DETERMINISTIC Knuth-hash residue on doc_id — epoch-stable,
-    re-runnable, no RNG state.
+    re-runnable, no RNG state.  The id is reduced mod 2^20 BEFORE the
+    Knuth multiply (r13 ADVICE): ((id mod 2^20)*K) mod 2^20 equals
+    (id*K) mod 2^20 for every id (the low 20 bits of a product depend
+    only on the factors' low 20 bits), but the bounded form caps the
+    product at ~2.8e15 so it can never overflow int64 — Spark's
+    non-ANSI multiply wraps silently while DuckDB raises, so the
+    unbounded form would diverge for doc_id beyond ~3.47e9.
 
     Cross-engine exactness: the keep threshold is computed ALL-INTEGER
     (floor(sqrt(n)) is exact for n < 2^52, then one bigint division), so
@@ -1298,7 +1304,7 @@ def mixture_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresh = F.expr("(2 * 1048576) div CAST(FLOOR(SQRT(n_src)) AS BIGINT)")
     return (
         d.join(F.broadcast(n), "source")
-        .filter(F.pmod(F.col("doc_id") * 2654435761, F.lit(1048576)) < thresh)
+        .filter(F.pmod(F.pmod(F.col("doc_id"), F.lit(1048576)) * 2654435761, F.lit(1048576)) < thresh)
         .select("doc_id", "source", "n_src")
     )
 

@@ -97,45 +97,44 @@ CONTRACT_VARIANTS: tuple[str, ...] = (
 #: deliberately NOT in the prefix — it can only ever produce ``no_oracle``
 #: rows, which would waste two sample slots.
 DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
-    # -- round-13 rotation.  The driver samples the FIRST ~50 registry
-    # entries each round; cumulative attestation is COMPLETE (every
-    # registered query carries >=1 driver row, all latest rows green) —
-    # the rotation's job is draining staleness.  r12 covered its whole
-    # 50-entry prefix (CORRECTNESS_r12: 50/50 pass), leaving exactly two
-    # stale tiers: (a) the 13 remaining r1-vintage extras (single driver
-    # row since round 1), then (b) the 46-query r6-vintage block (TPC-H
-    # shapes, ETL variants, the D-group text/multimodal extras, streaming
-    # and UDF variants); ~37 of (b) land in this round's window and the
-    # ~9-query tail leads r14.  The approx pair (agg_approx_*),
-    # sample_frac, the probabilistic dedup/ANN contract trio, and
-    # sim_nndescent_refine stay out of the prefix — they can only produce
-    # rows-only records and would waste sql-hash sample slots (their
-    # planted exact twins, all driver-attested r11/r12, cover those
-    # paths).
-    # (0) new in round 13 (training-data pipeline: packing + mixture)
-    "pack_sequences", "mixture_resample",
-    # (a) r1-vintage extras (single driver row since round 1)
-    "scalar_subquery", "join_lateral", "recursive_cte",
-    "fn_bitwise", "fn_hash", "fn_variant", "fn_string_extra",
-    "agg_bool", "agg_median_mode", "agg_regr", "rollup_time_multires",
-    "fn_array_hof", "join_anti_not_in",
-    # (b) r6-vintage rows, stalest contract-adjacent families first
-    "tpch_q3_shape", "tpch_q6_shape", "tpch_q12_shape", "tpch_q13_shape",
-    "tpch_q15_shape", "tpch_q17_shape", "tpch_q21_shape",
-    "merge_scd2", "scan_json", "join_bucketed_colocated",
-    "scan_partitioned_pruned", "join_asof_strict", "join_skew_salted",
-    "text_langid", "text_quality", "text_token_count", "doc_fingerprint",
-    "dedup_ngram_jaccard", "multimodal_ingest", "multimodal_image_stats",
-    "multimodal_resize", "multimodal_frame_sample",
-    "dedup_embedding_cosine", "text_bigram_lm", "text_heavy_hitters",
-    "text_pii_redact", "text_decontaminate", "text_repetition",
-    "text_unicode_nfc", "embed_norm_quant", "multimodal_dedup",
-    "multimodal_audio_stats", "shard_by_token_budget",
-    "agg_null_semantics", "agg_bitmap_distinct", "stream_stream_join",
-    "stream_two_level_agg", "stream_session_dynamic_gap",
-    "stream_static_enrich", "stream_scd2_dimension",
-    "udtf_python", "udtf_map_in_arrow", "udtf_cogroup_pandas",
-    "udf_scalar_pandas_iter", "udaf_pandas_window", "win_ntile_distributed",
+    # -- round-14 rotation.  The driver samples the FIRST ~50 registry
+    # entries each round.  Cumulative attestation after r13: 364/365
+    # queries carry >=1 driver row, every latest row green; the single
+    # hole is sim_nndescent_refine (rows-only by design, never sampled)
+    # — it leads this round (r13 VERDICT task 1).  Next: the full
+    # rows-only liveness refresh (every rows-only op whose latest driver
+    # row predates r10 — the r3/r5/r7 probabilistic contract ops plus
+    # the r9-vintage sketch/sampler family), deliberately spending
+    # sample slots on no_oracle rows this once so `spark_rows > 0` is
+    # attested on CURRENT code for the whole rows-only population.
+    # Then the sql-checked staleness queue: the 11-query r6-vintage tail
+    # that fell off the end of r13's 50-slot window (streaming + UDF
+    # variants), then r7-vintage fill.
+    # (0) new in round 14
+    "dedup_char_spans", "dedup_char_spans_planted",
+    "text_unigram_train", "text_unigram_planted", "text_unigram_segment",
+    "er_incremental", "er_incremental_planted",
+    # (1) the last attestation hole (never driver-sampled, rows-only)
+    "sim_nndescent_refine",
+    # (2) rows-only liveness refresh (latest driver rows r3–r9)
+    "agg_approx_distinct", "agg_approx_quantile",
+    "dedup_clusters", "dedup_fuzzy_minhash", "sample_frac", "sim_ann_lsh",
+    "dedup_semantic",
+    "agg_approx_topk", "agg_cms_estimate", "agg_hll_mergeable",
+    "agg_kll_quantiles", "agg_kmv_distinct", "agg_kmv_setops",
+    "sample_mixture_stable", "sample_stratified", "sample_weighted",
+    # (3) r6-vintage sql tail (missed r13's window)
+    "stream_scd2_dimension", "stream_session_dynamic_gap",
+    "stream_static_enrich", "stream_stream_join", "stream_two_level_agg",
+    "udaf_pandas_window", "udf_scalar_pandas_iter", "udtf_cogroup_pandas",
+    "udtf_map_in_arrow", "udtf_python", "win_ntile_distributed",
+    # (4) r7-vintage sql fill
+    "agg_decimal_exact", "agg_histogram_equidepth", "agg_string_agg",
+    "agg_weighted_stats", "catalog_schema_diff", "dedup_url_canonical",
+    "distinct_on", "dq_entropy_profile", "dq_observe_metrics",
+    "embed_centroid_drift", "etl_cdc_apply", "etl_partition_overwrite",
+    "etl_table_diff", "events_activity_streaks",
+    "events_attribution_linear", "events_rfm_segments",
 )
 
 

@@ -363,18 +363,22 @@ def test_workdir_is_pid_keyed(spark, monkeypatch):
     """Two concurrent processes at the same sf must get disjoint workdirs
     (r12 judge repro: a concurrent gate's rmtree deleted py_sink_jsonl
     while pytest was mid-read).  Pin by faking two pids and asserting the
-    paths differ; also pin that a dead-pid work_* dir is reclaimed."""
+    paths differ; also pin that a dead-pid work_* dir is reclaimed.
+    Patches the module's _getpid seam, NOT os.getpid — the os module is
+    shared global state and faking it leaks into every other pid-keyed
+    path during the window (r13 ADVICE)."""
     import os
     import shutil
 
     from postpy_spark.queries import etl_surface
 
     sf = "/root/testdata/sf0.001"
-    monkeypatch.setattr(etl_surface.os, "getpid", lambda: 111111)
+    monkeypatch.setattr(etl_surface, "_getpid", lambda: 111111)
     p1 = etl_surface._workdir(sf, "alias_probe")
-    monkeypatch.setattr(etl_surface.os, "getpid", lambda: 222222)
+    monkeypatch.setattr(etl_surface, "_getpid", lambda: 222222)
     p2 = etl_surface._workdir(sf, "alias_probe")
     monkeypatch.undo()
+    assert etl_surface._getpid() == os.getpid(), "seam must default to real pid"
     tag_dir = os.path.dirname(os.path.dirname(p1))
     try:
         assert p1 != p2, "same-sf workdirs must not alias across pids"
@@ -383,9 +387,14 @@ def test_workdir_is_pid_keyed(spark, monkeypatch):
         # dead-pid work dirs are reclaimed on the next first call
         stale = os.path.join(tag_dir, "work_999999")
         os.makedirs(stale, exist_ok=True)
+        # pre-r12 un-pid-keyed residue (old layout wrote <tag>/<name>
+        # directly) must also be reclaimed — it matches no pid pattern
+        old_layout = os.path.join(tag_dir, "py_sink_jsonl")
+        os.makedirs(old_layout, exist_ok=True)
         etl_surface._swept = False
         mine = etl_surface._workdir(sf, "alias_probe_live")
         assert not os.path.exists(stale), "dead-pid work dir must be swept"
+        assert not os.path.exists(old_layout), "old-layout residue must be swept"
         assert os.path.isdir(os.path.dirname(mine)), "live dir survives"
     finally:
         for pid in (111111, 222222):

@@ -991,3 +991,90 @@ def crossdoc_spans(
             " ",
         ).alias("passage"),
     )
+
+
+def char_repeated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, n_spans, max_span_chars, dup_char_positions): per-document
+    maximal CHARACTER-level repeated spans — the sub-token tier of
+    exact-substring training-data dedup (Lee et al. 2022, arXiv:2107.06499,
+    which operates on raw bytes with a suffix array).  A char position p is
+    duplicated when the k-char window text[p : p+k] occurs more than once
+    in the corpus (including elsewhere in the same doc); consecutive
+    duplicated positions merge into one span (gaps-and-islands per doc,
+    span length = run + k - 1).
+
+    Why below token granularity: token-5-gram shingling
+    (``dedup_repeated_spans``) needs FIVE consecutive shared tokens, so it
+    provably misses byte-identical spans that straddle token boundaries —
+    a shared 40-char passage whose first and last tokens are glued to
+    per-doc unique text contributes at most 4-gram-level token evidence
+    and zero 5-gram hits, while every interior k-char window still matches
+    exactly (pinned by tests/test_llm_ops.py::
+    test_char_spans_catch_token_boundary_straddle).
+
+    Operates on RAW text (no normalization): the point of the char tier is
+    byte-exact duplication, where case/whitespace folding would manufacture
+    false spans.
+
+    Scale: windows are enumerated by exploding a position sequence and
+    substring-ing from the carried text (no len*k gram array is ever
+    materialized per doc); the only corpus-sized shuffles are one
+    gram-count (map-side partial agg) and one join back on gram; the
+    islands window is per-doc, never global.  The shuffled gram key is the
+    raw k-char string (k bytes) — exact and oracle-parity-checkable; a
+    100 TB deployment would shuffle xxhash64(gram) instead (8 bytes, FP
+    probability n²/2⁶⁴) or build per-shard suffix arrays, both documented
+    trade-offs of this exact formulation, not fixes to it."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    g = (
+        base.filter(F.length("_t") >= k)
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(0), F.length("_t") - F.lit(k))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(F.col("_t"), F.col("pos") + 1, k).alias("gram"),
+        )
+    )
+    dupg = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .filter(F.col("_cnt") > 1)
+        .select("gram")
+    )
+    d = g.join(dupg, "gram").select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        d.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        (F.max("run_len") + F.lit(k - 1)).cast("bigint").alias("max_span_chars"),
+        F.sum("run_len").cast("bigint").alias("dup_char_positions"),
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_span_chars", F.lit(0)).cast("bigint")
+            .alias("max_span_chars"),
+            F.coalesce("dup_char_positions", F.lit(0)).cast("bigint")
+            .alias("dup_char_positions"),
+        )
+    )

@@ -2010,6 +2010,111 @@ def dedup_crossdoc_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_char_spans",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, pos, substr(text, pos + 1, 20) AS gram
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(length(text) - 19)) AS pos
+            FROM documents WHERE length(text) >= 20
+        )
+    ),
+    dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+    d AS (SELECT doc_id, pos FROM g JOIN dupg USING (gram)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM d
+    ),
+    spans AS (
+        SELECT doc_id, grp, COUNT(*) AS run_len
+        FROM isl GROUP BY doc_id, grp
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT)          AS n_spans,
+               CAST(MAX(run_len) + 19 AS BIGINT) AS max_span_chars,
+               CAST(SUM(run_len) AS BIGINT)      AS dup_char_positions
+        FROM spans GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(COALESCE(n_spans, 0) AS BIGINT)            AS n_spans,
+           CAST(COALESCE(max_span_chars, 0) AS BIGINT)     AS max_span_chars,
+           CAST(COALESCE(dup_char_positions, 0) AS BIGINT) AS dup_char_positions
+    FROM documents LEFT JOIN agg USING (doc_id)
+    """,
+    group="D",
+)
+def dedup_char_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level repeated-span profile per document — the sub-token
+    tier of exact-substring dedup (Lee et al. 2022, arXiv:2107.06499)
+    that ``dedup_repeated_spans`` (token 5-grams) cannot reach: a char
+    position is duplicated when its 20-char window occurs more than once
+    in the corpus, so byte-identical passages that straddle token
+    boundaries (glued prefixes/suffixes, whitespace variants) are caught
+    even when no 5 consecutive TOKENS are shared.  Operates on raw text —
+    no normalization — because the char tier's contract is byte-exact
+    duplication.  Full plan + 100 TB posture in
+    operators/dedup.py::char_repeated_spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.char_repeated_spans(docs, k=20)
+
+
+@query(
+    "dedup_char_spans_planted",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS doc_id,
+           CAST(1 AS BIGINT)  AS n_spans,
+           CAST(40 AS BIGINT) AS max_span_chars,
+           CAST(21 AS BIGINT) AS dup_char_positions
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 1199
+    """,
+    group="D",
+)
+def dedup_char_spans_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED-FORM attestation of the char-span machinery (the direct
+    ``dedup_char_spans`` oracle re-expresses the same algorithm in SQL;
+    this twin pins the SEMANTICS against an analytically derived answer
+    instead).  Geometry: 200 docs (dense 4-digit ids 1000–1199, present at
+    every sf) in 40 groups of 5 CONSECUTIVE ids; each doc is
+    'u'||id || SHARED(g) || reverse(id) where SHARED(g) is the 40-char
+    string repeat('a'||lpad(g,2,'0')||'bc', 8), unique to group
+    g = (id-1000)//5.  Every 20-char window fully inside SHARED covers ≥3
+    whole 5-char units, so it carries the group tag and matches exactly
+    within the group (and periodically within each doc) but never across
+    groups.  Every boundary-crossing window carries an id digit DISTINCT
+    within the group: consecutive ids inside one decade make the last
+    digit (adjacent to SHARED on the prefix side) and reverse(id)'s first
+    char (adjacent on the suffix side) pairwise distinct among the 5
+    members — that adjacency is exactly why groups are consecutive ids,
+    not id%40 (step-40 ids share their last digit, which leaked one extra
+    duplicated position per side in the first cut of this twin).  Hence
+    per doc: exactly the 21 interior window starts are duplicated, one
+    maximal run → n_spans=1, max_span_chars=21-1+20=40 (the whole planted
+    passage), dup_char_positions=21 — independent of sf.
+
+    This is also the token-boundary-straddle case in closed form: the
+    glued id makes the first and last SHARED tokens per-doc unique, so
+    the token-5-gram tier sees at most 4-token shared runs and reports
+    nothing (the contrast pytest pins that directly)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").between(1000, 1199)
+    )
+    g = F.lpad(
+        F.floor((F.col("o_orderkey") - 1000) / 5).cast("string"), 2, "0"
+    )
+    ids = F.col("o_orderkey").cast("string")
+    shared = F.repeat(F.concat(F.lit("a"), g, F.lit("bc")), 8)
+    text = F.concat(F.lit("u"), ids, shared, F.reverse(ids))
+    docs = o.select(
+        F.col("o_orderkey").cast("bigint").alias("doc_id"), text.alias("text")
+    )
+    return dedup.char_repeated_spans(docs, k=20)
+
+
+@query(
     "text_chunk_fixed",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),

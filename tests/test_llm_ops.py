@@ -1646,3 +1646,66 @@ def test_nndescent_converge_monotone_and_terminates(spark):
     )
     assert r_conv >= 0.9, r_conv
     assert r_conv >= r_one - 1e-9, (r_one, r_conv)
+
+
+def test_char_spans_catch_token_boundary_straddle(spark):
+    """The contrast that motivates the char tier (Lee et al. 2107.06499
+    operate on raw bytes): two docs share a 40-char passage whose first
+    and last tokens are glued to per-doc unique text, so the TOKEN
+    5-gram tier (dedup_repeated_spans' machinery) sees at most a
+    3-token shared run — zero 5-gram hits, zero duplicated positions —
+    while every interior 20-char window matches byte-exactly and the
+    char tier reports the span."""
+    shared = "abcdefgh qrstuvwxyz0123 ijklmnop"  # 32 chars, 3 tokens
+    # glue strings share NO characters at corresponding offsets (a common
+    # glue suffix like "UNIQ" would itself extend the duplicated region)
+    docs = spark.createDataFrame(
+        [
+            (1, "pppppp" + shared + "rrrrrr extra one"),
+            (2, "qqqqqq" + shared + "ssssss other two"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # token tier: corpus-duplicated 5-grams (same counting rule as
+    # dedup_repeated_spans) — the glued prefix/suffix make the first and
+    # last shared tokens per-doc unique, so only ONE token ('qrstuvwxyz0123')
+    # is shared: no 5-gram (nor even a 2-gram) can be duplicated.
+    g = docs.select(
+        "doc_id", F.explode(dedup.shingles_col(F.col("text"), k=5)).alias("gram")
+    )
+    dup_token_grams = (
+        g.groupBy("gram").count().filter(F.col("count") > 1).count()
+    )
+    assert dup_token_grams == 0, "5-gram tier must provably miss the span"
+
+    out = {r.doc_id: r for r in dedup.char_repeated_spans(docs, k=20).collect()}
+    assert set(out) == {1, 2}
+    for doc_id, r in out.items():
+        # shared region spans chars [6, 38); interior 20-char windows
+        # start at 6..18 → 13 duplicated positions, one run, span 32.
+        assert r.n_spans == 1, r
+        assert r.dup_char_positions == 13, r
+        assert r.max_span_chars == 32, r
+
+
+def test_char_spans_short_and_unique_docs(spark):
+    """Docs shorter than k produce no windows (and must not trip Spark's
+    descending-sequence trap); fully unique docs report zeros."""
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),
+            (2, "a completely unique document with no duplication at all"),
+            (3, "B" * 25),
+            (4, "B" * 25),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup.char_repeated_spans(docs, k=20).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].n_spans == 0 and out[1].dup_char_positions == 0
+    assert out[2].n_spans == 0 and out[2].max_span_chars == 0
+    # docs 3 and 4 are byte-identical 25-char runs: all 6 windows dup
+    for d in (3, 4):
+        assert out[d].n_spans == 1
+        assert out[d].dup_char_positions == 6
+        assert out[d].max_span_chars == 25

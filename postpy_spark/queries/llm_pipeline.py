@@ -2975,6 +2975,134 @@ def text_bpe_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_unigram_train", oracle=None, group="D")
+def text_unigram_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+    SentencePiece production tokenizer; operators/unigram.py): substring
+    seeding + 3 hard-EM rounds (Viterbi E-step over the DISTINCT word
+    vocabulary via Arrow mapInPandas with the bounded piece table as a
+    closure; M-step renormalization), returning the trained piece table
+    (piece, piece_count, logprob) for multi-char pieces.  Corpus-sized
+    work is ONE word-count pass; every EM round is vocab-sized
+    (Heaps-sublinear) — the same 100 TB shape as text_bpe_merges.
+    Rows-only by design (iterative EM is not SQL-expressible);
+    tests/test_unigram.py pins exact piece-table equality against an
+    independent pure-Python EM, and text_unigram_planted is the
+    sql-hash-checked closed-form twin."""
+    from postpy_spark.operators import unigram
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts, logp = unigram.unigram_train(spark, wc, max_piece_len=4, n_iter=3)
+    return (
+        unigram.pieces_df(spark, counts, logp)
+        .filter(F.length("piece") >= 2)
+        .select("piece", "piece_count", F.round("logprob", 6).alias("logprob"))
+    )
+
+
+@query("text_unigram_segment", oracle=None, group="D")
+def text_unigram_segment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained unigram tokenizer to the corpus: per-doc subword
+    stats (n_words, n_pieces, pieces_per_word) — the unigram twin of
+    text_bpe_segment.  The apply path is the scale point: Viterbi runs
+    once per DISTINCT word (mapInPandas over the vocab), and corpus
+    tokenization is a broadcast join of corpus tokens against that
+    (w, n_pieces) frame — never per-occurrence Python.  Rows-only
+    (iterative training upstream); tests pin the segmentation against the
+    pure-Python reference."""
+    from postpy_spark.operators import unigram
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    _, logp = unigram.unigram_train(spark, wc, max_piece_len=4, n_iter=3)
+    seg = unigram.segment_vocab(wc, logp, max_piece_len=4)
+    return (
+        tok.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        )
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            F.round(F.col("n_pieces") / F.col("n_words"), 4).alias(
+                "pieces_per_word"
+            ),
+        )
+    )
+
+
+@query(
+    "text_unigram_planted",
+    oracle="""
+    WITH d AS (
+        SELECT (o_orderkey - 1000) // 5 AS g,
+               1 + o_orderkey % 3 AS m
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 1199
+    )
+    SELECT chr(97 + CAST(g // 8 AS INT)) || chr(110 + CAST(g % 8 AS INT))
+             AS piece,
+           CAST(SUM(m) AS BIGINT) AS piece_count
+    FROM d GROUP BY g
+    """,
+    group="D",
+)
+def text_unigram_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED-FORM attestation of the unigram-EM machinery: 40 two-char
+    words c1(g)||c2(g) with c1 ∈ 'a'-'e' (g//8) and c2 ∈ 'n'-'u' (g%8) —
+    DISJOINT lowercase ranges, so the tokenizer's lowercasing is a no-op
+    and no word is a doubled char; chars are shared across groups (8 and
+    5 groups respectively) but no two groups share both.  Each doc
+    repeats its group's word m = 1 + id%3 times, so the group's corpus
+    count is c_g = Σ m ∈ {9,10,11} and the corpus total is C = 401
+    occurrences (ids 1000–1199, every sf).  Analysis: seeding gives
+    count(word)=c_g, count(c1)=s1≤88, count(c2)=s2≤55, T=3C; the
+    one-piece Viterbi segmentation wins iff c_g·T > s1·s2, and
+    9·1203 = 10827 > 88·55 = 4840, so every word segments as itself in
+    E-step 1; thereafter the multi-char vocabulary is exactly the 40
+    words with count c_g — a fixpoint of the remaining rounds (single
+    chars survive only at the 0.5 floor, (0.5/Z)² ≪ c_g/Z).  The oracle
+    states that closed form directly from orders.
+
+    Driver-hash contract: only the integer (piece, piece_count) columns
+    ship (no float logprob)."""
+    from postpy_spark.operators import unigram
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").between(1000, 1199)
+    )
+    g = F.floor((F.col("o_orderkey") - 1000) / 5)
+    word = F.concat(
+        F.char(F.lit(97) + F.floor(g / 8)), F.char(F.lit(110) + g % 8)
+    )
+    m = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
+    docs = o.select(
+        F.array_join(F.array_repeat(word, m), " ").alias("text")
+    )
+    wc = (
+        docs.select(F.explode(TX.word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    counts, logp = unigram.unigram_train(
+        spark, wc, max_piece_len=4, n_iter=3
+    )
+    return (
+        unigram.pieces_df(spark, counts, logp)
+        .filter(F.length("piece") >= 2)
+        .select("piece", "piece_count")
+    )
+
+
 @query(
     "text_zipf_slope",
     oracle=f"""

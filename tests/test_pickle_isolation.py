@@ -207,3 +207,47 @@ def test_bloom_dedup_core_pickles_by_value():
         assert fn(pdf, bits) == [True, False, True]
 
     _roundtrip_in_clean_subprocess(_make_bloom_dedup_core(1 << 8, 3), probe)
+
+
+def test_unigram_estep_pickles_by_value():
+    """The unigram-EM E-step ships as a mapInPandas payload
+    (operators/unigram.py::_make_estep) with the piece log-probs AND the
+    Viterbi function captured by value — the Viterbi impl is itself
+    factory-nested so no module-level reference leaks in."""
+    import math
+
+    from postpy_spark.operators.unigram import _make_estep
+
+    logp = {"ab": math.log(0.5), "a": math.log(0.25), "b": math.log(0.25)}
+    estep = _make_estep(logp, 4)
+
+    def probe(fn):
+        import pandas as pd
+
+        out = list(fn(iter([pd.DataFrame({"w": ["abab"], "cnt": [3]})])))
+        # "abab" -> ["ab","ab"]: one partial row per occurrence, each
+        # weighted by the word count
+        assert list(out[0]["piece"]) == ["ab", "ab"], out[0]
+        assert list(out[0]["cnt"]) == [3, 3], out[0]
+
+    _roundtrip_in_clean_subprocess(estep, probe)
+
+
+def test_unigram_segmenter_pickles_by_value():
+    """The final-vocab segmenter payload (operators/unigram.py::
+    _make_segmenter) — same by-value contract."""
+    import math
+
+    from postpy_spark.operators.unigram import _make_segmenter
+
+    logp = {"ab": math.log(0.5), "a": math.log(0.2), "b": math.log(0.2)}
+    seg = _make_segmenter(logp, 4)
+
+    def probe(fn):
+        import pandas as pd
+
+        out = list(fn(iter([pd.DataFrame({"w": ["abab", "aa"]})])))
+        got = dict(zip(out[0]["w"], out[0]["n_pieces"]))
+        assert got == {"abab": 2, "aa": 2}, got
+
+    _roundtrip_in_clean_subprocess(seg, probe)

@@ -187,37 +187,13 @@ def _segment_bounds(length: Column, k: int, i: int) -> tuple[Column, Column]:
     return start, seg_len
 
 
-def passjoin_candidates(
-    values: DataFrame,
-    str_col: str = "val",
-    max_dist: int = 2,
-) -> DataFrame:
-    """Candidate pairs ``(val_a, val_b)`` with ``val_a < val_b`` containing
-    EVERY pair within edit distance d — PassJoin partition blocking (Li,
-    Deng & Feng, ICDE'11; module docstring).
-
-    Pigeonhole: d edits touch at most d of a string's d+1 segments, so at
-    least one segment of the SHORTER side appears verbatim in the longer
-    side, displaced by at most d (net insertions minus deletions before
-    it).  Index side: each string of length l >= d+1 emits its d+1
-    segments keyed (l, i, segment).  Probe side: each string, acting as
-    the longer partner, emits for every admissible shorter length
-    tl in [l-d, l] (tl >= d+1), every segment index i, and every start
-    position within +-d of the partition-scheme start, the matching-length
-    substring — a bounded (d+1)(d+1)(2d+1) fan-out.  The equi-join key is
-    the full SEGMENT (length ~ l/(d+1) chars) — far more selective than
-    any q-gram, which is what keeps candidate volume data-bounded on
-    low-diversity vocabularies where gram signatures saturate.
-
-    Pairs whose shorter side has length <= d (segments would be empty) go
-    through the same bounded length-key channel as the q-gram method.
-    """
-    d = max_dist
+def _passjoin_index(values: DataFrame, str_col: str, d: int) -> DataFrame:
+    """PassJoin INDEX side: each string of length >= d+1 emits its d+1
+    segments keyed (_lr=own length, _i=segment index, _seg) — the role of
+    the SHORTER partner of a pair.  Carries the string as ``_vr``."""
     k = d + 1
     val = F.col(str_col)
     length = F.length(val)
-
-    # Index side: d+1 segments per string of length >= k.
     idx_parts = []
     for i in range(k):
         start, seg_len = _segment_bounds(length, k, i)
@@ -227,7 +203,7 @@ def passjoin_candidates(
                 val.substr(start + 1, seg_len).alias("seg"),
             )
         )
-    index = (
+    return (
         values.filter(length >= k)
         .select(
             val.alias("_vr"),
@@ -237,7 +213,16 @@ def passjoin_candidates(
         .select("_vr", "_lr", F.col("_s.i").alias("_i"), F.col("_s.seg").alias("_seg"))
     )
 
-    # Probe side: substrings for every (target length, segment, shift).
+
+def _passjoin_probe(values: DataFrame, str_col: str, d: int) -> DataFrame:
+    """PassJoin PROBE side: each string, acting as the LONGER partner,
+    emits for every admissible shorter length tl in [l-d, l] (tl >= d+1),
+    every segment index, and every start within ±d of the partition-scheme
+    start, the matching-length substring — a bounded (d+1)(d+1)(2d+1)
+    fan-out.  Carries the string as ``_vs``."""
+    k = d + 1
+    val = F.col(str_col)
+    length = F.length(val)
     probe_parts = []
     for delta in range(d + 1):  # tl = l - delta
         tl = length - delta
@@ -273,7 +258,7 @@ def passjoin_candidates(
         ),
         1,
     )
-    probe = (
+    return (
         values.select(
             val.alias("_vs"),
             F.explode(cleaned).alias("_p"),
@@ -286,7 +271,9 @@ def passjoin_candidates(
         )
     )
 
-    seg_cand = (
+
+def _seg_join(index: DataFrame, probe: DataFrame) -> DataFrame:
+    return (
         index.join(probe, ["_lr", "_i", "_seg"])
         .filter(F.col("_vr") != F.col("_vs"))
         .select(
@@ -294,16 +281,31 @@ def passjoin_candidates(
             F.greatest("_vr", "_vs").alias("val_b"),
         )
     )
-    # shorter-side length <= d: bounded length-key channel (both sides of
-    # any such pair have length <= 2d)
-    s = values.filter(length <= d).select(
+
+
+def _short_s(values: DataFrame, str_col: str, d: int) -> DataFrame:
+    """Short channel, fan-out side: strings of length <= d keyed by every
+    admissible partner length."""
+    val = F.col(str_col)
+    length = F.length(val)
+    return values.filter(length <= d).select(
         val.alias("_vs"),
         F.explode(F.sequence(length - d, length + d)).alias("_len"),
     )
-    t = values.filter(length <= 2 * d).select(
+
+
+def _short_t(values: DataFrame, str_col: str, d: int) -> DataFrame:
+    """Short channel, target side: strings of length <= 2d keyed by own
+    length (both sides of any short pair have length <= 2d)."""
+    val = F.col(str_col)
+    length = F.length(val)
+    return values.filter(length <= 2 * d).select(
         val.alias("_vt"), length.alias("_len")
     )
-    short_cand = (
+
+
+def _short_join(s: DataFrame, t: DataFrame) -> DataFrame:
+    return (
         s.join(t, "_len")
         .filter(F.col("_vs") != F.col("_vt"))
         .select(
@@ -311,7 +313,89 @@ def passjoin_candidates(
             F.greatest("_vs", "_vt").alias("val_b"),
         )
     )
+
+
+def passjoin_candidates(
+    values: DataFrame,
+    str_col: str = "val",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Candidate pairs ``(val_a, val_b)`` with ``val_a < val_b`` containing
+    EVERY pair within edit distance d — PassJoin partition blocking (Li,
+    Deng & Feng, ICDE'11; module docstring).
+
+    Pigeonhole: d edits touch at most d of a string's d+1 segments, so at
+    least one segment of the SHORTER side appears verbatim in the longer
+    side, displaced by at most d (net insertions minus deletions before
+    it).  The equi-join key is the full SEGMENT (length ~ l/(d+1) chars)
+    — far more selective than any q-gram, which is what keeps candidate
+    volume data-bounded on low-diversity vocabularies where gram
+    signatures saturate (index/probe builders above).
+
+    Pairs whose shorter side has length <= d (segments would be empty) go
+    through the same bounded length-key channel as the q-gram method.
+    """
+    d = max_dist
+    seg_cand = _seg_join(
+        _passjoin_index(values, str_col, d), _passjoin_probe(values, str_col, d)
+    )
+    short_cand = _short_join(
+        _short_s(values, str_col, d), _short_t(values, str_col, d)
+    )
     return seg_cand.unionByName(short_cand).distinct()
+
+
+def passjoin_candidates_incremental(
+    old_values: DataFrame,
+    new_values: DataFrame,
+    str_col: str = "val",
+    max_dist: int = 2,
+) -> DataFrame:
+    """Candidate pairs touching the NEW batch — every pair within edit
+    distance d with >= 1 new member, and NO old×old candidate ever formed.
+
+    Role decomposition (PassJoin is asymmetric: the shorter side indexes
+    segments, the longer side probes substrings):
+    - index(old ∪ new) ⋈ probe(new): pairs where the new string is the
+      longer/equal partner, against anybody;
+    - index(new) ⋈ probe(old): pairs where an old string is strictly
+      longer than a new one;
+    - short channel: s(new) ⋈ t(old ∪ new)  ∪  s(old) ⋈ t(new).
+
+    In a deployed daily-ingest pipeline both old-side expansions (segments
+    AND probe substrings — each per-string bounded) are the PERSISTED
+    blocked index, appended to as strings arrive; here they are rebuilt
+    inline, which costs one scan of the old vocabulary but generates
+    candidates only where a key collides with the batch — candidate
+    volume scales with the batch, not with |old|² (the same new×corpus
+    contract as dedup.minhash_dedup_pairs_incremental)."""
+    d = max_dist
+    all_values = old_values.select(str_col).unionByName(
+        new_values.select(str_col)
+    )
+    cand = (
+        _seg_join(
+            _passjoin_index(all_values, str_col, d),
+            _passjoin_probe(new_values, str_col, d),
+        )
+        .unionByName(
+            _seg_join(
+                _passjoin_index(new_values, str_col, d),
+                _passjoin_probe(old_values, str_col, d),
+            )
+        )
+        .unionByName(
+            _short_join(
+                _short_s(new_values, str_col, d), _short_t(all_values, str_col, d)
+            )
+        )
+        .unionByName(
+            _short_join(
+                _short_s(old_values, str_col, d), _short_t(new_values, str_col, d)
+            )
+        )
+    )
+    return cand.distinct()
 
 
 def editdist_pairs(
@@ -345,3 +429,103 @@ def editdist_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("val_a", "val_b", "dist")
     )
+
+
+def editdist_pairs_incremental(
+    old_values: DataFrame,
+    new_values: DataFrame,
+    str_col: str = "val",
+    max_dist: int = 2,
+) -> DataFrame:
+    """All pairs within edit distance d that TOUCH the new batch:
+    ``(val_a, val_b, dist)``, val_a < val_b — incremental PassJoin
+    candidates (never old×old), then exact levenshtein verify.  Equals
+    the full ``editdist_pairs`` over old ∪ new restricted to pairs with
+    >= 1 new member (pinned by tests/test_editdist.py)."""
+    cand = passjoin_candidates_incremental(
+        old_values, new_values, str_col, max_dist
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("val_a", "val_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("val_a", "val_b", "dist")
+    )
+
+
+def er_merge_incremental(
+    old_assign: DataFrame,
+    new_edges: DataFrame,
+    new_values: DataFrame,
+    str_col: str = "val",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Merge a new batch into an EXISTING entity-cluster assignment
+    without re-clustering history: connected components run on the
+    CONTRACTED graph whose nodes are old cluster labels and new strings
+    (batch + touched-cluster sized, never history-sized).
+
+    - ``old_assign``: (name, canonical) — the existing assignment, where
+      ``canonical`` is the min member name of each old cluster (the
+      invariant ``er_canonical_entities`` establishes).
+    - ``new_edges``: (val_a, val_b, ...) match pairs touching the batch
+      (from ``editdist_pairs_incremental``).
+    - ``new_values``: one ``str_col`` row per new string.
+
+    Each edge endpoint is CONTRACTED to its representative — an old
+    name maps to its cluster's canonical label, a new name to itself —
+    and min-label CC runs on the contracted edge set only.  Because old
+    canonicals are minima of their members, the component minimum over
+    contracted nodes equals the minimum over all underlying member
+    names, so labels agree EXACTLY with a full re-clustering (pinned by
+    tests/test_editdist.py equivalence suite).  Untouched old clusters
+    never enter the computation at all.
+
+    Returns the assignment DELTA: (name, canonical, is_new) for every
+    new string plus every old string whose canonical label changed.
+    Scale: two hash joins to contract endpoints, CC over the contracted
+    (bounded) edge set, one join back to relabel members of touched old
+    clusters only."""
+    from postpy_spark.operators.dedup import connected_components
+
+    old_map = old_assign.select(
+        F.col("name").alias("_n"), F.col("canonical").alias("_c")
+    )
+    e = (
+        new_edges.select("val_a", "val_b")
+        .join(old_map.withColumnRenamed("_n", "val_a"), "val_a", "left")
+        .withColumnRenamed("_c", "_ra")
+        .join(old_map.withColumnRenamed("_n", "val_b"), "val_b", "left")
+        .withColumnRenamed("_c", "_rb")
+        .select(
+            F.coalesce("_ra", F.col("val_a")).alias("ra"),
+            F.coalesce("_rb", F.col("val_b")).alias("rb"),
+        )
+        .filter(F.col("ra") != F.col("rb"))
+    )
+    comps = connected_components(e, "ra", "rb", max_iterations=max_iter)
+    # new strings: component of their own node, else themselves
+    new_rows = (
+        new_values.select(F.col(str_col).alias("name"))
+        .join(
+            comps.select(F.col("node").alias("name"), "component"), "name", "left"
+        )
+        .select(
+            "name",
+            F.coalesce("component", F.col("name")).alias("canonical"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+    # old strings in touched clusters whose label actually changed
+    relabeled = (
+        old_assign.join(
+            comps.select(F.col("node").alias("canonical"), "component"),
+            "canonical",
+        )
+        .filter(F.col("component") != F.col("canonical"))
+        .select(
+            "name",
+            F.col("component").alias("canonical"),
+            F.lit(False).alias("is_new"),
+        )
+    )
+    return new_rows.unionByName(relabeled)

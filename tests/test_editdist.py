@@ -159,3 +159,128 @@ def test_passjoin_segment_formula_consistency(spark):
     assert _blocked(spark, strings, 1, method="passjoin") == _brute(
         spark, strings, 1
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ER (editdist_pairs_incremental + er_merge_incremental)
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_vocab():
+    """Lengths 1..30 incl. short-channel strings (len <= d), equal-length
+    pairs, insert/delete shifts, and chained near-duplicates."""
+    random.seed(14)
+    base = []
+    for n in (1, 2, 3, 5, 8, 13, 21, 30):
+        s = "".join(chr(ord("a") + (i * 5 + n) % 26) for i in range(n))
+        base.append(s)
+        base.append(s[:-1] + "Q" if n > 1 else "Q")  # substitution
+        base.append(s + "x")  # insertion (old longer / shorter mixes)
+        if n >= 4:
+            base.append(s[1:])  # deletion
+            base.append(s[: n // 2] + "ZZ" + s[n // 2 :])  # 2 inserts
+    return sorted(set(base))
+
+
+def _split(strings, frac_new=0.35):
+    random.seed(41)
+    new = set(random.sample(strings, max(2, int(len(strings) * frac_new))))
+    old = [s for s in strings if s not in new]
+    return old, sorted(new)
+
+
+def test_incremental_pairs_equal_full_restricted_to_new(spark):
+    """editdist_pairs_incremental == full editdist_pairs over old ∪ new,
+    restricted to pairs touching >= 1 new string — the never-old×old
+    contract is lossless, across both role directions (new longer, new
+    shorter) and the short channel."""
+    from postpy_spark.operators.editdist import editdist_pairs_incremental
+
+    strings = _adversarial_vocab()
+    for d in (1, 2):
+        old, new = _split(strings)
+        full = _brute(spark, strings, d)
+        newset = set(new)
+        want = {t for t in full if t[0] in newset or t[1] in newset}
+        odf = spark.createDataFrame([Row(val=s) for s in old])
+        ndf = spark.createDataFrame([Row(val=s) for s in new])
+        got = {
+            (r.val_a, r.val_b, r.dist)
+            for r in editdist_pairs_incremental(odf, ndf, max_dist=d).collect()
+        }
+        assert got == want, f"d={d}: missing={want-got} extra={got-want}"
+        # and NO old×old pair sneaks in (already implied by equality, but
+        # pin the direction explicitly)
+        assert all(a in newset or b in newset for a, b, _ in got)
+
+
+def _full_er(spark, strings, d):
+    """Reference: full re-clustering — canonical = min name reachable."""
+    pairs = _brute(spark, strings, d)
+    parent = {s: s for s in strings}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {s: find(s) for s in strings}
+
+
+def test_er_merge_incremental_equals_full_recompute(spark):
+    """er_merge_incremental's delta == full re-clustering restricted to
+    (new names ∪ old names whose canonical changed) — the same contract
+    dedup_incremental satisfies, on a vocabulary where new strings bridge
+    old clusters (incl. via new-new chains) and relabel old members."""
+    from postpy_spark.operators.dedup import connected_components
+    from postpy_spark.operators.editdist import (
+        editdist_pairs,
+        editdist_pairs_incremental,
+        er_merge_incremental,
+    )
+
+    strings = _adversarial_vocab()
+    d = 2
+    old, new = _split(strings)
+
+    odf = spark.createDataFrame([Row(val=s) for s in old])
+    ndf = spark.createDataFrame([Row(val=s) for s in new])
+
+    # existing assignment: full ER over old only
+    old_pairs = editdist_pairs(odf, max_dist=d)
+    comps = connected_components(old_pairs, "val_a", "val_b")
+    old_assign = (
+        odf.join(
+            comps.select(F.col("node").alias("val"), "component"), "val", "left"
+        )
+        .select(
+            F.col("val").alias("name"),
+            F.coalesce("component", F.col("val")).alias("canonical"),
+        )
+    )
+    old_map = {r.name: r.canonical for r in old_assign.collect()}
+
+    edges = editdist_pairs_incremental(odf, ndf, max_dist=d)
+    got = {
+        r.name: (r.canonical, r.is_new)
+        for r in er_merge_incremental(old_assign, edges, ndf).collect()
+    }
+
+    full = _full_er(spark, strings, d)
+    want = {s: (full[s], True) for s in new}
+    for s in old:
+        if full[s] != old_map[s]:
+            want[s] = (full[s], False)
+    assert got == want, (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)} "
+        f"diff={ {k: (got.get(k), want.get(k)) for k in set(got) | set(want) if got.get(k) != want.get(k)} }"
+    )
+    # sanity: the scenario actually exercised a merge-relabel (an old name
+    # appears in the delta), otherwise the fixture is too weak
+    assert any(not is_new for (_, is_new) in got.values()), got

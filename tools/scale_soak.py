@@ -113,6 +113,17 @@ SOAK_OPS = [
     # rides the same pairs with O(log diameter) rounds.
     "dedup_editdist_blocked",
     "er_canonical_entities",
+    # r14: char-level repeated spans on the scaled documents corpus — the
+    # boilerplate footer and template plants are hot CHAR grams too
+    # (every 20-char window of the footer recurs across ~30% of docs);
+    # the op must stay one gram-count shuffle + per-doc windows, with
+    # dup-position volume linear in the replica count.
+    "dedup_char_spans",
+    # r14: incremental ER under the part-name plant — the batch probes
+    # the planted vocabulary without old×old candidates and the merge
+    # runs on the contracted graph, so growth must track the vocabulary,
+    # not history × batch.
+    "er_incremental",
 ]
 
 #: Exact-parity sweep at the soak tier (r10 verdict item 6): sql-checked
@@ -145,6 +156,11 @@ SOAK_SWEEP = [
     "dedup_url_canonical", "dedup_doc_prefix",
     # r13 additions (documents-scaled: packing manifest + mixture sampling)
     "pack_sequences", "mixture_resample",
+    # r14 additions: char-tier exact-substring dedup on the scaled corpus
+    # (its direct oracle re-runs at the tier) + the closed-form twins of
+    # the r14 operators (orders-based, tier-invariant by construction)
+    "dedup_char_spans", "dedup_char_spans_planted",
+    "text_unigram_planted", "er_incremental_planted",
     # embeddings (1M vectors, dense-cluster plant)
     "dedup_embedding_cosine", "embed_norm_quant", "embed_matryoshka",
     "embed_centroid_drift", "sim_cosine_pairs", "sim_topk_per_query",

@@ -90,6 +90,13 @@ HEAVY_EXTRAS = [
     # and its end-to-end composition with iterative connected components
     "dedup_editdist_blocked",
     "er_canonical_entities",
+    # r14 additions: the char tier of exact-substring dedup (per-doc and
+    # pairwise), incremental ER (batch probe + contracted merge), and
+    # unigram-LM tokenizer training (3 EM rounds over the vocab)
+    "dedup_char_spans",
+    "dedup_char_crossdoc",
+    "er_incremental",
+    "text_unigram_train",
 ]
 EXTRAS_RUNS = 2
 

@@ -1078,3 +1078,86 @@ def char_repeated_spans(
             .alias("dup_char_positions"),
         )
     )
+
+
+def char_crossdoc_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    df_cap: int = 10,
+    occ_cap: int = 50,
+    min_span: int = 24,
+) -> DataFrame:
+    """(doc_a, doc_b, start_a, start_b, span_chars, passage): every maximal
+    CHARACTER span of >= ``min_span`` chars shared verbatim between two
+    distinct documents — the pairwise char tier of exact-substring dedup
+    (Lee et al. 2022, arXiv:2107.06499), completing the family symmetric
+    to the token tier (``char_repeated_spans`` ↔ per-doc mass,
+    ``crossdoc_spans`` ↔ token-gram pairs): the diagonal trick on k-char
+    window matches — a match at (pos_a, pos_b) lies on diagonal
+    pos_a - pos_b, and consecutive matches on one (pair, diagonal) are
+    exactly one shared substring, recovered maximally by a
+    gaps-and-islands window per diagonal (length = run + k - 1).
+    Raw text, no normalization (byte-exact contract).
+
+    Scale: same double-cap stop-gram policy as the token version — a
+    window joins only with corpus document frequency in [2, df_cap] AND
+    total occurrences <= occ_cap, so boilerplate char runs are dropped,
+    never posting-joined; pair points shuffle as ids+ints keyed
+    (doc_a, doc_b, diag); the islands window is per-diagonal; passage
+    text joins onto the bounded SPAN set only."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    g = (
+        base.filter(F.length("_t") >= k)
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(0), F.length("_t") - F.lit(k))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.substring(F.col("_t"), F.col("pos") + 1, k).alias("gram"),
+        )
+    )
+    freq = g.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("_df"),
+        F.count(F.lit(1)).alias("_occ"),
+    )
+    keep = freq.filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= df_cap) & (F.col("_occ") <= occ_cap)
+    ).select("gram")
+    gk = g.join(keep, "gram")
+    a = gk.select("gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"))
+    b = gk.select("gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"))
+    pts = (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+        .dropDuplicates(["doc_a", "doc_b", "pos_a", "pos_b"])
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        pts.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            F.min("pos_b").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("bigint").alias("span_chars"),
+        )
+        .filter(F.col("span_chars") >= min_span)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_chars")
+    )
+    src = base.select(F.col("doc_id").alias("doc_a"), F.col("_t"))
+    return spans.join(src, "doc_a").select(
+        "doc_a", "doc_b", "start_a", "start_b", "span_chars",
+        F.substring(
+            F.col("_t"), (F.col("start_a") + 1).cast("int"), F.col("span_chars").cast("int")
+        ).alias("passage"),
+    )

@@ -529,3 +529,49 @@ def er_merge_incremental(
         )
     )
     return new_rows.unionByName(relabeled)
+
+
+def er_apply_delta(old_assign: DataFrame, delta: DataFrame) -> DataFrame:
+    """Final (name, canonical) for every member of a TOUCHED cluster —
+    the membership view downstream incremental consumers (golden-record
+    maintenance) aggregate over.
+
+    ``delta`` is ``er_merge_incremental`` output.  Old names pick up
+    their relabel if present; the touched-cluster filter is a semi-join
+    against the delta's canonical set, so untouched history never flows
+    through.  New names come straight from the delta."""
+    touched = delta.select("canonical").distinct()
+    old_upd = (
+        old_assign.join(
+            delta.filter(~F.col("is_new")).select(
+                "name", F.col("canonical").alias("_nc")
+            ),
+            "name",
+            "left",
+        )
+        .select("name", F.coalesce("_nc", "canonical").alias("canonical"))
+    )
+    members_old = old_upd.join(touched, "canonical", "semi").select(
+        "name", "canonical"
+    )
+    members_new = delta.filter(F.col("is_new")).select("name", "canonical")
+    return members_old.unionByName(members_new)
+
+
+def er_vanished_labels(old_assign: DataFrame, delta: DataFrame) -> DataFrame:
+    """(canonical) labels that no longer head any cluster after the merge.
+
+    A cluster's label is its min member name, so the label survives iff
+    the name EQUAL to it kept its canonical; a relabeled row whose name
+    was its own cluster's label marks that label as vanished."""
+    return (
+        delta.filter(~F.col("is_new"))
+        .join(
+            old_assign.filter(F.col("name") == F.col("canonical")).select(
+                "name"
+            ),
+            "name",
+            "semi",
+        )
+        .select(F.col("name").alias("canonical"))
+    )

@@ -2115,6 +2115,64 @@ def dedup_char_spans_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_char_crossdoc",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, pos, substr(text, pos + 1, 20) AS gram
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(length(text) - 19)) AS pos
+            FROM documents WHERE length(text) >= 20
+        )
+    ),
+    keep AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 10 AND COUNT(*) <= 50
+    ),
+    gk AS (SELECT doc_id, pos, gram FROM g JOIN keep USING (gram)),
+    pts AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+        FROM pts
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               CAST(MIN(pos_a) AS BIGINT) AS start_a,
+               CAST(MIN(pos_b) AS BIGINT) AS start_b,
+               CAST(COUNT(*) + 19 AS BIGINT) AS span_chars
+        FROM isl GROUP BY doc_a, doc_b, diag, grp
+        HAVING COUNT(*) + 19 >= 24
+    )
+    SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.span_chars,
+           substr(d.text, CAST(s.start_a + 1 AS INT),
+                  CAST(s.span_chars AS INT)) AS passage
+    FROM spans s JOIN documents d ON s.doc_a = d.doc_id
+    """,
+    group="D",
+)
+def dedup_char_crossdoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document shared-passage extraction at CHARACTER granularity —
+    every maximal char span (>= 24 chars) two documents share verbatim,
+    with both offsets and the passage: the pairwise record of the char
+    tier (Lee et al. 2022, arXiv:2107.06499), completing the family
+    square (per-doc↔pairwise × token↔char) next to dedup_char_spans,
+    dedup_repeated_spans and dedup_crossdoc_spans.  Same diagonal trick
+    as the token version, on 20-char windows of RAW text; same [2,10]
+    docfreq × <=50 occurrence stop-gram caps.  Full plan + 100 TB
+    posture in operators/dedup.py::char_crossdoc_spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.char_crossdoc_spans(
+        docs, k=20, df_cap=10, occ_cap=50, min_span=24
+    )
+
+
+@query(
     "text_chunk_fixed",
     oracle=f"""
     WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -4327,3 +4385,172 @@ def er_incremental_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = editdist.editdist_pairs_incremental(olds, news, max_dist=2)
     return editdist.er_merge_incremental(old_assign, edges, news)
+
+
+@query("er_golden_incremental", oracle=None, group="D")
+def er_golden_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental golden-record maintenance — the third stage of the
+    daily-ingest ER chain (pairs → clusters → golden records), now fully
+    incremental: after er_incremental's contracted merge, survivor
+    aggregates are recomputed ONLY for clusters the batch touched
+    (semi-join membership via operators/editdist.py::er_apply_delta) and
+    labels that stopped heading a cluster are emitted as deletes
+    (::er_vanished_labels) — at 100 TB the aggregation scan is bounded
+    by touched-cluster membership plus the part rows joined to it, never
+    the full golden table.  Output: (canonical, op, n_names, n_parts,
+    total_price_cents, min_size, max_size) with op ∈ upsert|delete
+    (deletes carry zeroed aggregates for driver-hash friendliness).
+
+    Rows-only by design; tests/test_editdist.py pins upserts == the full
+    er_golden_record recomputation restricted to touched clusters and
+    deletes == labels present before, absent after."""
+    p = load_table(spark, sf_dir, "part")
+    vals = p.select("p_name").distinct()
+    is_new = F.pmod(F.xxhash64("p_name"), F.lit(5)) == 0
+    new_vals = vals.filter(is_new).select(F.col("p_name").alias("val"))
+    old_vals = vals.filter(~is_new).select(F.col("p_name").alias("val"))
+    old_pairs = editdist.editdist_pairs(old_vals, max_dist=2)
+    old_comps = dedup.connected_components(old_pairs, "val_a", "val_b")
+    old_assign = (
+        old_vals.join(
+            old_comps.select(F.col("node").alias("val"), "component"),
+            "val",
+            "left",
+        )
+        .select(
+            F.col("val").alias("name"),
+            F.coalesce("component", F.col("val")).alias("canonical"),
+        )
+    )
+    edges = editdist.editdist_pairs_incremental(old_vals, new_vals, max_dist=2)
+    delta = editdist.er_merge_incremental(old_assign, edges, new_vals)
+    members = editdist.er_apply_delta(old_assign, delta)
+    upserts = (
+        members.join(p, members["name"] == p["p_name"])
+        .groupBy("canonical")
+        .agg(
+            F.countDistinct("p_name").alias("n_names"),
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint")).alias(
+                "total_price_cents"
+            ),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .select(F.col("canonical"), F.lit("upsert").alias("op"), "n_names",
+                "n_parts", "total_price_cents", "min_size", "max_size")
+    )
+    deletes = editdist.er_vanished_labels(old_assign, delta).select(
+        "canonical",
+        F.lit("delete").alias("op"),
+        F.lit(0).cast("bigint").alias("n_names"),
+        F.lit(0).cast("bigint").alias("n_parts"),
+        F.lit(0).cast("bigint").alias("total_price_cents"),
+        F.lit(0).cast("int").alias("min_size"),
+        F.lit(0).cast("int").alias("max_size"),
+    )
+    return upserts.unionByName(deletes)
+
+
+@query(
+    "er_golden_incremental_planted",
+    oracle="""
+    WITH g AS (
+        SELECT DISTINCT
+          'v' || repeat(chr(97 + CAST((o_orderkey % 40) // 8 AS INT)), 3)
+              || repeat(chr(102 + CAST(o_orderkey % 8 AS INT)), 3) AS pre
+        FROM orders WHERE o_orderkey < 1200
+    ),
+    rows_out(sufc, op, n_names, n_parts, total_v, min_s, max_s) AS (
+        VALUES ('aaa', 'upsert', 5, 5, 12, 1, 6),
+               ('qqq', 'upsert', 1, 1, 3, 4, 4),
+               ('zzy', 'delete', 0, 0, 0, 0, 0)
+    )
+    SELECT pre || sufc AS canonical, op,
+           CAST(n_names AS BIGINT) AS n_names,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           CAST(total_v AS BIGINT) AS total_v,
+           CAST(min_s AS INT) AS min_s,
+           CAST(max_s AS INT) AS max_s
+    FROM g, rows_out
+    """,
+    group="D",
+)
+def er_golden_incremental_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLOSED-FORM attestation of incremental golden-record maintenance on
+    the er_incremental_planted geometry, with one attribute row per name
+    valued by suffix index (aaa..zzz → 0..5, size = idx+1): the merged
+    cluster upserts (5 members, value sum 0+1+2+4+5=12, sizes 1..6), the
+    new singleton upserts (value 3, size 4), and the swallowed cluster's
+    label pre+'zzy' deletes.  120 rows at every sf (40 groups × 3)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1200)
+    g = F.col("o_orderkey") % 40
+    pre = F.concat(
+        F.lit("v"),
+        F.repeat(F.char(F.lit(97) + F.floor(g / 8)), 3),
+        F.repeat(F.char(F.lit(102) + g % 8), 3),
+    )
+    pres = o.select(pre.alias("pre")).distinct()
+    sufs = [("aaa", 0), ("aab", 1), ("aza", 2), ("qqq", 3), ("zzy", 4), ("zzz", 5)]
+    rows = pres.select(
+        "pre",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.concat("pre", F.lit(s)).alias("name"),
+                        F.lit(v).cast("bigint").alias("v"),
+                        F.lit(v + 1).cast("int").alias("size"),
+                        F.lit(s in ("aza", "qqq")).alias("nw"),
+                    )
+                    for s, v in sufs
+                ]
+            )
+        ).alias("r"),
+    ).select(
+        F.col("r.name").alias("name"),
+        F.col("r.v").alias("v"),
+        F.col("r.size").alias("size"),
+        F.col("r.nw").alias("nw"),
+    )
+    olds = rows.filter(~F.col("nw")).select(F.col("name").alias("val"))
+    news = rows.filter(F.col("nw")).select(F.col("name").alias("val"))
+    old_pairs = editdist.editdist_pairs(olds, max_dist=2)
+    old_comps = dedup.connected_components(old_pairs, "val_a", "val_b")
+    old_assign = (
+        olds.join(
+            old_comps.select(F.col("node").alias("val"), "component"),
+            "val",
+            "left",
+        )
+        .select(
+            F.col("val").alias("name"),
+            F.coalesce("component", F.col("val")).alias("canonical"),
+        )
+    )
+    edges = editdist.editdist_pairs_incremental(olds, news, max_dist=2)
+    delta = editdist.er_merge_incremental(old_assign, edges, news)
+    members = editdist.er_apply_delta(old_assign, delta)
+    upserts = (
+        members.join(rows, "name")
+        .groupBy("canonical")
+        .agg(
+            F.countDistinct("name").cast("bigint").alias("n_names"),
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("v").cast("bigint").alias("total_v"),
+            F.min("size").alias("min_s"),
+            F.max("size").alias("max_s"),
+        )
+        .select("canonical", F.lit("upsert").alias("op"), "n_names",
+                "n_parts", "total_v", "min_s", "max_s")
+    )
+    deletes = editdist.er_vanished_labels(old_assign, delta).select(
+        "canonical",
+        F.lit("delete").alias("op"),
+        F.lit(0).cast("bigint").alias("n_names"),
+        F.lit(0).cast("bigint").alias("n_parts"),
+        F.lit(0).cast("bigint").alias("total_v"),
+        F.lit(0).cast("int").alias("min_s"),
+        F.lit(0).cast("int").alias("max_s"),
+    )
+    return upserts.unionByName(deletes)

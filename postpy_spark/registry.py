@@ -111,9 +111,10 @@ DRIVER_SAMPLE_ROTATION: tuple[str, ...] = (
     # that fell off the end of r13's 50-slot window (streaming + UDF
     # variants), then r7-vintage fill.
     # (0) new in round 14
-    "dedup_char_spans", "dedup_char_spans_planted",
+    "dedup_char_spans", "dedup_char_spans_planted", "dedup_char_crossdoc",
     "text_unigram_train", "text_unigram_planted", "text_unigram_segment",
     "er_incremental", "er_incremental_planted",
+    "er_golden_incremental", "er_golden_incremental_planted",
     # (1) the last attestation hole (never driver-sampled, rows-only)
     "sim_nndescent_refine",
     # (2) rows-only liveness refresh (latest driver rows r3–r9)

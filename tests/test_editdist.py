@@ -284,3 +284,82 @@ def test_er_merge_incremental_equals_full_recompute(spark):
     # sanity: the scenario actually exercised a merge-relabel (an old name
     # appears in the delta), otherwise the fixture is too weak
     assert any(not is_new for (_, is_new) in got.values()), got
+
+
+def test_er_golden_incremental_delta_matches_full(spark):
+    """Incremental golden-record maintenance == full recompute restricted
+    to touched clusters, plus exact delete set (labels that stopped
+    heading a cluster) — on the adversarial vocabulary with row
+    multiplicity (some names carry 2 attribute rows)."""
+    from postpy_spark.operators.dedup import connected_components
+    from postpy_spark.operators.editdist import (
+        editdist_pairs,
+        editdist_pairs_incremental,
+        er_apply_delta,
+        er_merge_incremental,
+        er_vanished_labels,
+    )
+
+    strings = _adversarial_vocab()
+    d = 2
+    old, new = _split(strings)
+    # attribute rows: value = len(name)*10 + first-char code; every third
+    # name gets a second row (multiplicity must flow into n_parts/sums)
+    attr = []
+    for i, s in enumerate(strings):
+        attr.append((s, len(s) * 10 + (ord(s[0]) % 7)))
+        if i % 3 == 0:
+            attr.append((s, 1))
+    rows = spark.createDataFrame(attr, "name string, v bigint")
+
+    odf = spark.createDataFrame([Row(val=s) for s in old])
+    ndf = spark.createDataFrame([Row(val=s) for s in new])
+    old_pairs = editdist_pairs(odf, max_dist=d)
+    comps = connected_components(old_pairs, "val_a", "val_b")
+    old_assign = (
+        odf.join(
+            comps.select(F.col("node").alias("val"), "component"), "val", "left"
+        )
+        .select(
+            F.col("val").alias("name"),
+            F.coalesce("component", F.col("val")).alias("canonical"),
+        )
+    )
+    old_map = {r.name: r.canonical for r in old_assign.collect()}
+
+    edges = editdist_pairs_incremental(odf, ndf, max_dist=d)
+    delta = er_merge_incremental(old_assign, edges, ndf)
+    members = er_apply_delta(old_assign, delta)
+    got_up = {
+        r.canonical: (r.n, r.sv)
+        for r in members.join(rows, "name")
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    got_del = {r.canonical for r in er_vanished_labels(old_assign, delta).collect()}
+
+    # full reference
+    full = _full_er(spark, strings, d)
+    by_attr: dict = {}
+    for s, v in attr:
+        by_attr.setdefault(s, []).append(v)
+    full_golden: dict = {}
+    for s in strings:
+        c = full[s]
+        n, sv = full_golden.get(c, (0, 0))
+        vs = by_attr[s]
+        full_golden[c] = (n + len(vs), sv + sum(vs))
+    delta_rows = {r.name: r.canonical for r in delta.collect()}
+    touched = set(delta_rows.values())
+    want_up = {c: full_golden[c] for c in touched}
+    assert got_up == want_up, {
+        k: (got_up.get(k), want_up.get(k))
+        for k in set(got_up) | set(want_up)
+        if got_up.get(k) != want_up.get(k)
+    }
+    # deletes: labels that headed an old cluster but head nothing now
+    final_labels = set(full.values())
+    want_del = {c for c in set(old_map.values()) if c not in final_labels}
+    assert got_del == want_del, (got_del, want_del)
+    assert want_del, "fixture must actually exercise a vanished label"

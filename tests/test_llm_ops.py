@@ -1709,3 +1709,32 @@ def test_char_spans_short_and_unique_docs(spark):
         assert out[d].n_spans == 1
         assert out[d].dup_char_positions == 6
         assert out[d].max_span_chars == 25
+
+
+def test_char_crossdoc_names_pair_and_offsets(spark):
+    """The pairwise char tier must name WHICH pair shares WHAT passage at
+    WHICH offsets — planted: docs 1 and 2 share a 30-char passage at
+    different offsets (straddling token boundaries, invisible to the
+    token tier); doc 3 is unrelated; a boilerplate run shared by ALL
+    three docs is stop-gram-capped away (df_cap=2 here)."""
+    shared = "abcdefgh qrstuvwxyz0123 ijklmn"  # 30 chars
+    boiler = "B" * 40
+    docs = spark.createDataFrame(
+        [
+            (1, "pppp" + shared + "rrrr" + boiler),
+            (2, "qqqqqqqq" + shared + "ssss" + boiler),
+            (3, "totally unrelated content here" + boiler),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = dedup.char_crossdoc_spans(
+        docs, k=20, df_cap=2, occ_cap=500, min_span=24
+    ).collect()
+    # boilerplate windows have df=3 > df_cap → capped; only the (1,2)
+    # planted passage survives
+    assert len(out) == 1, out
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.start_a == 4 and r.start_b == 8
+    assert r.span_chars == 30
+    assert r.passage == shared

@@ -159,8 +159,9 @@ SOAK_SWEEP = [
     # r14 additions: char-tier exact-substring dedup on the scaled corpus
     # (its direct oracle re-runs at the tier) + the closed-form twins of
     # the r14 operators (orders-based, tier-invariant by construction)
-    "dedup_char_spans", "dedup_char_spans_planted",
+    "dedup_char_spans", "dedup_char_spans_planted", "dedup_char_crossdoc",
     "text_unigram_planted", "er_incremental_planted",
+    "er_golden_incremental_planted",
     # embeddings (1M vectors, dense-cluster plant)
     "dedup_embedding_cosine", "embed_norm_quant", "embed_matryoshka",
     "embed_centroid_drift", "sim_cosine_pairs", "sim_topk_per_query",

@@ -28,10 +28,13 @@ from postpy_spark.schema import (
 
 WORK_ROOT = "/tmp/postpy_spark_work"
 
-#: Scratch-dir prefixes that are pid-keyed (`<prefix>_<pid>`) and therefore
-#: safe for the stale sweep to reclaim.  New pid-keyed dirs MUST be created
-#: via _pid_dir(), which enforces membership here — that keeps the sweep from
-#: ever matching an unrelated numeric-suffixed name (e.g. "stage_2024").
+#: Scratch-dir prefixes that are pid-keyed (`<prefix>_<pid>`).  New
+#: pid-keyed dirs MUST be created via _pid_dir(), which enforces membership
+#: here.  Registration buys the LIVE-PID guard: a registered dir is only
+#: reclaimed when its pid is gone.  Tag-level names matching NO registered
+#: pattern are reclaimed unconditionally as pre-r12 old-layout residue
+#: (r13 ADVICE) — the current layout writes nothing un-pid-keyed at tag
+#: level, so an unmatched name cannot be live work.
 PID_DIR_PREFIXES = (
     "derby", "vt_demo", "orders_evo", "binfiles", "orders_compact", "merge_vt",
     "work",

@@ -429,25 +429,32 @@ def test_compact_parquet_partitioned_layout(spark, tmp_path):
     assert back.filter("part = 1").count() == 2_000
 
 
-def test_sweep_ignores_non_pid_numeric_dirs(spark):
-    """A numeric-suffixed dir whose prefix is NOT a registered pid-dir
-    prefix (e.g. stage_2024) must never be swept, even when no process
-    with that pid exists."""
+def test_sweep_reclaims_unregistered_and_dead_pid_dirs(spark):
+    """Every tag-level name that matches no registered ``<prefix>_<pid>``
+    pattern is pre-r12 old-layout residue and is reclaimed (r13 ADVICE —
+    WORK_ROOT is exclusively this engine's scratch space and the current
+    layout only ever writes pid-keyed names at tag level, so nothing
+    legitimate can be unmatched).  This retires the pre-r14 bystander
+    protection for names like stage_2024: such a dir can only be
+    old-layout residue here.  Registered prefixes keep the live-pid
+    guard: a dead pid's dir is swept, a live pid's survives."""
     import os
     import shutil
 
     from postpy_spark.queries import etl_surface
 
     tag_dir = os.path.join(etl_surface.WORK_ROOT, "cafebabe")
-    bystander = os.path.join(tag_dir, "stage_999999")  # dead pid, wrong prefix
+    old_residue = os.path.join(tag_dir, "stage_999999")  # unregistered prefix
     stale = os.path.join(tag_dir, "vt_demo_999999")  # dead pid, registered
-    os.makedirs(bystander, exist_ok=True)
-    os.makedirs(stale, exist_ok=True)
+    live = os.path.join(tag_dir, f"vt_demo_{os.getpid()}")  # live, registered
+    for d in (old_residue, stale, live):
+        os.makedirs(d, exist_ok=True)
     try:
         etl_surface._swept = False
         etl_surface._workdir("/root/testdata/sf0.001", "sweep_probe2")
-        assert os.path.exists(bystander), "unregistered prefix must survive"
+        assert not os.path.exists(old_residue), "old-layout residue reclaimed"
         assert not os.path.exists(stale), "registered dead-pid dir is swept"
+        assert os.path.exists(live), "registered live-pid dir survives"
     finally:
         shutil.rmtree(tag_dir, ignore_errors=True)
 

@@ -150,13 +150,11 @@ def main() -> None:
     reg = registry.load_all()
     names = [n for n in HEADLINE if n in reg]
 
-    # Cache the base tables once (BASELINE.md's amortization tactic: one
-    # session, tables resident).  load_table builds identical plans each
-    # call, so cache substitution kicks in for every query.
-    from postpy_spark.io import TABLES, load_table
-
-    for t in TABLES:
-        load_table(spark, sf_dir, t).cache().count()
+    # r14 methodology fix (OPTIMIZATION_r14.md): base tables are NO LONGER
+    # .cache()d before the timed region.  The r1–r13 pre-cache timed every
+    # query against InMemoryRelations instead of the parquet inputs, hiding
+    # scan/pushdown cost; every timed pass now computes from parquet.
+    # Old-methodology numbers are preserved in docs/bench_r14_precache.json.
 
     # Untimed warm-up pass: JVM startup, whole-stage-codegen compilation and
     # Python worker pool spin-up are one-time costs a long-lived cluster

@@ -22,13 +22,11 @@ import json, os, sys, time
 sys.path.insert(0, os.getcwd())
 from postpy_spark import registry
 from postpy_spark.session import get_spark
-from postpy_spark.io import TABLES, load_table
-
 name, sf_dir = sys.argv[1], sys.argv[2]
 spark = get_spark("ab-query", shuffle_partitions=8)
 spark.sparkContext.setLogLevel("ERROR")
-for t in TABLES:
-    load_table(spark, sf_dir, t).cache().count()
+# r14: no base-table pre-cache — match bench.py's fixed methodology
+# (every timed pass computes from the parquet inputs).
 reg = registry.load_all()
 fn = reg[name].fn
 

@@ -468,6 +468,7 @@ def connected_components(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
@@ -477,23 +478,27 @@ def connected_components(
         parent = propagated.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_component")
         )
+        # carry the convergence flag (_chg) inside the same projection: the
+        # old per-iteration plan joined new vs old labels in a SEPARATE job
+        # just to count changes — one extra shuffle join per iteration.
+        # Labels only ever decrease, so changed == (final < previous).
+        final_c = F.least(
+            F.col("component"), F.coalesce("p_component", F.col("component"))
+        )
         new_labels = (
             propagated.join(parent, propagated.component == parent.p_node, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce("p_component", F.col("component"))
-                ).alias("component"),
+                final_c.alias("component"),
+                (final_c < F.col("_old")).alias("_chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint()  # truncate lineage per iter
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # lazy checkpoint: the changed-count below is the materializing
+        # action, so each iteration is ONE job (previously two: an eager
+        # checkpoint job plus the join-count job).
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
     if changed != 0:
@@ -1050,14 +1055,23 @@ def char_repeated_spans(
             F.substring(F.col("_t"), F.col("pos") + 1, k).alias("gram"),
         )
     )
-    dupg = (
-        g.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
+    # Duplicated positions via ONE gram-keyed exchange (r14 optimization):
+    # a whole-partition count window replaces the old groupBy(gram) +
+    # join-back pair, which shuffled the corpus-sized position set TWICE
+    # and evaluated the explode+substring projection twice (no cross-branch
+    # CSE).  Measured 8.5 s → 3.0 s at sf0.1, rows identical.  Trade-off
+    # vs the agg+join shape: the window buffers each gram's occurrence
+    # group on one task, so a pathological mega-gram (boilerplate) has no
+    # AQE skew-split escape hatch — but the old join-back hashed that same
+    # gram's full posting to one SMJ partition anyway, and the documented
+    # 100 TB refinement for this op (hashed grams / per-shard suffix
+    # arrays, docstring above) supersedes both shapes.
+    d = (
+        g.withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        )
         .filter(F.col("_cnt") > 1)
-        .select("gram")
-    )
-    d = g.join(dupg, "gram").select(
-        "doc_id", F.col("pos").cast("bigint").alias("pos")
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
@@ -1127,27 +1141,59 @@ def char_crossdoc_spans(
             F.substring(F.col("_t"), F.col("pos") + 1, k).alias("gram"),
         )
     )
-    freq = g.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("_df"),
-        F.count(F.lit(1)).alias("_occ"),
-    )
-    keep = freq.filter(
-        (F.col("_df") >= 2) & (F.col("_df") <= df_cap) & (F.col("_occ") <= occ_cap)
-    ).select("gram")
-    gk = g.join(keep, "gram")
-    a = gk.select("gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"))
-    b = gk.select("gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"))
-    # no dropDuplicates: the position explode emits exactly ONE window per
-    # (doc, pos), so the gram equi-join cannot produce a repeated
-    # (doc_a, doc_b, pos_a, pos_b) tuple — skipping the dedup saves a
-    # full shuffle of the point set (measured ~33% of the op at sf0.1).
-    pts = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", "pos_a", "pos_b",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    # r14 optimization — ONE gram-keyed exchange end-to-end for candidate
+    # generation (measured 9.6 s → 2.8 s at sf0.1, rows identical).  The
+    # old shape aggregated gram frequencies (shuffle 1 of the corpus-sized
+    # position set), joined the postings back against the kept-gram set
+    # (shuffles 2+3, with the explode projection re-evaluated per branch),
+    # then SELF-joined the kept postings on gram (two more evaluations).
+    # Instead: df/occ come from whole-partition windows over the single
+    # gram exchange — _df exactly, via a sorted is-first-row-of-doc flag
+    # summed over the gram frame (count_distinct is not window-supported)
+    # — and the pair set is generated IN PLACE from each gram's kept
+    # posting list, which the occ_cap filter bounds at ``occ_cap`` entries
+    # before collect_list ever runs, so the per-gram pair fan-out is
+    # <= occ_cap² by construction (same bound the self-join had).  The
+    # skew trade-off of window-vs-agg is the same as char_repeated_spans
+    # (see comment there); boilerplate mega-grams are dropped by the caps
+    # either way, and here they never reach the collect.
+    wgo = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    wg = Window.partitionBy("gram")
+    prev_doc = F.lag("doc_id").over(wgo)
+    flagged = (
+        g.withColumn(
+            "_first",
+            F.when(
+                prev_doc.isNull() | (prev_doc != F.col("doc_id")), 1
+            ).otherwise(0),
         )
+        .withColumn("_df", F.sum("_first").over(wg))
+        .withColumn("_occ", F.count(F.lit(1)).over(wg))
+        .filter(
+            (F.col("_df") >= 2)
+            & (F.col("_df") <= df_cap)
+            & (F.col("_occ") <= occ_cap)
+        )
+    )
+    lists = flagged.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("_l")
+    )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(_l, x -> transform(_l, y -> "
+                "CASE WHEN x.doc_id < y.doc_id THEN named_struct("
+                "'doc_a', x.doc_id, 'doc_b', y.doc_id, "
+                "'pos_a', x.pos, 'pos_b', y.pos) END))), p -> p IS NOT NULL)"
+            )
+        ).alias("_p")
+    )
+    pts = pairs.select(
+        F.col("_p.doc_a").alias("doc_a"),
+        F.col("_p.doc_b").alias("doc_b"),
+        F.col("_p.pos_a").alias("pos_a"),
+        F.col("_p.pos_b").alias("pos_b"),
+        (F.col("_p.pos_a") - F.col("_p.pos_b")).alias("diag"),
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     spans = (

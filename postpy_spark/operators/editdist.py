@@ -219,48 +219,48 @@ def _passjoin_probe(values: DataFrame, str_col: str, d: int) -> DataFrame:
     emits for every admissible shorter length tl in [l-d, l] (tl >= d+1),
     every segment index, and every start within ±d of the partition-scheme
     start, the matching-length substring — a bounded (d+1)(d+1)(2d+1)
-    fan-out.  Carries the string as ``_vs``."""
+    fan-out.  Carries the string as ``_vs``.
+
+    r14 optimization: the (d+1)²(2d+1)-way struct array is generated as ONE
+    SQL string handed to ``F.expr`` instead of ~500 Column-DSL calls — each
+    DSL call is a Py4J round-trip, and building this expression through the
+    DSL measured 1.3–1.7 s of pure driver time PER INVOCATION at d=2
+    (profiled r14; the JVM SQL parser takes milliseconds for the same
+    text).  The generated tree is semantically identical: same loop order
+    (delta, i, shift), same arithmetic (float-divide floor segment bounds),
+    same CASE-WHEN-null shape, same let-bound filter/distinct HOFs."""
     k = d + 1
-    val = F.col(str_col)
-    length = F.length(val)
-    probe_parts = []
+    c = f"`{str_col}`"
+    L = f"length({c})"
+    parts: list[str] = []
     for delta in range(d + 1):  # tl = l - delta
-        tl = length - delta
+        tl = f"({L} - {delta})"
         for i in range(k):
-            start, seg_len = _segment_bounds(tl, k, i)
+            base = f"CAST(FLOOR({tl} / {k}) AS INT)"
+            rem = f"CAST(({tl} % {k}) AS INT)"
+            seg_len = f"({base} + (CASE WHEN {i} < {rem} THEN 1 ELSE 0 END))"
+            start = f"({i} * {base} + LEAST({i}, {rem}))"
             for shift in range(-d, d + 1):
-                p = start + shift
-                valid = (
-                    (tl >= k)
-                    & (p >= 0)
-                    & (p + seg_len <= length)
+                p = f"({start} + {shift})"
+                valid = f"({tl} >= {k} AND {p} >= 0 AND {p} + {seg_len} <= {L})"
+                parts.append(
+                    f"CASE WHEN {valid} THEN named_struct("
+                    f"'tl', CAST({tl} AS INT), 'i', {i}, "
+                    f"'sub', substring({c}, {p} + 1, {seg_len})) END"
                 )
-                probe_parts.append(
-                    F.when(
-                        valid,
-                        F.struct(
-                            tl.cast("int").alias("tl"),
-                            F.lit(i).alias("i"),
-                            val.substr(p + 1, seg_len).alias("sub"),
-                        ),
-                    )
-                )
-    # LET-BIND the 45-way struct array before the filter/distinct HOFs:
-    # F.filter re-evaluates its input array PER ELEMENT (no CSE — the
-    # repo-wide landmine), which turns the probe projection into ~45^2
-    # interpreted substr evaluations per row (measured: a 10k-string probe
-    # count did not finish in minutes; with the binding it is sub-second).
-    raw = F.array(*probe_parts)
-    cleaned = F.element_at(
-        F.transform(
-            F.array(raw),
-            lambda a: F.array_distinct(F.filter(a, lambda x: x.isNotNull())),
-        ),
-        1,
+    # LET-BIND the struct array before the filter/distinct HOFs: filter()
+    # re-evaluates its input array PER ELEMENT (no CSE — the repo-wide
+    # landmine), which turns the probe projection into ~45^2 interpreted
+    # substr evaluations per row (measured: a 10k-string probe count did
+    # not finish in minutes; with the binding it is sub-second).
+    raw = f"array({', '.join(parts)})"
+    cleaned = F.expr(
+        f"element_at(transform(array({raw}), "
+        f"a -> array_distinct(filter(a, x -> x IS NOT NULL))), 1)"
     )
     return (
         values.select(
-            val.alias("_vs"),
+            F.col(str_col).alias("_vs"),
             F.explode(cleaned).alias("_p"),
         )
         .select(

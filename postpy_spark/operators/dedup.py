@@ -947,37 +947,61 @@ def crossdoc_spans(
         F.col(id_col).alias("doc_id"),
         F.posexplode(shingles_col(F.col(text_col), k=k)).alias("pos", "gram"),
     )
-    freq = g.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("_df"),
-        F.count(F.lit(1)).alias("_occ"),
-    )
-    keep = freq.filter(
-        (F.col("_df") >= 2) & (F.col("_df") <= df_cap) & (F.col("_occ") <= occ_cap)
-    ).select("gram")
-    if stats is not None:
-        stopped = freq.filter(
-            (F.col("_df") > df_cap) | (F.col("_occ") > occ_cap)
-        ).count()
-        stats["stop_grams"] = stopped
-    gk = g.join(keep, "gram")
-    a = gk.select(
-        "gram", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
-    )
-    b = gk.select(
-        "gram", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
-    )
-    # no dropDuplicates: posexplode emits exactly ONE shingle row per
-    # (doc, pos) — including the whole-text fallback, which is a single
-    # pos-0 row — so the gram equi-join cannot repeat a
-    # (doc_a, doc_b, pos_a, pos_b) tuple; the dedup was a redundant full
-    # shuffle of the point set (removed r14, oracle-verified unchanged).
-    pts = (
-        a.join(b, "gram")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", "pos_a", "pos_b",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+    # r14 optimization — same single-gram-exchange restructure as
+    # char_crossdoc_spans (see that function for the full rationale and
+    # the skew trade-off note): df/occ caps via whole-partition windows
+    # over ONE gram-keyed exchange (exact distinct-doc count through a
+    # sorted first-of-doc flag), pair generation IN PLACE from each
+    # gram's occ_cap-bounded kept posting list.  The old shape paid a
+    # freq aggregate plus a join-back plus a posting self-join — five
+    # evaluations of the corpus-sized posexplode and four extra
+    # exchanges.  Rows identical (oracle + planted tests).
+    wgo = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    wg = Window.partitionBy("gram")
+    prev_doc = F.lag("doc_id").over(wgo)
+    annotated = (
+        g.withColumn(
+            "_first",
+            F.when(
+                prev_doc.isNull() | (prev_doc != F.col("doc_id")), 1
+            ).otherwise(0),
         )
+        .withColumn("_df", F.sum("_first").over(wg))
+        .withColumn("_occ", F.count(F.lit(1)).over(wg))
+    )
+    if stats is not None:
+        stats["stop_grams"] = (
+            annotated.filter(
+                (F.col("_df") > df_cap) | (F.col("_occ") > occ_cap)
+            )
+            .select("gram")
+            .distinct()
+            .count()
+        )
+    flagged = annotated.filter(
+        (F.col("_df") >= 2)
+        & (F.col("_df") <= df_cap)
+        & (F.col("_occ") <= occ_cap)
+    )
+    lists = flagged.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("_l")
+    )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(_l, x -> transform(_l, y -> "
+                "CASE WHEN x.doc_id < y.doc_id THEN named_struct("
+                "'doc_a', x.doc_id, 'doc_b', y.doc_id, "
+                "'pos_a', x.pos, 'pos_b', y.pos) END))), p -> p IS NOT NULL)"
+            )
+        ).alias("_p")
+    )
+    pts = pairs.select(
+        F.col("_p.doc_a").alias("doc_a"),
+        F.col("_p.doc_b").alias("doc_b"),
+        F.col("_p.pos_a").alias("pos_a"),
+        F.col("_p.pos_b").alias("pos_b"),
+        (F.col("_p.pos_a") - F.col("_p.pos_b")).alias("diag"),
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     spans = (

@@ -595,6 +595,13 @@ def knn_graph(
             ),
         ).otherwise(F.lit(0)),
     )
+    # materialize the salted signature frame ONCE (r14 optimization): both
+    # self-join sides (a, b) reference it and Spark has no cross-branch
+    # subplan CSE, so the hyperplane-signature pipeline (16 HOF dots per
+    # vector) re-ran per side plus once for the sizing aggregate.  State is
+    # n_vectors x bands rows of (id, band, salt) ints — the same order the
+    # band join shuffles anyway; measured ~0.6 s at sf0.1, rows identical.
+    salted = salted.localCheckpoint()
     a = salted.select("band_id", "band_val", "salt", F.col("id").alias("src"))
     b = salted.select("band_id", "band_val", "salt", F.col("id").alias("dst"))
     pairs = (

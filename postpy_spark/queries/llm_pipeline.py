@@ -9,7 +9,7 @@ gates in the pytest suite.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postpy_spark.io import load_table
@@ -112,12 +112,17 @@ def text_tfidf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(TX.word_tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df via a count window on the tf frame (r14): tf holds exactly one row
+    # per (doc, term), so count-per-term over it IS the distinct document
+    # frequency — the separate countDistinct branch re-evaluated the token
+    # explode and cost a two-phase aggregate plus a join back.
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n))
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .filter(F.col("doc_id") % 50 == 0)
+        .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
             "term",

@@ -226,30 +226,41 @@ def label_propagation(
         .withColumn("label", F.col("node"))
     )
     w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    # whole-partition frame over the SAME (node; cnt desc, label) sort — the
+    # old-label recovery below shares w's Exchange+Sort (r14: the
+    # convergence check used to be a separate join of new vs old labels
+    # per checkpointed round; the self-vote row already knows the old
+    # label, so mark it and lift it over the node partition instead).
+    w_all = (
+        Window.partitionBy("node")
+        .orderBy(F.col("cnt").desc(), F.col("label").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     for i in range(n_iter):
         nbr = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
+            F.col("dst").alias("node"), "label", F.lit(0).alias("_self")
         )
-        votes = nbr.unionByName(labels)  # self-vote
+        votes = nbr.unionByName(
+            labels.withColumn("_self", F.lit(1))
+        )  # self-vote, marked: its (node, label) group carries the OLD label
         new_labels = (
             votes.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.max("_self").alias("_is_old"))
             .withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_old",
+                F.max(F.when(F.col("_is_old") == 1, F.col("label"))).over(w_all),
+            )
             .filter(F.col("_rn") == 1)
-            .select("node", "label")
+            .select("node", "label", (F.col("label") != F.col("_old")).alias("_chg"))
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("_chg")).count()
+            labels = new_labels.select("node", "label")
             if changed == 0:
                 break
         else:
-            labels = new_labels
+            labels = new_labels.select("node", "label")
     edges.unpersist()
     return labels

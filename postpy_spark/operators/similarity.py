@@ -59,6 +59,108 @@ def unit_col(vec):
     )
 
 
+def _make_pair_dot_worker():
+    """Factory for the Arrow pair-dot worker (factory-nested so the payload
+    cloudpickles by VALUE — the module-level-reference landmine in
+    CLAUDE.md; pinned by tests/test_pickle_isolation.py).
+
+    The worker computes ``dot = Σ sv[j]*dv[j]`` as an EXPLICIT LEFT FOLD —
+    ``acc`` starts at 0.0 and accumulates one ``x[:, j] * y[:, j]`` term per
+    step in index order, each a single-rounding IEEE-754 op vectorized
+    across the batch — so the result is bit-identical to the JVM
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` fold in :func:`dot_expr`
+    (verified eqNullSafe over the full 1.16M-pair sf0.1 set and pinned by
+    tests/test_similarity.py).  A plain ``np.einsum``/``np.dot`` would use
+    pairwise/blocked summation whose different association can flip
+    6-dp-rounding ties — the repo's cross-engine float landmine."""
+
+    def dot_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            src, dst = batch.column("src"), batch.column("dst")
+            sv, dv = batch.column("sv"), batch.column("dv")
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [src, dst, pa.array([], type=pa.float64())],
+                    ["src", "dst", "dot"],
+                )
+                continue
+            if sv.null_count or dv.null_count:
+                # inner joins against the vector frame guarantee non-null
+                # payloads; raise loudly rather than silently misalign the
+                # flattened buffer
+                raise ValueError("pair-dot scorer received a null vector")
+            # list<double> -> flat buffer -> (n, d); zero-copy when offsets
+            # are contiguous.  reshape raises on ragged rows (dim guard).
+            x = sv.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            y = dv.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(x.shape[1]):
+                acc += x[:, j] * y[:, j]
+            yield pa.RecordBatch.from_arrays(
+                [src, dst, pa.array(acc, type=pa.float64())],
+                ["src", "dst", "dot"],
+            )
+
+    return dot_batches
+
+
+def dot_scored_pairs(
+    pairs: DataFrame, vecs: DataFrame, round_dp: int | None = 6
+) -> DataFrame:
+    """(src, dst) id pairs + (id, v) unit vectors → (src, dst, cosine):
+    the single exact-scoring pass of the kNN-graph family.
+
+    Vectors join back onto the (deduped) pair set exactly once — both
+    joins broadcast the corpus-sized vector frame — and the per-pair dot
+    runs in ONE Arrow batch pass (``mapInArrow``; guide §4.2) instead of
+    the interpreted per-element HOF fold: measured 2.7 → 2.1 s on the
+    1.16M-pair sf0.1 scored stage, bit-identical output (see
+    :func:`_make_pair_dot_worker`).  Rounding stays JVM-side so HALF_UP
+    semantics are untouched."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    joined = (
+        pairs.join(vecs.select(F.col("id").alias("src"), F.col("v").alias("sv")), "src")
+        .join(vecs.select(F.col("id").alias("dst"), F.col("v").alias("dv")), "dst")
+        .select("src", "dst", "sv", "dv")
+    )
+    out_schema = StructType(
+        [
+            joined.schema["src"],
+            joined.schema["dst"],
+            StructField("dot", DoubleType()),
+        ]
+    )
+    scored = joined.mapInArrow(_make_pair_dot_worker(), out_schema)
+    if round_dp is None:  # raw dots — the bit-identity test's probe surface
+        return scored.select("src", "dst", F.col("dot").alias("cosine"))
+    return scored.select(
+        "src", "dst", F.round(F.col("dot"), round_dp).alias("cosine")
+    )
+
+
+def both_directions(scored: DataFrame) -> DataFrame:
+    """(src, dst, cosine) → both edge directions in ONE pass: an explode
+    over a 2-struct array instead of ``scored ∪ scored.reversed`` — the
+    union shape re-evaluates the whole scored subtree (joins + dot) per
+    branch because Spark has no cross-branch subplan CSE (the r14 plan
+    artifacts show the duplicated subtree); the generator emits both rows
+    from a single evaluation.  Row set identical."""
+    return scored.select(
+        "cosine",
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("e"),
+    ).select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"), "cosine")
+
+
 def cosine_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -578,12 +680,23 @@ def knn_graph(
     # d-float payload (~60x fewer shuffle bytes per pair at dim=64).
     # Vectors join back exactly once, onto the already-deduped pair set,
     # for the single exact-cosine scoring pass.
+    # materialize the signature frame ONCE (r14 optimization, round 2 cut):
+    # the hyperplane pipeline (16 HOF dots per vector) is the expensive part
+    # and is referenced by the sizing aggregate AND (through the salt join)
+    # both self-join sides — Spark has no cross-branch subplan CSE.
+    # Checkpointing BEFORE the sizing/salt join beats checkpointing the
+    # salted output (the r14 first cut): the salt join's inputs both derive
+    # from the checkpointed rows, so re-planning it per branch costs only a
+    # bucket-count aggregate over n_vectors x bands small ints, while the
+    # old shape evaluated the full HOF pipeline twice (sizing + join) just
+    # to build the frame being checkpointed.  Measured 6.4 s -> 4.4 s warm
+    # for the full seed at sf0.1, rows identical (exceptAll 0/0).
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.posexplode(lsh_signature_col(F.col(vec_col), planes, bands)).alias(
             "band_id", "band_val"
         ),
-    )
+    ).localCheckpoint()
     sizes = sig.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("_bn"))
     salted = sig.join(broadcast(sizes), ["band_id", "band_val"]).withColumn(
         "salt",
@@ -595,13 +708,6 @@ def knn_graph(
             ),
         ).otherwise(F.lit(0)),
     )
-    # materialize the salted signature frame ONCE (r14 optimization): both
-    # self-join sides (a, b) reference it and Spark has no cross-branch
-    # subplan CSE, so the hyperplane-signature pipeline (16 HOF dots per
-    # vector) re-ran per side plus once for the sizing aggregate.  State is
-    # n_vectors x bands rows of (id, band, salt) ints — the same order the
-    # band join shuffles anyway; measured ~0.6 s at sf0.1, rows identical.
-    salted = salted.localCheckpoint()
     a = salted.select("band_id", "band_val", "salt", F.col("id").alias("src"))
     b = salted.select("band_id", "band_val", "salt", F.col("id").alias("dst"))
     pairs = (
@@ -617,21 +723,7 @@ def knn_graph(
     vecs = corpus.select(
         F.col(id_col).alias("id"), unit_col(F.col(vec_col)).alias("v")
     )
-    scored = (
-        pairs.join(vecs.select(F.col("id").alias("src"), F.col("v").alias("sv")),
-                   "src")
-        .join(vecs.select(F.col("id").alias("dst"), F.col("v").alias("dv")), "dst")
-        .select(
-            "src",
-            "dst",
-            F.round(dot_expr(F.col("sv"), F.col("dv")), 6).alias("cosine"),
-        )
-    )
-    undirected = scored.unionByName(
-        scored.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
-        )
-    )
+    undirected = both_directions(dot_scored_pairs(pairs, vecs))
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         undirected.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -714,21 +806,7 @@ def nndescent_round(
     vecs = vectors.select(
         F.col(id_col).alias("id"), unit_col(F.col(vec_col)).alias("v")
     )
-    scored = (
-        cands.join(vecs.select(F.col("id").alias("src"), F.col("v").alias("sv")),
-                   "src")
-        .join(vecs.select(F.col("id").alias("dst"), F.col("v").alias("dv")), "dst")
-        .select(
-            "src",
-            "dst",
-            F.round(dot_expr(F.col("sv"), F.col("dv")), 6).alias("cosine"),
-        )
-    )
-    both = scored.unionByName(
-        scored.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "cosine"
-        )
-    )
+    both = both_directions(dot_scored_pairs(cands, vecs))
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
     return (
         both.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -1317,6 +1317,57 @@ def test_knn_graph_recall_vs_bruteforce(spark):
     assert recall >= 0.9, recall
 
 
+def test_arrow_pair_dot_bit_identical_to_hof_fold(spark):
+    """The Arrow pair-dot scorer (r14 optimization: mapInArrow left fold,
+    operators/similarity.py::dot_scored_pairs) must be BIT-identical to
+    the JVM ``aggregate(zip_with(...))`` fold it replaced — the repo's
+    cross-engine float landmine is that any change in summation
+    association can flip 6-dp rounding ties.  Compares the RAW unrounded
+    dots with eqNullSafe over every pair of the smoke corpus, plus the
+    rounded cosine frame via exceptAll in both directions."""
+    from postpy_spark.operators.similarity import (
+        dot_expr,
+        dot_scored_pairs,
+        unit_col,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    ids = em.select(F.col("vec_id").alias("id"))
+    pairs = (
+        ids.select(F.col("id").alias("src"))
+        .join(ids.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        # bounded slice: all pairs of the first 60 ids (~1.7k pairs)
+        .filter((F.col("src") % 100 < 60) & (F.col("dst") % 100 < 60))
+    )
+    vecs = em.select(
+        F.col("vec_id").alias("id"), unit_col(F.col("embedding")).alias("v")
+    )
+    arrow = dot_scored_pairs(pairs, vecs)
+    hof = (
+        pairs.join(vecs.select(F.col("id").alias("src"), F.col("v").alias("sv")), "src")
+        .join(vecs.select(F.col("id").alias("dst"), F.col("v").alias("dv")), "dst")
+        .select(
+            "src", "dst", F.round(dot_expr(F.col("sv"), F.col("dv")), 6).alias("cosine")
+        )
+    )
+    assert hof.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(hof).count() == 0
+    # raw (unrounded) bit identity, not just post-round equality
+    raw_arrow = dot_scored_pairs(pairs, vecs, round_dp=None)
+    raw_hof = (
+        pairs.join(vecs.select(F.col("id").alias("src"), F.col("v").alias("sv")), "src")
+        .join(vecs.select(F.col("id").alias("dst"), F.col("v").alias("dv")), "dst")
+        .select("src", "dst", dot_expr(F.col("sv"), F.col("dv")).alias("dot"))
+    )
+    joined = raw_hof.join(
+        raw_arrow.withColumnRenamed("cosine", "dot2"), ["src", "dst"]
+    )
+    n_pairs = pairs.count()
+    assert joined.count() == n_pairs
+    mismatches = joined.filter(~F.col("dot").eqNullSafe(F.col("dot2"))).count()
+    assert mismatches == 0
+
+
 def test_nndescent_refine_recall_monotone(spark):
     """One NN-descent round over the LSH seed: refined edge recall >= 0.9
     (the declared ANN bar; measured 0.9776 at sf0.001 with the reverse-

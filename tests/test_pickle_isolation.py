@@ -209,6 +209,33 @@ def test_bloom_dedup_core_pickles_by_value():
     _roundtrip_in_clean_subprocess(_make_bloom_dedup_core(1 << 8, 3), probe)
 
 
+def test_pair_dot_worker_pickles_by_value():
+    """The kNN-graph pair-dot scorer ships as a mapInArrow payload
+    (operators/similarity.py::_make_pair_dot_worker) — factory-nested so
+    the worker cloudpickles by value; the probe runs a real Arrow batch
+    through it and checks the left-fold dot."""
+    from postpy_spark.operators.similarity import _make_pair_dot_worker
+
+    def probe(fn):
+        import pyarrow as pa
+
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([1, 2], type=pa.int64()),
+                pa.array([3, 4], type=pa.int64()),
+                pa.array([[1.0, 2.0], [0.5, 0.5]], type=pa.list_(pa.float64())),
+                pa.array([[3.0, 4.0], [2.0, 2.0]], type=pa.list_(pa.float64())),
+            ],
+            ["src", "dst", "sv", "dv"],
+        )
+        out = list(fn(iter([batch])))
+        assert len(out) == 1
+        dots = out[0].column("dot").to_pylist()
+        assert dots == [11.0, 2.0], dots
+
+    _roundtrip_in_clean_subprocess(_make_pair_dot_worker(), probe)
+
+
 def test_unigram_estep_pickles_by_value():
     """The unigram-EM E-step ships as a mapInPandas payload
     (operators/unigram.py::_make_estep) with the piece log-probs AND the

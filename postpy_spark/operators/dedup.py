@@ -426,7 +426,8 @@ def connected_components(
     Each iteration does two monotone label-lowering steps:
 
     1. edge propagation — ``component := min(component, min over neighbors'
-       components)`` (two hash joins);
+       components)`` (one hash join producing neighbor messages, unioned
+       with each node's self row into a single min-aggregate);
     2. pointer doubling (shortcut) — ``component := min(component,
        component-of-component)``.  Labels are always node ids of the same
        component, so the label forest is a parent-pointer structure; the
@@ -459,19 +460,27 @@ def connected_components(
     )
     changed = 0
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        # edge propagation as a MESSAGE UNION rather than agg + join-back
+        # (r14 optimization round 2): each node's self row rides the same
+        # aggregate as its neighbor messages, so min(component) over the
+        # union IS least(own, neighbor-min) and min(component WHERE _self)
+        # recovers the old label for the convergence flag — the separate
+        # left join of labels against neighbor_min (one shuffle join per
+        # iteration) disappears.  Measured 1.55 -> 1.17 s warm over the
+        # 4-iteration sf0.1 CC loop, labels identical (exceptAll 0/0).
+        msgs = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"),
+            "component",
+            F.lit(False).alias("_self"),
         )
         propagated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.col("component").alias("_old"),
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+            msgs.unionByName(
+                labels.select("node", "component", F.lit(True).alias("_self"))
+            )
+            .groupBy("node")
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
             )
         )
         # pointer doubling: component := min(component, component's component)

@@ -4158,12 +4158,19 @@ def graph_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-compared.  Component id = min doc_id in the component on both
     sides.
 
-    Scale: the pair-join edge generation is the bounded exact formulation
-    (the 100 TB path banding-LSHes first — dedup_fuzzy_minhash); the CC
-    loop itself is the production operator — per iteration two hash joins
-    plus a shortcut self-join, O(log diameter) rounds, lineage truncated
-    via localCheckpoint, and it RAISES if the iteration budget exhausts
-    rather than returning silently-wrong labels."""
+    Scale: the edge generation computes the SAME exact jaccard via a
+    shared-gram equi-join — explode (doc, gram), self-join on gram, count
+    shared grams per pair, so |A∩B| = cnt and |A∪B| = |A|+|B|−cnt with
+    identical integer operands and identical double division (r14
+    optimization round 2: the prior doc×doc theta join evaluated
+    ``array_intersect`` over ~200-gram string arrays per pair — measured
+    2.9 → 1.0 s, edge set exceptAll-identical; pairs sharing zero grams
+    never appear and cannot pass the 0.25 threshold).  The 100 TB path
+    banding-LSHes first — dedup_fuzzy_minhash.  The CC loop itself is the
+    production operator — per iteration one message join + union-min
+    aggregate plus a shortcut self-join, O(log diameter) rounds, lineage
+    truncated via localCheckpoint, and it RAISES if the iteration budget
+    exhausts rather than returning silently-wrong labels."""
     from postpy_spark.operators import dedup
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
@@ -4174,18 +4181,31 @@ def graph_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.substring(norm, i + 1, 5),
         )
     )
-    t = d.select("doc_id", grams.alias("grams"))
-    a = t.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
-    b = t.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
-    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
-        F.array_distinct(F.concat("ga", "gb"))
+    # materialize (doc_id, |grams|, grams) ONCE (lazy checkpoint) before
+    # exploding: the gram transform's lambda references ``norm`` — an outer
+    # EXPRESSION, re-evaluated per element (the HOF-no-CSE landmine) — and
+    # without the materialization the interpreted projection on the join's
+    # broadcast-build side re-derived the whole transform PER GENERATED ROW
+    # (~25k rows × ~300 elements × a 300-char regex each ≈ minutes; jstack
+    # showed the task pinned in RegExpReplace.nullSafeEval under
+    # ArrayTransform.eval).  Doc-count-sized state, same budget as the CC
+    # edge checkpoint below.
+    t = (
+        d.select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.size("grams").alias("n"), "grams")
+        .localCheckpoint(eager=False)
     )
-    pairs = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.25)
-        .select("id_a", "id_b")
+    g = t.select("doc_id", "n", F.explode("grams").alias("gram"))
+    x = g.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"), "gram")
+    y = g.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"), "gram")
+    shared = (
+        x.join(y, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    jac = F.col("cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("cnt"))
+    pairs = shared.filter(jac >= 0.25).select("id_a", "id_b")
     return dedup.connected_components(pairs).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("component").cast("bigint").alias("component"),

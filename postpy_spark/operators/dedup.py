@@ -419,6 +419,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Min-label propagation WITH pointer doubling over an undirected pair
     list → (node, component) with component = min node id in the component.
@@ -439,50 +440,72 @@ def connected_components(
     diameters up to ~2^20.  If the loop still exhausts its budget with
     labels changing, this raises rather than returning silently-wrong
     components.  The fixpoint check is an aggregate count (no row collect).
+
+    ``pairs_unique=True`` is a caller promise that ``pairs`` carries each
+    undirected pair at most once — it skips the edge-list distinct (a full
+    edge-sized exchange).  The promise is perf-only: min-aggregation is
+    duplicate-insensitive, so labels are identical either way; duplicated
+    input pairs just inflate every iteration's message join.
     """
     if max_iterations < 1:
         # with no iterations the loop body never runs and the identity
         # labeling below would be returned as silently-wrong output
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        # materialize ONCE: every iteration joins edges, and without this the
-        # upstream pair generation (e.g. a jaccard pair join) re-executes per
-        # iteration — measured 37s -> 6s on graph_connected_components' edge
-        # set at sf0.01.  Edge-list-sized, same budget the loop already
-        # spends per-iteration on labels.
-        .localCheckpoint()
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    )
+    if not pairs_unique:
+        edges = edges.distinct()
+    # materialize ONCE: every iteration joins edges, and without this the
+    # upstream pair generation (e.g. a jaccard pair join) re-executes per
+    # iteration — measured 37s -> 6s on graph_connected_components' edge
+    # set at sf0.01.  Edge-list-sized, same budget the loop already
+    # spends per-iteration on labels.
+    edges = edges.localCheckpoint()
+    labels = None
     changed = 0
     for _ in range(max_iterations):
-        # edge propagation as a MESSAGE UNION rather than agg + join-back
-        # (r14 optimization round 2): each node's self row rides the same
-        # aggregate as its neighbor messages, so min(component) over the
-        # union IS least(own, neighbor-min) and min(component WHERE _self)
-        # recovers the old label for the convergence flag — the separate
-        # left join of labels against neighbor_min (one shuffle join per
-        # iteration) disappears.  Measured 1.55 -> 1.17 s warm over the
-        # 4-iteration sf0.1 CC loop, labels identical (exceptAll 0/0).
-        msgs = edges.join(labels, edges.dst == labels.node).select(
-            F.col("src").alias("node"),
-            "component",
-            F.lit(False).alias("_self"),
-        )
-        propagated = (
-            msgs.unionByName(
-                labels.select("node", "component", F.lit(True).alias("_self"))
+        if labels is None:
+            # FIRST iteration specialized (r14 optimization round 3): the
+            # label map is the identity, so the neighbor message for edge
+            # (src, dst) is dst itself — the message join AND the
+            # distinct-node label seed collapse into one aggregate over the
+            # mirrored edge list (mirroring guarantees every node appears
+            # as src).  Measured 0.49 -> 0.29 s warm on the sf0.1 gram
+            # graph's opening iteration, labels identical (exceptAll 0/0).
+            propagated = (
+                edges.groupBy("src")
+                .agg(F.min("dst").alias("_nbr"))
+                .select(
+                    F.col("src").alias("node"),
+                    F.least("src", "_nbr").alias("component"),
+                    F.col("src").alias("_old"),
+                )
             )
-            .groupBy("node")
-            .agg(
-                F.min("component").alias("component"),
-                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+        else:
+            # edge propagation as a MESSAGE UNION rather than agg + join-back
+            # (r14 optimization round 2): each node's self row rides the same
+            # aggregate as its neighbor messages, so min(component) over the
+            # union IS least(own, neighbor-min) and min(component WHERE _self)
+            # recovers the old label for the convergence flag — the separate
+            # left join of labels against neighbor_min (one shuffle join per
+            # iteration) disappears.  Measured 1.55 -> 1.17 s warm over the
+            # 4-iteration sf0.1 CC loop, labels identical (exceptAll 0/0).
+            msgs = edges.join(labels, edges.dst == labels.node).select(
+                F.col("src").alias("node"),
+                "component",
+                F.lit(False).alias("_self"),
             )
-        )
+            propagated = (
+                msgs.unionByName(
+                    labels.select("node", "component", F.lit(True).alias("_self"))
+                )
+                .groupBy("node")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+                )
+            )
         # pointer doubling: component := min(component, component's component)
         parent = propagated.select(
             F.col("node").alias("p_node"), F.col("component").alias("p_component")
@@ -527,7 +550,9 @@ def dedup_clusters(
     """Near-dup clusters with a canonical (min-id) representative per
     cluster: (node, component) for every doc that has at least one near-dup."""
     pairs = minhash_dedup_pairs(df, id_col, text_col, **minhash_kwargs)
-    return connected_components(pairs)
+    # minhash pairs are distinct by construction (lsh_candidate_pairs
+    # dedups, jaccard_verify is a row-wise filter)
+    return connected_components(pairs, pairs_unique=True)
 
 
 # ---------------------------------------------------------------------------

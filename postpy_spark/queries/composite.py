@@ -4206,7 +4206,7 @@ def graph_connected_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("cnt").cast("double") / (F.col("na") + F.col("nb") - F.col("cnt"))
     pairs = shared.filter(jac >= 0.25).select("id_a", "id_b")
-    return dedup.connected_components(pairs).select(
+    return dedup.connected_components(pairs, pairs_unique=True).select(
         F.col("node").cast("bigint").alias("node"),
         F.col("component").cast("bigint").alias("component"),
     )

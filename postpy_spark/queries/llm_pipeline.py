@@ -1766,7 +1766,7 @@ def dedup_canonical_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(d, threshold=0.6)
-    comps = dedup.connected_components(pairs)
+    comps = dedup.connected_components(pairs, pairs_unique=True)
     return canonical_by_centrality(pairs, comps)
 
 
@@ -3910,7 +3910,7 @@ def dedup_canonical_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("bigint").alias("id_a"),
         (F.col("o_orderkey") % 25 + 125).cast("bigint").alias("id_b"),
     )
-    comps = dedup.connected_components(pairs)
+    comps = dedup.connected_components(pairs, pairs_unique=True)
     return canonical_by_centrality(pairs, comps, n_iter=10).select(
         "component", "canonical_id"
     )
@@ -4142,7 +4142,7 @@ def er_canonical_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = editdist.editdist_pairs(
         vals.select(F.col("p_name").alias("val")), max_dist=2
     )
-    comps = dedup.connected_components(pairs, "val_a", "val_b")
+    comps = dedup.connected_components(pairs, "val_a", "val_b", pairs_unique=True)
     labeled = vals.join(
         comps.select(F.col("node").alias("p_name"), "component"),
         "p_name",
@@ -4246,7 +4246,7 @@ def er_golden_record_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = editdist.editdist_pairs(
         vals.select(F.col("p_name").alias("val")), max_dist=2
     )
-    comps = dedup.connected_components(pairs, "val_a", "val_b")
+    comps = dedup.connected_components(pairs, "val_a", "val_b", pairs_unique=True)
     labeled = p.join(
         comps.select(F.col("node").alias("p_name"), "component"),
         "p_name",
@@ -4298,7 +4298,9 @@ def er_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is persisted state; rebuilt inline for attestation, exactly as
     # dedup_incremental rebuilds the historical signatures)
     old_pairs = editdist.editdist_pairs(old_vals, max_dist=2)
-    old_comps = dedup.connected_components(old_pairs, "val_a", "val_b")
+    old_comps = dedup.connected_components(
+        old_pairs, "val_a", "val_b", pairs_unique=True
+    )
     old_assign = (
         old_vals.join(
             old_comps.select(F.col("node").alias("val"), "component"),
@@ -4386,7 +4388,9 @@ def er_incremental_planted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("val")
     )
     old_pairs = editdist.editdist_pairs(olds, max_dist=2)
-    old_comps = dedup.connected_components(old_pairs, "val_a", "val_b")
+    old_comps = dedup.connected_components(
+        old_pairs, "val_a", "val_b", pairs_unique=True
+    )
     old_assign = (
         olds.join(
             old_comps.select(F.col("node").alias("val"), "component"),
@@ -4432,7 +4436,9 @@ def er_golden_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_vals = vals.filter(is_new).select(F.col("p_name").alias("val"))
     old_vals = vals.filter(~is_new).select(F.col("p_name").alias("val"))
     old_pairs = editdist.editdist_pairs(old_vals, max_dist=2)
-    old_comps = dedup.connected_components(old_pairs, "val_a", "val_b")
+    old_comps = dedup.connected_components(
+        old_pairs, "val_a", "val_b", pairs_unique=True
+    )
     old_assign = (
         old_vals.join(
             old_comps.select(F.col("node").alias("val"), "component"),
@@ -4538,7 +4544,9 @@ def er_golden_incremental_planted_q(spark: SparkSession, sf_dir: str) -> DataFra
     olds = rows.filter(~F.col("nw")).select(F.col("name").alias("val"))
     news = rows.filter(F.col("nw")).select(F.col("name").alias("val"))
     old_pairs = editdist.editdist_pairs(olds, max_dist=2)
-    old_comps = dedup.connected_components(old_pairs, "val_a", "val_b")
+    old_comps = dedup.connected_components(
+        old_pairs, "val_a", "val_b", pairs_unique=True
+    )
     old_assign = (
         olds.join(
             old_comps.select(F.col("node").alias("val"), "component"),

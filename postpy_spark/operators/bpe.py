@@ -31,66 +31,84 @@ from pyspark.sql import functions as F
 END_OF_WORD = "</w>"
 
 
-def _syms_col(word):
+# The per-round expressions below are generated as ONE SQL string handed to
+# F.expr rather than through the Column DSL: the merge fold alone is ~60
+# Column-method calls, each a Py4J round-trip, and bpe_train rebuilds it
+# EVERY round — measured 0.25-0.40 s of pure driver time per round at sf0.1
+# (~3.5 s of the 12-round train).  One parse call builds the identical tree
+# (same zip/slice shifted copy, same CASE/struct accumulator shape) — the
+# same fix §1 of OPTIMIZATION_r14.md applied to the PassJoin probe.
+# text_bpe_planted's DuckDB oracle hash-checks the full merge table, and the
+# pure-Python-reference pytest pins merge-list equality, so the rewrite is
+# exactly attested end-to-end.
+
+
+def _sql_str(s: str) -> str:
+    """Escape an arbitrary symbol as a Spark SQL string literal (default
+    parser mode: backslash IS an escape character, unlike the DuckDB-oracle
+    regex-literal convention in CLAUDE.md)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _syms_col(word_sql: str):
     """Initial symbol sequence: characters + the end-of-word marker.
+    Takes a SQL fragment (usually a column name) naming the word.
 
     ``split('', '')`` returns ``[""]`` in Spark while Python's ``list('')``
     is ``[]`` — filter the empty symbol so an empty/whitespace-only word
     yields ``["</w>"]`` on both engines (keeps merge tables identical on
     corpora containing blank documents)."""
-    return F.concat(
-        F.filter(F.split(word, ""), lambda s: s != F.lit("")),
-        F.array(F.lit(END_OF_WORD)),
+    return F.expr(
+        f"concat(filter(split({word_sql}, ''), s -> s != ''), "
+        f"array({_sql_str(END_OF_WORD)}))"
     )
 
 
-def _adjacent_pairs(syms):
+def _zip_sql(syms_sql: str) -> str:
+    """array<struct<a,b>> zipping each symbol with its successor (the last
+    element pairs with NULL).  The shifted copy is slice-based; slice
+    length 0 is legal."""
+    return (
+        f"zip_with({syms_sql}, concat(slice({syms_sql}, 2, "
+        f"greatest(size({syms_sql}) - 1, 0)), array(CAST(NULL AS STRING))), "
+        "(a, b) -> struct(a, b))"
+    )
+
+
+def _adjacent_pairs_sql(syms_sql: str) -> str:
     """array<struct<a,b>> of adjacent symbol pairs (empty for 1-symbol
-    words).  The shifted copy is slice-based; slice length 0 is legal."""
-    shifted = F.concat(
-        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-        F.array(F.lit(None).cast("string")),
+    words)."""
+    return f"filter({_zip_sql(syms_sql)}, p -> p.b IS NOT NULL)"
+
+
+def _adjacent_pairs(syms_sql: str):
+    return F.expr(_adjacent_pairs_sql(syms_sql))
+
+
+def _contains_pair(syms_sql: str, left: str, right: str):
+    """Boolean: does the symbol sequence contain the adjacent pair?"""
+    return F.expr(
+        f"exists({_adjacent_pairs_sql(syms_sql)}, "
+        f"p -> p.a = {_sql_str(left)} AND p.b = {_sql_str(right)})"
     )
-    z = F.zip_with(syms, shifted, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
-    return F.filter(z, lambda p: p["b"].isNotNull())
 
 
-def _merge_adjacent(syms, left: str, right: str, joined: str):
+def _merge_adjacent(syms_sql: str, left: str, right: str, joined: str):
     """Greedy left-to-right replacement of adjacent (left, right) by
     ``joined`` — one JVM fold; the accumulator's ``skip`` flag consumes the
     right half of a merged pair so overlapping occurrences ("aaa" with
     (a,a)) merge non-overlapping, exactly like reference BPE."""
-    shifted = F.concat(
-        F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))),
-        F.array(F.lit(None).cast("string")),
-    )
-    z = F.zip_with(syms, shifted, lambda a, b: F.struct(a.alias("a"), b.alias("b")))
-    acc0 = F.struct(
-        F.array().cast("array<string>").alias("out"), F.lit(False).alias("skip")
-    )
-    return F.aggregate(
-        z,
-        acc0,
-        lambda acc, x: F.when(
-            acc["skip"],
-            F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
-        )
-        .when(
-            (x["a"] == F.lit(left))
-            & x["b"].isNotNull()
-            & (x["b"] == F.lit(right)),
-            F.struct(
-                F.concat(acc["out"], F.array(F.lit(joined))).alias("out"),
-                F.lit(True).alias("skip"),
-            ),
-        )
-        .otherwise(
-            F.struct(
-                F.concat(acc["out"], F.array(x["a"])).alias("out"),
-                F.lit(False).alias("skip"),
-            )
-        ),
-        lambda acc: acc["out"],
+    l, r, j = _sql_str(left), _sql_str(right), _sql_str(joined)
+    return F.expr(
+        f"aggregate({_zip_sql(syms_sql)}, "
+        "struct(CAST(array() AS array<string>) AS out, false AS skip), "
+        "(acc, x) -> CASE "
+        "WHEN acc.skip THEN struct(acc.out AS out, false AS skip) "
+        f"WHEN x.a = {l} AND x.b IS NOT NULL AND x.b = {r} "
+        f"THEN struct(concat(acc.out, array({j})) AS out, true AS skip) "
+        "ELSE struct(concat(acc.out, array(x.a)) AS out, false AS skip) "
+        "END, "
+        "acc -> acc.out)"
     )
 
 
@@ -115,14 +133,14 @@ def bpe_train(
     eviction without replaying n_merges fold stages."""
     vocab = word_counts.select(
         F.col(word_col).alias("w"),
-        _syms_col(F.col(word_col)).alias("syms"),
+        _syms_col(f"`{word_col}`").alias("syms"),
         F.col(count_col).cast("bigint").alias("cnt"),
     ).persist()
     merges: list[dict] = []
     try:
         for rank in range(1, n_merges + 1):
             top = (
-                vocab.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+                vocab.select(F.explode(_adjacent_pairs("syms")).alias("p"), "cnt")
                 .groupBy(F.col("p.a").alias("left"), F.col("p.b").alias("right"))
                 .agg(F.sum("cnt").alias("pair_count"))
                 .orderBy(F.col("pair_count").desc(), "left", "right")
@@ -145,12 +163,8 @@ def bpe_train(
             new_vocab = vocab.select(
                 "w",
                 F.when(
-                    F.exists(
-                        _adjacent_pairs(F.col("syms")),
-                        lambda p: (p["a"] == F.lit(r["left"]))
-                        & (p["b"] == F.lit(r["right"])),
-                    ),
-                    _merge_adjacent(F.col("syms"), r["left"], r["right"], joined),
+                    _contains_pair("syms", r["left"], r["right"]),
+                    _merge_adjacent("syms", r["left"], r["right"], joined),
                 )
                 .otherwise(F.col("syms"))
                 .alias("syms"),

@@ -1499,12 +1499,9 @@ def test_bpe_merge_adjacent_overlap_and_eow(spark):
     df = spark.createDataFrame([("aaa", 1), ("ba", 1)], "w string, cnt long")
     out = {
         tuple(r["syms"]): r["cnt"]
-        for r in df.select(
-            bpe._merge_adjacent(
-                bpe._syms_col(F.col("w")), "a", "a", "aa"
-            ).alias("syms"),
-            "cnt",
-        ).collect()
+        for r in df.select(bpe._syms_col("w").alias("syms"), "cnt")
+        .select(bpe._merge_adjacent("syms", "a", "a", "aa").alias("syms"), "cnt")
+        .collect()
     }
     assert ("aa", "a", "</w>") in out
     assert ("b", "a", "</w>") in out
@@ -1522,9 +1519,7 @@ def test_bpe_empty_word_matches_reference(spark):
     )
     syms = {
         r["w"]: tuple(r["syms"])
-        for r in df.select(
-            "w", bpe._syms_col(F.col("w")).alias("syms")
-        ).collect()
+        for r in df.select("w", bpe._syms_col("w").alias("syms")).collect()
     }
     assert syms[""] == (bpe.END_OF_WORD,)
     got = bpe.bpe_train(df, n_merges=6)

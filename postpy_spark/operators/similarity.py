@@ -252,6 +252,100 @@ def lsh_signature_col(vec_col, planes: list[list[float]], bands: int):
     return F.array(*band_vals)
 
 
+def _make_signature_worker(planes: list[list[float]], bands: int):
+    """Factory for the Arrow LSH-signature worker (factory-nested so the
+    payload cloudpickles by VALUE — the module-level-reference landmine in
+    CLAUDE.md; pinned by tests/test_pickle_isolation.py).
+
+    Emits ``bands`` rows (id, band_id, band_val) per input (id, v) row —
+    the posexploded shape of ``lsh_signature_col`` — with each of the
+    ``n_bits`` projections computed as an EXPLICIT LEFT FOLD over
+    dimensions in index order (``acc += x[:, j] * plane[:, j]``, one
+    single-rounding IEEE multiply + add per step, vectorized across the
+    batch), so every projection — and therefore every sign bit and band
+    value — is bit-identical to the JVM ``dot_expr`` fold the Column-DSL
+    signature pipeline evaluates (the :func:`_make_pair_dot_worker`
+    determinism argument, applied to the hyperplane stage; pinned by
+    tests/test_llm_ops.py::test_arrow_signatures_identical_to_hof).
+    Types match the
+    DSL path exactly: band_id is the posexplode pos (int32), band_val the
+    int32 bit fold — downstream ``xxhash64(id, band_id)`` salting hashes
+    by type, so the widths must not drift."""
+
+    def sig_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        p = np.asarray(planes, dtype=np.float64)  # (n_bits, dim)
+        n_bits = p.shape[0]
+        width = n_bits // bands
+        for batch in it:
+            n = batch.num_rows
+            ids = batch.column(0)
+            vec = batch.column(1)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array([], type=pa.int32()),
+                        pa.array([], type=pa.int32()),
+                    ],
+                    [batch.schema.names[0], "band_id", "band_val"],
+                )
+                continue
+            if vec.null_count:
+                raise ValueError("signature worker received a null vector")
+            x = vec.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            acc = np.zeros((n, n_bits), dtype=np.float64)
+            for j in range(x.shape[1]):
+                # acc[:, i] += x[:, j] * p[i, j] — per (row, bit) this is the
+                # same j-ascending fold as dot_expr's aggregate
+                acc += x[:, j : j + 1] * p[:, j]
+            bits = (acc >= 0).astype(np.int64)
+            vals = np.zeros((n, bands), dtype=np.int64)
+            for b in range(bands):
+                v = np.zeros(n, dtype=np.int64)
+                for r in range(width):
+                    v = v * 2 + bits[:, b * width + r]
+                vals[:, b] = v
+            idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+            band_id_tile = np.tile(np.arange(bands, dtype=np.int32), n)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(idx)),
+                    pa.array(band_id_tile, type=pa.int32()),
+                    pa.array(vals.reshape(-1).astype(np.int32), type=pa.int32()),
+                ],
+                [batch.schema.names[0], "band_id", "band_val"],
+            )
+
+    return sig_batches
+
+
+def lsh_signatures_exploded(
+    corpus: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band_id, band_val) — one row per (vector, band): the
+    posexploded form of ``lsh_signature_col``, computed in ONE Arrow batch
+    pass (guide §4.2) instead of ``n_bits`` interpreted HOF dot folds per
+    row.  Bit-identical band values (see :func:`_make_signature_worker`)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    sig_in = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    out_schema = StructType(
+        [
+            sig_in.schema["id"],
+            StructField("band_id", IntegerType()),
+            StructField("band_val", IntegerType()),
+        ]
+    )
+    return sig_in.mapInArrow(_make_signature_worker(planes, bands), out_schema)
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -691,11 +785,13 @@ def knn_graph(
     # old shape evaluated the full HOF pipeline twice (sizing + join) just
     # to build the frame being checkpointed.  Measured 6.4 s -> 4.4 s warm
     # for the full seed at sf0.1, rows identical (exceptAll 0/0).
-    sig = corpus.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(lsh_signature_col(F.col(vec_col), planes, bands)).alias(
-            "band_id", "band_val"
-        ),
+    # The signature pipeline itself is ONE Arrow batch pass (r14
+    # optimization round 3, guide §4.2): the Column-DSL form ran n_bits=16
+    # interpreted HOF dot folds per vector; the worker left-folds the
+    # projections batch-wise — band values bit-identical (pinned by
+    # tests/test_llm_ops.py::test_arrow_signatures_identical_to_hof).
+    sig = lsh_signatures_exploded(
+        corpus, planes, bands, id_col=id_col, vec_col=vec_col
     ).localCheckpoint()
     sizes = sig.groupBy("band_id", "band_val").agg(F.count(F.lit(1)).alias("_bn"))
     salted = sig.join(broadcast(sizes), ["band_id", "band_val"]).withColumn(

@@ -1368,6 +1368,34 @@ def test_arrow_pair_dot_bit_identical_to_hof_fold(spark):
     assert mismatches == 0
 
 
+def test_arrow_signatures_identical_to_hof(spark):
+    """The Arrow LSH-signature worker (r14 optimization:
+    operators/similarity.py::lsh_signatures_exploded) must produce the
+    EXACT (id, band_id, band_val) row set of the Column-DSL pipeline it
+    replaced in knn_graph: the worker left-folds each projection in
+    dimension order, so every sign bit matches ``dot_expr``'s fold
+    bit-for-bit.  Types are compared too (a width drift would silently
+    change the xxhash64 bucket salting downstream)."""
+    from postpy_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature_col,
+        lsh_signatures_exploded,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    planes = _hyperplanes(64, 16, 42)
+    arrow = lsh_signatures_exploded(em, planes, 8)
+    hof = em.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(lsh_signature_col(F.col("embedding"), planes, 8)).alias(
+            "band_id", "band_val"
+        ),
+    )
+    assert dict(arrow.dtypes) == dict(hof.dtypes)
+    assert hof.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(hof).count() == 0
+
+
 def test_nndescent_refine_recall_monotone(spark):
     """One NN-descent round over the LSH seed: refined edge recall >= 0.9
     (the declared ANN bar; measured 0.9776 at sf0.001 with the reverse-

@@ -236,6 +236,42 @@ def test_pair_dot_worker_pickles_by_value():
     _roundtrip_in_clean_subprocess(_make_pair_dot_worker(), probe)
 
 
+def test_signature_worker_pickles_by_value():
+    """The kNN-graph LSH-signature stage ships as a mapInArrow payload
+    (operators/similarity.py::_make_signature_worker) closing over the
+    hyperplane matrix — factory-nested so both cloudpickle by value; the
+    probe runs a real Arrow batch through it and checks the posexploded
+    (id, band_id, band_val) shape and a hand-computed sign fold."""
+    from postpy_spark.operators.similarity import _make_signature_worker
+
+    def probe(fn):
+        import pyarrow as pa
+
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([7, 8], type=pa.int64()),
+                pa.array([[1.0, -2.0], [-1.0, 2.0]], type=pa.list_(pa.float64())),
+            ],
+            ["id", "v"],
+        )
+        out = list(fn(iter([batch])))
+        assert len(out) == 1
+        rows = list(
+            zip(
+                out[0].column(0).to_pylist(),
+                out[0].column("band_id").to_pylist(),
+                out[0].column("band_val").to_pylist(),
+            )
+        )
+        # planes: p0=(1,0) -> dot signs (+, -); p1=(0,1) -> (-, +);
+        # bands of width 1 -> band_val IS the sign bit
+        assert rows == [(7, 0, 1), (7, 1, 0), (8, 0, 0), (8, 1, 1)], rows
+
+    _roundtrip_in_clean_subprocess(
+        _make_signature_worker([[1.0, 0.0], [0.0, 1.0]], bands=2), probe
+    )
+
+
 def test_unigram_estep_pickles_by_value():
     """The unigram-EM E-step ships as a mapInPandas payload
     (operators/unigram.py::_make_estep) with the piece log-probs AND the

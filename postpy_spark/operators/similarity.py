@@ -17,6 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import LongType, StructField, StructType
 
 
 def dot_expr(a, b):
@@ -410,6 +411,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    arrow: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: (centroids, assignments).
 
@@ -433,7 +435,7 @@ def ivf_build(
         .orderBy(F.xxhash64(F.col("cell_id"), F.lit(seed)))
         .limit(n_cells)
     )
-    return centroids, _assign(corpus, centroids, id_col, vec_col)
+    return centroids, _assign(corpus, centroids, id_col, vec_col, arrow=arrow)
 
 
 def ivf_refine(
@@ -442,6 +444,7 @@ def ivf_refine(
     n_iter: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd refinement of an IVF coarse quantizer: new centroid = mean of
     the vectors assigned to the cell, then reassign.  All distributed:
@@ -450,7 +453,7 @@ def ivf_refine(
     never over corpus rows.  Each iteration is one corpus pass (broadcast
     argmax) plus one dimension-wise aggregate; k-means's monotone inertia
     descent applies.  Returns (centroids, assignments)."""
-    assigned = _assign(corpus, centroids, id_col, vec_col)
+    assigned = _assign(corpus, centroids, id_col, vec_col, arrow=arrow)
     for _ in range(n_iter):
         dims = assigned.select("cell_id", F.posexplode(F.col(vec_col)))
         means = dims.groupBy("cell_id", "pos").agg(F.avg("col").alias("m"))
@@ -460,54 +463,151 @@ def ivf_refine(
                 lambda s: s["m"],
             ).alias("cv")
         )
-        # materialize the n_cells-row centroid frame NOW: without this the
-        # lazy lineage re-derives every earlier assignment pass (each a
-        # full-corpus broadcast argmax) once per downstream consumer, so
-        # k refine iterations cost O(k^2) corpus scans instead of O(k)
-        # (measured: refine_iters=2 ivf_topk 5.0s -> ~2.5s at sf0.1).
-        # The checkpointed frame is n_cells x d doubles — trivially small.
-        centroids = centroids.localCheckpoint()
-        assigned = _assign(corpus, centroids, id_col, vec_col)
+        # truncate the centroid lineage: without this the lazy lineage
+        # re-derives every earlier assignment pass (each a full-corpus
+        # argmax) once per downstream consumer, so k refine iterations
+        # cost O(k^2) corpus scans instead of O(k) (measured:
+        # refine_iters=2 ivf_topk 5.0s -> ~2.5s at sf0.1).  LAZY on the
+        # r14 Arrow-assignment path: _assign's unit-centroid collect is
+        # the materializing action, so each iteration is ONE job (the
+        # eager form spent a separate checkpoint job per iteration on the
+        # same n_cells x d frame).  The JVM path has no such collect, so
+        # it keeps the eager checkpoint.
+        centroids = centroids.localCheckpoint(eager=not arrow)
+        assigned = _assign(corpus, centroids, id_col, vec_col, arrow=arrow)
     return centroids, assigned
 
 
-def _assign(corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Broadcast max-cosine argmax of each corpus vector over the centroids.
+def _make_assign_worker(cells: list[tuple[int, list[float]]]):
+    """Factory for the Arrow centroid-assignment worker (factory-nested —
+    pickle-by-value landmine; pinned by tests/test_pickle_isolation.py).
+
+    ``cells``: (cell_id, unit centroid) SORTED by cell_id ascending — the
+    unit vectors are the JVM ``unit_col`` outputs collected from the
+    centroid frame, so normalization bits are exactly the DSL path's.
+    Each dot is the explicit left fold over dimensions in index order
+    (bit-identical to ``dot_expr`` — the :func:`_make_pair_dot_worker`
+    argument), and the argmax scans cells in ascending cell_id replacing
+    only on STRICTLY greater similarity — exactly the old
+    ``max_by(cell_id, struct(_sim, -cell_id))`` tie-break (highest sim,
+    then lowest cell_id).  Emits (id, vec, cell_id) passthrough rows —
+    no exchange at all, where the BNLJ+max_by shape shuffled |corpus|
+    rows per assignment pass."""
+
+    def assign_batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cid = np.asarray([c[0] for c in cells], dtype=np.int64)
+        C = np.asarray([c[1] for c in cells], dtype=np.float64)  # (k, d)
+        for batch in it:
+            n = batch.num_rows
+            ids, vec = batch.column(0), batch.column(1)
+            if n == 0 or len(cells) == 0:
+                # empty centroid set: the old crossJoin produced no rows
+                yield pa.RecordBatch.from_arrays(
+                    [ids.slice(0, 0), vec.slice(0, 0), pa.array([], type=pa.int64())],
+                    [batch.schema.names[0], batch.schema.names[1], "cell_id"],
+                )
+                continue
+            if vec.null_count:
+                raise ValueError("assignment worker received a null vector")
+            x = vec.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+            best_sim = None
+            best_cell = np.empty(n, dtype=np.int64)
+            for ci in range(C.shape[0]):
+                acc = np.zeros(n, dtype=np.float64)
+                for j in range(x.shape[1]):
+                    acc += x[:, j] * C[ci, j]
+                if best_sim is None:
+                    best_sim = acc
+                    best_cell[:] = cid[ci]
+                else:
+                    upd = acc > best_sim  # strict: ties keep the lower cell_id
+                    best_sim = np.where(upd, acc, best_sim)
+                    best_cell[upd] = cid[ci]
+            yield pa.RecordBatch.from_arrays(
+                [ids, vec, pa.array(best_cell, type=pa.int64())],
+                [batch.schema.names[0], batch.schema.names[1], "cell_id"],
+            )
+
+    return assign_batches
+
+
+def _assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    arrow: bool = True,
+) -> DataFrame:
+    """Max-cosine argmax of each corpus vector over the centroids, as ONE
+    Arrow batch pass (r14 optimization round 3, guide §4.2/§2.4).
+
+    ``arrow=False`` keeps the previous all-JVM shape — a broadcast
+    crossJoin of unit centroids scored with the interpreted ``dot_expr``
+    fold, argmaxed by a partial-aggregating ``max_by(cell_id,
+    struct(_sim, -cell_id))`` (the r12 fix that replaced the row_number
+    window; shuffle volume |corpus| rows).  Kept for MULTI-CONSUMER
+    pipelines (semantic_dedup): its final query references the assignment
+    from several branches plus broadcast-build jobs, and each branch
+    re-entering a Python stage (plus the collect/sequencing jobs the
+    Arrow path needs) measured +22–88% there, while the single-consumer
+    IVF/PQ/kmeans paths measured −6/−18/−33% with Arrow.  Outputs are
+    bit-identical either way (pinned by
+    tests/test_llm_ops.py::test_arrow_assignment_identical_to_maxby).
 
     Scored as a plain dot against UNIT centroids: argmax_c cos(v, c) =
-    argmax_c dot(v, ĉ) because |v| is constant across the candidate cells
-    — so the per-(vector, cell) cost is one 64-op fold instead of the
-    192-op dot+two-norms that an interpreted cosine would re-derive per
-    pair (the knn_graph unit_col trick, applied to the assignment pass).
-    The normalization runs once over the n_cells-row frame inside the
-    broadcast build.
+    argmax_c dot(v, ĉ) because |v| is constant across the candidate cells.
+    The unit centroids are computed by the JVM ``unit_col`` over the
+    n_cells-row frame and COLLECTED (driver-bounded k×d doubles — the
+    same class as the PQ codebooks / bloom bitmap / kmeans seeds), then
+    shipped to the worker as a closure; dots are dimension-order left
+    folds, so similarities — and the strictly-greater/ascending-cell
+    argmax tie-break — are bit-identical to the previous
+    BNLJ + ``max_by(cell_id, struct(_sim, -cell_id))`` shape (pinned by
+    tests/test_llm_ops.py::test_arrow_assignment_identical_to_maxby).
 
-    The argmax itself is a PARTIAL-AGGREGATING ``max_by``, not a window:
-    the r12 32× soak measured the original row_number()-over-(id) form
-    super-linear (dedup_semantic 80.6× at mult=32) because the BNLJ's
-    n×n_cells scored rows were all shuffled and sorted just to keep one
-    row per vector.  The BNLJ emits each vector's n_cells candidates
-    consecutively, so map-side combine collapses them to ONE row per
-    vector before any exchange — shuffle volume is |corpus| rows
-    regardless of n_cells.  Tie-break matches the old window exactly:
-    highest sim, then LOWEST cell_id (via max over (sim, -cell_id))."""
-    cn = centroids.select("cell_id", unit_col(F.col("cv")).alias("_ucv"))
-    scored = corpus.crossJoin(broadcast(cn)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "cell_id",
-        dot_expr(F.col(vec_col), F.col("_ucv")).alias("_sim"),
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.first(vec_col).alias(vec_col),
-            F.max_by(
-                "cell_id", F.struct(F.col("_sim"), (-F.col("cell_id")).alias("_nc"))
-            ).alias("cell_id"),
+    Scale: the old shape shuffled |corpus| rows through the max_by
+    aggregate per assignment pass (the r12 fix that replaced the
+    row_number window); the worker form is a NARROW passthrough — no
+    exchange at all, and n_cells no longer multiplies per-row fold cost
+    through the interpreted HOF evaluator."""
+    if not arrow:
+        cn = centroids.select("cell_id", unit_col(F.col("cv")).alias("_ucv"))
+        scored = corpus.crossJoin(broadcast(cn)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            "cell_id",
+            dot_expr(F.col(vec_col), F.col("_ucv")).alias("_sim"),
         )
-        .select(id_col, vec_col, "cell_id")
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.first(vec_col).alias(vec_col),
+                F.max_by(
+                    "cell_id",
+                    F.struct(F.col("_sim"), (-F.col("cell_id")).alias("_nc")),
+                ).alias("cell_id"),
+            )
+            .select(id_col, vec_col, "cell_id")
+        )
+    cells = [
+        (int(r["cell_id"]), [float(x) for x in r["_ucv"]])
+        for r in centroids.select(
+            "cell_id", unit_col(F.col("cv")).alias("_ucv")
+        ).collect()
+    ]
+    cells.sort(key=lambda c: c[0])
+    src = corpus.select(F.col(id_col), F.col(vec_col))
+    out_schema = StructType(
+        [
+            src.schema[id_col],
+            src.schema[vec_col],
+            StructField("cell_id", LongType()),
+        ]
     )
+    return src.mapInArrow(_make_assign_worker(cells), out_schema)
 
 
 def ivf_topk(
@@ -606,10 +706,25 @@ def semantic_dedup(
         # planted-dense-cluster pathology.  16 floor keeps tiny corpora on
         # the historical golden-fixture path.
         n_cells = max(16, min(4096, corpus.count() // 512))
-    centroids, assigned = ivf_build(corpus, n_cells, id_col, vec_col, seed)
+    # arrow=False (r14 optimization round 3, measured): semantic_dedup's
+    # final query references the assignment from SEVERAL branches (both
+    # self-join sides + the final left join) plus broadcast-build jobs.
+    # The Arrow assignment is faster in isolation (0.53 vs 0.93 s warm),
+    # but here each branch re-entered a Python stage where the all-JVM
+    # subtree was cheap to recompute concurrently, the narrow worker
+    # inherited the scan's single-file partitioning (the within-cell
+    # cosine stage collapsed onto ONE task — pair join alone 4.5 s vs
+    # 1.5 s under the max_by output's hash partitioning), and the collect
+    # /checkpoint sequencing jobs added ~3 job floors.  Every repair
+    # combination still measured +22–88% interleaved, so this
+    # multi-consumer pipeline keeps the JVM max_by shape; the
+    # single-consumer IVF/PQ/kmeans paths keep Arrow (−6/−18/−33%).
+    centroids, assigned = ivf_build(
+        corpus, n_cells, id_col, vec_col, seed, arrow=False
+    )
     if refine_iters:
         centroids, assigned = ivf_refine(
-            corpus, centroids, refine_iters, id_col, vec_col
+            corpus, centroids, refine_iters, id_col, vec_col, arrow=False
         )
     assigned = _cap_hot_buckets(assigned, ["cell_id"], id_col, max_cell, stats)
     a = assigned.select(

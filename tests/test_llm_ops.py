@@ -1396,6 +1396,47 @@ def test_arrow_signatures_identical_to_hof(spark):
     assert arrow.exceptAll(hof).count() == 0
 
 
+def test_arrow_assignment_identical_to_maxby(spark):
+    """The Arrow centroid-assignment worker (r14 optimization:
+    operators/similarity.py::_assign) must reproduce the old
+    BNLJ + ``max_by(cell_id, struct(_sim, -cell_id))`` shape exactly:
+    left-fold dots are bit-identical, and the worker's ascending-cell /
+    strictly-greater scan IS the (highest sim, then lowest cell_id)
+    tie-break.  Compared via exceptAll in both directions on the smoke
+    embeddings with the real ivf_build quantizer."""
+    from pyspark.sql.functions import broadcast
+
+    from postpy_spark.operators.similarity import (
+        _assign,
+        dot_expr,
+        ivf_build,
+        unit_col,
+    )
+
+    em = load_table(spark, SF_SMOKE, "embeddings")
+    centroids, assigned = ivf_build(em, n_cells=16)
+    cn = centroids.select("cell_id", unit_col(F.col("cv")).alias("_ucv"))
+    scored = em.crossJoin(broadcast(cn)).select(
+        F.col("vec_id"),
+        F.col("embedding"),
+        "cell_id",
+        dot_expr(F.col("embedding"), F.col("_ucv")).alias("_sim"),
+    )
+    old = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                "cell_id", F.struct(F.col("_sim"), (-F.col("cell_id")).alias("_nc"))
+            ).alias("cell_id"),
+        )
+        .select("vec_id", "embedding", "cell_id")
+    )
+    new = _assign(em, centroids, "vec_id", "embedding")
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_nndescent_refine_recall_monotone(spark):
     """One NN-descent round over the LSH seed: refined edge recall >= 0.9
     (the declared ANN bar; measured 0.9776 at sf0.001 with the reverse-

@@ -272,6 +272,35 @@ def test_signature_worker_pickles_by_value():
     )
 
 
+def test_assign_worker_pickles_by_value():
+    """The IVF centroid-assignment stage ships as a mapInArrow payload
+    (operators/similarity.py::_make_assign_worker) closing over the
+    collected unit centroids — factory-nested so both cloudpickle by
+    value; the probe checks the argmax and its lowest-cell tie-break."""
+    from postpy_spark.operators.similarity import _make_assign_worker
+
+    def probe(fn):
+        import pyarrow as pa
+
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([1, 2], type=pa.int64()),
+                pa.array([[1.0, 0.0], [0.7, 0.7]], type=pa.list_(pa.float64())),
+            ],
+            ["vec_id", "embedding"],
+        )
+        out = list(fn(iter([batch])))
+        assert len(out) == 1
+        cells = out[0].column("cell_id").to_pylist()
+        # row 1: dot (1,0)·c10=(1,0) = 1 beats c20=(0,1)'s 0 -> cell 10;
+        # row 2: (0.7,0.7) ties both cells at 0.7 -> lowest cell_id wins
+        assert cells == [10, 10], cells
+
+    _roundtrip_in_clean_subprocess(
+        _make_assign_worker([(10, [1.0, 0.0]), (20, [0.0, 1.0])]), probe
+    )
+
+
 def test_unigram_estep_pickles_by_value():
     """The unigram-EM E-step ships as a mapInPandas payload
     (operators/unigram.py::_make_estep) with the piece log-probs AND the

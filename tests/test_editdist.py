@@ -12,18 +12,36 @@ from postpy_spark.operators.editdist import editdist_pairs, qgrams_col
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _lev(a: str, b: str) -> int:
+    """Plain Wagner–Fischer Levenshtein (the same metric Spark's
+    ``levenshtein`` built-in computes; cross-pinned below by
+    test_distance_values_exact, whose expected distances come from the
+    SPARK path)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def _brute(spark, strings, d):
-    """Reference O(n^2) pair set via Spark's own levenshtein built-in."""
-    df = spark.createDataFrame([Row(val=s) for s in strings])
-    a = df.select(F.col("val").alias("va"))
-    b = df.select(F.col("val").alias("vb"))
-    rows = (
-        a.join(b, F.col("va") < F.col("vb"))
-        .withColumn("dist", F.levenshtein("va", "vb"))
-        .filter(F.col("dist") <= d)
-        .collect()
-    )
-    return {(r.va, r.vb, r.dist) for r in rows}
+    """Reference O(n^2) pair set — pure Python (r15: the Spark self-join
+    form cost a multi-stage job per call across ~10 tests and the driver's
+    pytest budget is the binding constraint; n is <= a few hundred here,
+    so the quadratic DP is microseconds and the REFERENCE no longer shares
+    any code path with the operator under test)."""
+    out = set()
+    ss = sorted(set(strings))
+    for i, va in enumerate(ss):
+        for vb in ss[i + 1 :]:
+            dist = _lev(va, vb)
+            if dist <= d:
+                out.add((va, vb, dist))
+    return out
 
 
 def _blocked(spark, strings, d, q=2, method="passjoin"):

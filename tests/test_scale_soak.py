@@ -42,14 +42,18 @@ def test_soak_no_failed_tasks(spark, soak_dir):
     (docs/BENCH_NOTES.md), so a loaded machine during the base timing
     could flake the pre-commit suite (r8 advice).  The timing-ratio bound
     lives in the manual tier — tools/scale_soak.py at mult=16 — whose
-    interleaved results are committed in docs/SCALE_SOAK.md."""
-    rows, problems = run_soak(spark, BASE, soak_dir, MULT)
+    interleaved results are committed in docs/SCALE_SOAK.md.
+
+    soak_only: each op runs ONCE on the soaked tier (the surface the
+    failed-task gate actually inspects) — the base/warm passes bought
+    nothing this test asserts and cost ~3 of the suite's 31 minutes
+    (r15: the driver's pytest budget is the binding constraint)."""
+    rows, problems = run_soak(spark, BASE, soak_dir, MULT, soak_only=True)
     assert not problems, problems
     assert set(rows["ops"]) == set(SOAK_OPS)
     for name, r in rows["ops"].items():
         assert r["failed_tasks"] == 0, (name, r)
-        # ratio recorded but not gated (load-dependent); visible on failure
-        assert r["ratio"] > 0, (name, r)
+        assert r["soak_s"] > 0, (name, r)
 
 
 def test_crossdoc_spans_stop_grams_engage_on_plant(spark, soak_dir):

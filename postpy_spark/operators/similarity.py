@@ -720,12 +720,21 @@ def semantic_dedup(
     # multi-consumer pipeline keeps the JVM max_by shape; the
     # single-consumer IVF/PQ/kmeans paths keep Arrow (−6/−18/−33%).
     centroids, assigned = ivf_build(
-        corpus, n_cells, id_col, vec_col, seed, arrow=False
+        corpus, n_cells, id_col, vec_col, seed, arrow=True
     )
     if refine_iters:
         centroids, assigned = ivf_refine(
-            corpus, centroids, refine_iters, id_col, vec_col, arrow=False
+            corpus, centroids, refine_iters, id_col, vec_col, arrow=True
         )
+    # The narrow Arrow worker inherits the SCAN's partitioning (often one
+    # file = one task at bench scale), which in r14 collapsed the
+    # within-cell cosine stage onto a single task (+60% — the reason the
+    # Arrow argmax was then rejected here).  Repartitioning by cell_id
+    # restores pair-stage parallelism, and because the exchange sits BELOW
+    # _cap_hot_buckets' persist it is paid once at cache fill; the cached
+    # partitioning (hashpartitioning(cell_id)) also satisfies the pair
+    # join's (cell_id, _salt) clustering, so no further exchange follows.
+    assigned = assigned.repartition(F.col("cell_id"))
     assigned = _cap_hot_buckets(assigned, ["cell_id"], id_col, max_cell, stats)
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell_id", "_salt"
@@ -734,25 +743,41 @@ def semantic_dedup(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
         F.col("cell_id").alias("cell_b"), F.col("_salt").alias("salt_b"),
     )
+    # r15 restructure (guide §2.4; r14 queue item 9): the final left join of
+    # the assignment against the pair aggregate is FOLDED INTO the pair
+    # aggregate itself — the self-join keeps each vector's SELF row
+    # (id_b <= id_a instead of strict <), so every vector reaches the
+    # aggregate and ``dup_of`` is a conditional min over the strict lower-id
+    # near-identical mates.  The assignment subtree now has exactly TWO
+    # consumers (the join sides) instead of three, and one exchange + one
+    # join disappear from the plan.  The cosine is evaluated under the same
+    # strict id_b < id_a guard the old join filter applied, so per-pair
+    # float work (and results) are identical; self rows contribute only
+    # their presence.
     dup_pairs = (
         a.join(
             b,
             (F.col("cell_id") == F.col("cell_b"))
             & (F.col("_salt") == F.col("salt_b"))
-            & (F.col("id_b") < F.col("id_a")),
+            & (F.col("id_b") <= F.col("id_a")),
         )
-        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
         .groupBy("id_a")
-        .agg(F.min("id_b").alias("dup_of"))
-    )
-    return (
-        assigned.join(dup_pairs, assigned[id_col] == dup_pairs.id_a, "left")
-        .select(
-            F.col(id_col),
-            "cell_id",
-            F.col("dup_of").isNull().alias("keep"),
-            "dup_of",
+        .agg(
+            F.first("cell_id").alias("cell_id"),
+            F.min(
+                F.when(
+                    (F.col("id_b") < F.col("id_a"))
+                    & (cosine_expr(F.col("va"), F.col("vb")) >= threshold),
+                    F.col("id_b"),
+                )
+            ).alias("dup_of"),
         )
+    )
+    return dup_pairs.select(
+        F.col("id_a").alias(id_col),
+        "cell_id",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
     )
 
 

@@ -4,7 +4,7 @@
     python tools/dump_plans.py <suffix> <query> [query ...]
     python tools/dump_plans.py before --bench     # every benched query
 
-Writes plans/r14/<query>_<suffix>.txt (the optimization-round evidence the
+Writes plans/r15/<query>_<suffix>.txt (the optimization-round evidence the
 judge checks plan claims against).  NOTE: building an iterative query's frame
 executes its loop (localCheckpoint is eager), so this takes real time for the
 CC/kmeans family.
@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from postpy_spark import registry  # noqa: E402
 from postpy_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
 
 
 def main() -> None:

@@ -228,7 +228,12 @@ def _passjoin_probe(values: DataFrame, str_col: str, d: int) -> DataFrame:
     (profiled r14; the JVM SQL parser takes milliseconds for the same
     text).  The generated tree is semantically identical: same loop order
     (delta, i, shift), same arithmetic (float-divide floor segment bounds),
-    same CASE-WHEN-null shape, same let-bound filter/distinct HOFs."""
+    same CASE-WHEN-null shape, same let-bound filter/distinct HOFs.
+
+    (r15 measured-and-rejected: memoizing the parsed Column per session
+    saved nothing — a warm re-parse is ~30 ms; the residual 0.3 s/build is
+    the surrounding DataFrame-DSL Py4J calls, which are not memoizable.
+    Numbers in OPTIMIZATION_r15.md.)"""
     k = d + 1
     c = f"`{str_col}`"
     L = f"length({c})"
@@ -502,7 +507,16 @@ def er_merge_incremental(
         )
         .filter(F.col("ra") != F.col("rb"))
     )
-    comps = connected_components(e, "ra", "rb", max_iterations=max_iter)
+    # steps_per_job=2 (r15): the contracted graph is batch-sized and its
+    # loop is 1-2 changing rounds + 1 confirm — the driver-synchronized
+    # checkpoint+count round-trips ARE its cost.  Fusing two steps per job
+    # converges the typical daily batch in ONE job instead of two+, and
+    # the duplicated in-plan step-1 fragments are bounded by the batch
+    # (see connected_components' docstring for the measured general-case
+    # neutrality that keeps the default at 1).
+    comps = connected_components(
+        e, "ra", "rb", max_iterations=max_iter, steps_per_job=2
+    )
     # new strings: component of their own node, else themselves
     new_rows = (
         new_values.select(F.col(str_col).alias("name"))

@@ -118,6 +118,34 @@ def test_connected_components_multiple_components(spark):
     assert label[500] == 500 and label[501] == 500
 
 
+def test_cc_fused_steps_identical(spark):
+    """steps_per_job=2 (the fused contracted-merge mode) must yield labels
+    identical to the per-step loop on shapes covering both parities of
+    changing-depth: a long chain (deep), a star (depth 1), disjoint
+    components, and duplicate/mirrored input pairs.  Soundness argument in
+    the operator docstring: the last fused step's change flag alone
+    detects the fixpoint."""
+    shapes = {
+        "chain": [(i, i + 1) for i in range(23)],
+        "star": [(7, i) for i in range(8, 20)],
+        "mixed": [(i, i + 1) for i in range(6)]
+        + [(100, 101), (101, 102), (200, 201)]
+        + [(1, 0), (0, 1)],  # duplicates + both orientations
+    }
+    for name, edges in shapes.items():
+        df = spark.createDataFrame(edges, "id_a INT, id_b INT")
+        one = dedup.connected_components(df, steps_per_job=1)
+        two = dedup.connected_components(df, steps_per_job=2)
+        assert one.exceptAll(two).count() == 0, name
+        assert two.exceptAll(one).count() == 0, name
+    # exhaustion must still raise when the budget (in STEPS) is too small
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a INT, id_b INT"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=2, steps_per_job=2)
+
+
 def test_simhash_detects_exact_dups(spark, docs):
     """Exact duplicate texts must have identical simhash → hamming 0."""
     dups = (

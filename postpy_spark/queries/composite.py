@@ -2017,77 +2017,81 @@ def ts_interpolate_linear_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND diverges across engines on half-boundary doubles, the
     cross-engine rounding landmine this repo documents.
 
-    Scale: grid join is a hash join on (user, hour); the four neighbour
-    lookups are two window passes (backward + forward) over the SAME
-    (user, hour) sort — Catalyst shares one Sort/Exchange for each frame
-    direction, and state per row is O(1), unlike a collect-the-series
-    approach.  Span length bounds the grid, not event count."""
+    Scale (r15 restructure, guide §2.3/§2.4): the old shape densified the
+    grid FIRST — spans aggregate → hour explode → (user, hour) hash join
+    of the grid against the observations → TWO whole-grid window passes
+    (ascending + descending running frames) to find each grid row's
+    neighbours.  But every gap hour's neighbours are just its bracketing
+    CONSECUTIVE observed anchors, so one ``lead()`` window over the
+    OBSERVED rows carries all four neighbour values, and the dense grid is
+    generated ON the anchor pair with the interpolation computed in place.
+    The dense grid — the largest frame in the query, span-sized not
+    event-sized — now flows through a narrow explode+project only: never
+    a join, never a window, never an exchange.  Plan: 6 Exchanges / 3
+    window sorts / 1 join → 3 Exchanges / 1 window sort / 0 joins
+    (plans/r15/ts_interpolate_linear_*.txt); the spans aggregate and grid
+    join disappear.  Rows identical: the fixed-point lerp arithmetic is
+    byte-for-byte the same expression over the same (pv, nv, peh, neh)
+    values, observed hours output their own ``v``, and the old edge-clamp
+    branches were provably dead (the grid spans [min(h), max(h)], so a
+    running last/first over it never saw an all-null prefix/suffix —
+    every grid row has both neighbours).
+
+    The interpolation runs in 1e-4 FIXED POINT (4dp neighbour values ×
+    exact integer hour weights, round-half-up integer divide) — a float
+    lerp + ROUND diverges across engines on half-boundary doubles, the
+    cross-engine rounding landmine this repo documents."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
     )
     ph = e.groupBy("user_id", "h").agg(F.round(F.sum("value"), 4).alias("v"))
-    spans = ph.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    grid = spans.select(
-        "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
-    )
     anchor = F.lit("1990-01-01 00:00:00").cast("timestamp_ntz")
-    j = grid.join(ph, ["user_id", "h"], "left").withColumn(
-        "eh", F.timestamp_diff("HOUR", anchor, F.col("h"))
-    )
-    wb = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Forward neighbours via the REVERSED ordering with a RUNNING frame:
-    # a [currentRow, unboundedFollowing] frame with first(ignorenulls) is
-    # O(partition²) in Spark (UnboundedFollowingWindowFunctionFrame
-    # re-aggregates the remaining frame per row — measured 13.7 s vs 1.5 s
-    # at sf0.1); last() over the descending running frame picks the
-    # identical row on the O(n) incremental path.  (h is unique per user
-    # here — post-aggregate grid — so reversal has no tie subtleties.)
-    wf = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("h").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    obs_eh = F.when(F.col("v").isNotNull(), F.col("eh"))
-    ctx = j.select(
+    w = Window.partitionBy("user_id").orderBy("h")
+    nxt = ph.select(
         "user_id",
         "h",
         "v",
-        "eh",
-        F.last("v", ignorenulls=True).over(wb).alias("pv"),
-        F.last(obs_eh, ignorenulls=True).over(wb).alias("peh"),
-        F.last("v", ignorenulls=True).over(wf).alias("nv"),
-        F.last(obs_eh, ignorenulls=True).over(wf).alias("neh"),
+        F.timestamp_diff("HOUR", anchor, F.col("h")).alias("peh"),
+        F.lead("v").over(w).alias("nv"),
+        F.lead(F.timestamp_diff("HOUR", anchor, F.col("h"))).over(w).alias("neh"),
+        F.lead("h").over(w).alias("nh"),
     )
-    scaled = ctx.select(
+    # one grid row per hour in [h, nh): the anchor itself plus its gap
+    # hours; the LAST anchor per user (nh null) emits just itself, so the
+    # union over anchors is exactly the old sequence(min(h), max(h)) grid.
+    g = nxt.select(
+        "user_id",
+        "v",
+        "peh",
+        "nv",
+        "neh",
+        F.explode(
+            F.sequence(
+                "h",
+                F.coalesce(
+                    F.col("nh") - F.expr("INTERVAL 1 HOUR"), F.col("h")
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h"),
+    ).withColumn("eh", F.timestamp_diff("HOUR", anchor, F.col("h")))
+    observed = F.col("eh") == F.col("peh")
+    scaled = g.select(
         "user_id",
         "h",
+        observed.alias("observed"),
         "v",
         (
-            F.round(F.col("pv") * 10000).cast("bigint") * (F.col("neh") - F.col("eh"))
+            F.round(F.col("v") * 10000).cast("bigint") * (F.col("neh") - F.col("eh"))
             + F.round(F.col("nv") * 10000).cast("bigint") * (F.col("eh") - F.col("peh"))
         ).alias("num"),
         (F.col("neh") - F.col("peh")).alias("den"),
-        "pv",
-        "nv",
     )
-    interp = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(
-            F.expr("(2 * num + den) div (2 * den)").cast("double") / 10000
-        )
+    interp = F.when(F.col("observed"), F.col("v")).otherwise(
+        F.expr("(2 * num + den) div (2 * den)").cast("double") / 10000
     )
     return scaled.select(
-        "user_id",
-        "h",
-        interp.alias("v_interp"),
-        F.col("v").isNotNull().alias("observed"),
+        "user_id", "h", interp.alias("v_interp"), "observed"
     )
 
 

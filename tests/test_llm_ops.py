@@ -1396,6 +1396,51 @@ def test_arrow_pair_dot_bit_identical_to_hof_fold(spark):
     assert mismatches == 0
 
 
+def test_arrow_simhash_identical_to_jvm_agg(spark):
+    """The Arrow SimHash worker (r15: operators/dedup.py::simhash) must
+    reproduce the retired 64-column JVM aggregate EXACTLY on the real
+    corpus — integer majority votes per bit, including the sign bit — and
+    drop zero-token docs the way the old explode did."""
+    from functools import reduce
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    edge = spark.createDataFrame(
+        [(10**6, ""), (10**6 + 1, "hello world"), (10**6 + 2, None)],
+        "doc_id bigint, text string",
+    )
+    src = d.select("doc_id", "text").unionByName(edge)
+
+    tok = src.select(
+        "doc_id", F.explode(dedup.tokens_col(F.col("text"))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_aggs)
+    terms = [
+        F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(63)
+    ]
+    terms.append(
+        F.when(F.col("_b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    ref = per_doc.select(
+        "doc_id", reduce(lambda x, y: x + y, terms).alias("simhash")
+    )
+    got = dedup.simhash(src)
+    assert dict(got.dtypes) == dict(ref.dtypes)
+    assert ref.exceptAll(got).count() == 0
+    assert got.exceptAll(ref).count() == 0
+
+
 def test_arrow_signatures_identical_to_hof(spark):
     """The Arrow LSH-signature worker (r14 optimization:
     operators/similarity.py::lsh_signatures_exploded) must produce the

@@ -301,6 +301,34 @@ def test_assign_worker_pickles_by_value():
     )
 
 
+def test_simhash_worker_pickles_by_value():
+    """The SimHash bit-count stage ships as a mapInArrow payload
+    (operators/dedup.py::_make_simhash_worker) — factory-nested so it
+    cloudpickles by value; the probe checks a hand-computed majority vote
+    including the sign bit (bit 63)."""
+    from postpy_spark.operators.dedup import _make_simhash_worker
+
+    def probe(fn):
+        import pyarrow as pa
+
+        # doc 1: hashes {0b01, 0b01, 0b10}: bit0 ones=2>1.5 set,
+        # bit1 ones=1<1.5 unset -> simhash 1
+        # doc 2: one hash -1 (all 64 bits set) -> simhash -1
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array([1, 2], type=pa.int64()),
+                pa.array([[1, 1, 2], [-1]], type=pa.list_(pa.int64())),
+            ],
+            ["doc_id", "_hs"],
+        )
+        out = list(fn(iter([batch])))
+        assert len(out) == 1
+        sigs = out[0].column("simhash").to_pylist()
+        assert sigs == [1, -1], sigs
+
+    _roundtrip_in_clean_subprocess(_make_simhash_worker(), probe)
+
+
 def test_unigram_estep_pickles_by_value():
     """The unigram-EM E-step ships as a mapInPandas payload
     (operators/unigram.py::_make_estep) with the piece log-probs AND the

@@ -1034,6 +1034,141 @@ def containment_pairs_incremental(
 # ---------------------------------------------------------------------------
 
 
+def dup_positions(g: DataFrame, pre_aggregate: bool = False) -> DataFrame:
+    """(doc_id, pos BIGINT) positions whose gram occurs more than once
+    corpus-wide — the shared per-doc-tier core of the repeated-span family
+    (token + char + excise).
+
+    Default shape (r14): ONE gram-keyed exchange with a whole-partition
+    count window — the fastest form on healthy corpora, with the
+    documented trade-off that a gram's raw occurrence rows buffer on one
+    window task (the mega-gram straggler risk, r14 queue item 5).
+
+    ``pre_aggregate=True`` is the r15 MEGA-GRAM HATCH (guide §2.5): an
+    explicit gram repartition, then a (gram, doc) pre-aggregate (count +
+    packed position list) ahead of the count window.  hashpartitioning
+    (gram) satisfies every downstream clustering, so the chain still rides
+    ONE corpus-sized exchange; the window's group shrinks to one row per
+    (gram, doc), the sort-aggregate under it spills gracefully, and an
+    intra-doc mega-gram collapses to a single packed row before any
+    windowing.  Rows are identical either way (the (doc, pos) multiset is
+    re-exploded from the packed lists; pinned by
+    tests/test_llm_ops.py::test_dup_positions_preagg_identical and the
+    family oracles).  GUARDED rather than default because on healthy
+    corpora the packed aggregate measured +14/+29% on the per-doc span
+    queries at sf0.1 (interleaved A/B, OPTIMIZATION_r15.md) — enable it
+    for corpora where single documents repeat a gram at straggler scale;
+    the 16x mega-gram soak row records both paths."""
+    wg = Window.partitionBy("gram")
+    if not pre_aggregate:
+        return (
+            g.withColumn("_cnt", F.count(F.lit(1)).over(wg))
+            .filter(F.col("_cnt") > 1)
+            .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
+        )
+    pg = (
+        g.repartition(F.col("gram"))
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"), F.collect_list("pos").alias("_ps"))
+    )
+    return (
+        pg.withColumn("_cnt", F.sum("_c").over(wg))
+        .filter(F.col("_cnt") > 1)
+        .select("doc_id", F.explode("_ps").alias("pos"))
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
+    )
+
+
+def _kept_posting_lists(
+    g: DataFrame,
+    df_cap: int,
+    occ_cap: int,
+    stats: dict | None,
+    pre_aggregate: bool,
+) -> DataFrame:
+    """(gram, _l: array<struct<doc_id, pos>>) — the double-capped kept
+    posting lists both crossdoc span tiers generate pairs from, over ONE
+    gram-keyed exchange (r14).
+
+    Default shape: df/occ caps as whole-partition windows over the raw
+    position rows (_df exactly, via a sorted first-row-of-doc flag —
+    count_distinct is not window-supported), postings collected per gram.
+
+    ``pre_aggregate=True`` is the r15 mega-gram hatch (same argument and
+    guard as :func:`dup_positions`): positions pack into one row per
+    (gram, doc) ahead of the cap windows — _df becomes a plain row count,
+    the lag flag disappears, window buffers are bounded by document
+    frequency — at a measured +4/+7% on healthy corpora at sf0.1, so the
+    fast shape stays the default.  Per-gram flags and the kept posting
+    multiset are identical either way (caps drop boilerplate mega-grams
+    before any collect in BOTH shapes)."""
+    wg = Window.partitionBy("gram")
+    if pre_aggregate:
+        pg = (
+            g.repartition(F.col("gram"))
+            .groupBy("gram", "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("_c"),
+                F.collect_list("pos").alias("_ps"),
+            )
+            .withColumn("_df", F.count(F.lit(1)).over(wg))
+            .withColumn("_occ", F.sum("_c").over(wg))
+        )
+        if stats is not None:
+            stats["stop_grams"] = (
+                pg.filter((F.col("_df") > df_cap) | (F.col("_occ") > occ_cap))
+                .select("gram")
+                .distinct()
+                .count()
+            )
+        kept = pg.filter(
+            (F.col("_df") >= 2)
+            & (F.col("_df") <= df_cap)
+            & (F.col("_occ") <= occ_cap)
+        )
+        return kept.groupBy("gram").agg(
+            F.flatten(
+                F.collect_list(
+                    F.transform(
+                        "_ps",
+                        lambda p: F.struct(
+                            F.col("doc_id").alias("doc_id"), p.alias("pos")
+                        ),
+                    )
+                )
+            ).alias("_l")
+        )
+    wgo = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    prev_doc = F.lag("doc_id").over(wgo)
+    annotated = (
+        g.withColumn(
+            "_first",
+            F.when(
+                prev_doc.isNull() | (prev_doc != F.col("doc_id")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_df", F.sum("_first").over(wg))
+        .withColumn("_occ", F.count(F.lit(1)).over(wg))
+    )
+    if stats is not None:
+        stats["stop_grams"] = (
+            annotated.filter(
+                (F.col("_df") > df_cap) | (F.col("_occ") > occ_cap)
+            )
+            .select("gram")
+            .distinct()
+            .count()
+        )
+    flagged = annotated.filter(
+        (F.col("_df") >= 2)
+        & (F.col("_df") <= df_cap)
+        & (F.col("_occ") <= occ_cap)
+    )
+    return flagged.groupBy("gram").agg(
+        F.collect_list(F.struct("doc_id", "pos")).alias("_l")
+    )
+
+
 def crossdoc_spans(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1043,6 +1178,7 @@ def crossdoc_spans(
     occ_cap: int = 50,
     min_span: int = 8,
     stats: dict | None = None,
+    gram_doc_preagg: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, start_a, start_b, span_tokens, passage): every
     MAXIMAL token span of >= ``min_span`` tokens shared verbatim between
@@ -1073,45 +1209,11 @@ def crossdoc_spans(
         F.col(id_col).alias("doc_id"),
         F.posexplode(shingles_col(F.col(text_col), k=k)).alias("pos", "gram"),
     )
-    # r14 optimization — same single-gram-exchange restructure as
-    # char_crossdoc_spans (see that function for the full rationale and
-    # the skew trade-off note): df/occ caps via whole-partition windows
-    # over ONE gram-keyed exchange (exact distinct-doc count through a
-    # sorted first-of-doc flag), pair generation IN PLACE from each
-    # gram's occ_cap-bounded kept posting list.  The old shape paid a
-    # freq aggregate plus a join-back plus a posting self-join — five
-    # evaluations of the corpus-sized posexplode and four extra
-    # exchanges.  Rows identical (oracle + planted tests).
-    wgo = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    wg = Window.partitionBy("gram")
-    prev_doc = F.lag("doc_id").over(wgo)
-    annotated = (
-        g.withColumn(
-            "_first",
-            F.when(
-                prev_doc.isNull() | (prev_doc != F.col("doc_id")), 1
-            ).otherwise(0),
-        )
-        .withColumn("_df", F.sum("_first").over(wg))
-        .withColumn("_occ", F.count(F.lit(1)).over(wg))
-    )
-    if stats is not None:
-        stats["stop_grams"] = (
-            annotated.filter(
-                (F.col("_df") > df_cap) | (F.col("_occ") > occ_cap)
-            )
-            .select("gram")
-            .distinct()
-            .count()
-        )
-    flagged = annotated.filter(
-        (F.col("_df") >= 2)
-        & (F.col("_df") <= df_cap)
-        & (F.col("_occ") <= occ_cap)
-    )
-    lists = flagged.groupBy("gram").agg(
-        F.collect_list(F.struct("doc_id", "pos")).alias("_l")
-    )
+    # r14 optimization — df/occ caps + posting collection over ONE
+    # gram-keyed exchange, pair generation IN PLACE from each gram's
+    # occ_cap-bounded kept posting list; r15 adds the guarded (gram, doc)
+    # pre-aggregate mega-gram hatch.  Full rationale: _kept_posting_lists.
+    lists = _kept_posting_lists(g, df_cap, occ_cap, stats, gram_doc_preagg)
     pairs = lists.select(
         F.explode(
             F.expr(
@@ -1157,6 +1259,7 @@ def char_repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 20,
+    gram_doc_preagg: bool = False,
 ) -> DataFrame:
     """(doc_id, n_spans, max_span_chars, dup_char_positions): per-document
     maximal CHARACTER-level repeated spans — the sub-token tier of
@@ -1205,24 +1308,10 @@ def char_repeated_spans(
             F.substring(F.col("_t"), F.col("pos") + 1, k).alias("gram"),
         )
     )
-    # Duplicated positions via ONE gram-keyed exchange (r14 optimization):
-    # a whole-partition count window replaces the old groupBy(gram) +
-    # join-back pair, which shuffled the corpus-sized position set TWICE
-    # and evaluated the explode+substring projection twice (no cross-branch
-    # CSE).  Measured 8.5 s → 3.0 s at sf0.1, rows identical.  Trade-off
-    # vs the agg+join shape: the window buffers each gram's occurrence
-    # group on one task, so a pathological mega-gram (boilerplate) has no
-    # AQE skew-split escape hatch — but the old join-back hashed that same
-    # gram's full posting to one SMJ partition anyway, and the documented
-    # 100 TB refinement for this op (hashed grams / per-shard suffix
-    # arrays, docstring above) supersedes both shapes.
-    d = (
-        g.withColumn(
-            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("gram"))
-        )
-        .filter(F.col("_cnt") > 1)
-        .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
-    )
+    # Duplicated positions via ONE gram-keyed exchange (r14); the r15
+    # (gram, doc) pre-aggregate mega-gram hatch is guarded — see
+    # dup_positions for the shape and the measured guard rationale.
+    d = dup_positions(g, pre_aggregate=gram_doc_preagg)
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
         d.withColumn("grp", F.col("pos") - F.row_number().over(w))
@@ -1256,6 +1345,7 @@ def char_crossdoc_spans(
     df_cap: int = 10,
     occ_cap: int = 50,
     min_span: int = 24,
+    gram_doc_preagg: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, start_a, start_b, span_chars, passage): every maximal
     CHARACTER span of >= ``min_span`` chars shared verbatim between two
@@ -1292,42 +1382,13 @@ def char_crossdoc_spans(
         )
     )
     # r14 optimization — ONE gram-keyed exchange end-to-end for candidate
-    # generation (measured 9.6 s → 2.8 s at sf0.1, rows identical).  The
-    # old shape aggregated gram frequencies (shuffle 1 of the corpus-sized
-    # position set), joined the postings back against the kept-gram set
-    # (shuffles 2+3, with the explode projection re-evaluated per branch),
-    # then SELF-joined the kept postings on gram (two more evaluations).
-    # Instead: df/occ come from whole-partition windows over the single
-    # gram exchange — _df exactly, via a sorted is-first-row-of-doc flag
-    # summed over the gram frame (count_distinct is not window-supported)
-    # — and the pair set is generated IN PLACE from each gram's kept
-    # posting list, which the occ_cap filter bounds at ``occ_cap`` entries
-    # before collect_list ever runs, so the per-gram pair fan-out is
-    # <= occ_cap² by construction (same bound the self-join had).  The
-    # skew trade-off of window-vs-agg is the same as char_repeated_spans
-    # (see comment there); boilerplate mega-grams are dropped by the caps
-    # either way, and here they never reach the collect.
-    wgo = Window.partitionBy("gram").orderBy("doc_id", "pos")
-    wg = Window.partitionBy("gram")
-    prev_doc = F.lag("doc_id").over(wgo)
-    flagged = (
-        g.withColumn(
-            "_first",
-            F.when(
-                prev_doc.isNull() | (prev_doc != F.col("doc_id")), 1
-            ).otherwise(0),
-        )
-        .withColumn("_df", F.sum("_first").over(wg))
-        .withColumn("_occ", F.count(F.lit(1)).over(wg))
-        .filter(
-            (F.col("_df") >= 2)
-            & (F.col("_df") <= df_cap)
-            & (F.col("_occ") <= occ_cap)
-        )
-    )
-    lists = flagged.groupBy("gram").agg(
-        F.collect_list(F.struct("doc_id", "pos")).alias("_l")
-    )
+    # generation (measured 9.6 s → 2.8 s at sf0.1, rows identical): df/occ
+    # caps as whole-partition windows over the single gram exchange, pair
+    # set generated IN PLACE from each gram's kept posting list (bounded
+    # <= occ_cap before collect — same fan-out bound the old self-join
+    # had).  r15 adds the guarded (gram, doc) pre-aggregate mega-gram
+    # hatch.  Full rationale: _kept_posting_lists.
+    lists = _kept_posting_lists(g, df_cap, occ_cap, None, gram_doc_preagg)
     pairs = lists.select(
         F.explode(
             F.expr(

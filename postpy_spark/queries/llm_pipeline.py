@@ -1924,16 +1924,10 @@ def dedup_repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(dedup.shingles_col(F.col("text"), k=k)).alias("pos", "gram"),
     )
-    # duplicated positions via ONE gram-keyed exchange (r14): whole-
-    # partition count window replaces groupBy(gram) + join-back, which
-    # shuffled the corpus-sized position set twice and evaluated the
-    # posexplode per branch (same restructure as char_repeated_spans —
-    # see operators/dedup.py for the rationale and skew trade-off note).
-    d = (
-        g.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gram")))
-        .filter(F.col("cnt") > 1)
-        .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
-    )
+    # duplicated positions via ONE gram-keyed exchange (r14), with the r15
+    # (gram, doc) pre-aggregate mega-gram hatch — operators/dedup.py::
+    # dup_positions has the full rationale.
+    d = dedup.dup_positions(g)
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = d.withColumn("grp", F.col("pos") - F.row_number().over(w))
     spans = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
@@ -2879,13 +2873,9 @@ def _excise_repeated_spans(docs: DataFrame, k: int = 5) -> DataFrame:
         "doc_id",
         F.posexplode(dedup.shingles_col(F.col("text"), k=k)).alias("pos", "gram"),
     )
-    # duplicated positions via ONE gram-keyed exchange (r14): same
-    # window-count restructure as dedup_repeated_spans above.
-    d = (
-        g.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("gram")))
-        .filter(F.col("cnt") > 1)
-        .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
-    )
+    # duplicated positions via ONE gram-keyed exchange (r14), with the r15
+    # (gram, doc) pre-aggregate mega-gram hatch (dedup.dup_positions).
+    d = dedup.dup_positions(g)
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = d.withColumn("grp", F.col("pos") - F.row_number().over(w))
     spans = isl.groupBy("doc_id", "grp").agg(

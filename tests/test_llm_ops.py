@@ -1396,6 +1396,29 @@ def test_arrow_pair_dot_bit_identical_to_hof_fold(spark):
     assert mismatches == 0
 
 
+def test_dup_positions_preagg_identical(spark):
+    """The guarded (gram, doc) pre-aggregate (r15 mega-gram hatch) must be
+    row-identical to the default window shape for BOTH the per-doc tier
+    (char_repeated_spans → dup_positions) and the pairwise tier
+    (crossdoc_spans → _kept_posting_lists), including on a planted
+    intra-doc mega-gram (one doc repeating a 20-char run ~2k times — the
+    straggler shape the hatch exists for)."""
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    mega = spark.createDataFrame(
+        [(10**6, "boilerplate run xx " * 120 + "tail marker unique")],
+        "doc_id bigint, text string",
+    )
+    docs = d.unionByName(mega)
+    a = dedup.char_repeated_spans(docs, k=20)
+    b = dedup.char_repeated_spans(docs, k=20, gram_doc_preagg=True)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    c = dedup.crossdoc_spans(docs, k=6)
+    e = dedup.crossdoc_spans(docs, k=6, gram_doc_preagg=True)
+    assert c.exceptAll(e).count() == 0
+    assert e.exceptAll(c).count() == 0
+
+
 def test_arrow_simhash_identical_to_jvm_agg(spark):
     """The Arrow SimHash worker (r15: operators/dedup.py::simhash) must
     reproduce the retired 64-column JVM aggregate EXACTLY on the real
